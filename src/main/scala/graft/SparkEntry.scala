@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the t2 correctness surface: each entry's result (written to
+  * parquet by [[Verify]]) is hash-compared by the driver against DuckDB
+  * executing the matching [[oracleSql]] on the same tables. Queries without
+  * an oracle (approximate / not SQL-expressible) get a rows-only check and
+  * are covered by ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference pipeline's shape end-to-end: dedup-latest per key then
+    * regroup per user (SURVEY.md §2.1 R5–R10) over the events table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.CorePipeline.q06DedupLatest(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.CorePipeline.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    ops.CorePipeline.oracleSql
 }

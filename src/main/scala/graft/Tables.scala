@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Design notes for scale: each loader is a plain parquet scan — filters and
+  * projections composed downstream reach the scan via Catalyst pushdown
+  * (verified with `.explain`: `PushedFilters`, pruned `ReadSchema`). No
+  * schema inference pass is triggered beyond the footer read; at 100 TB the
+  * same loaders work because partition discovery and row-group pruning are
+  * handled by the datasource, not user code.
+  */
+object Tables {
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's schema converter
+    * rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as LongType via the
+    * legacy conf and convert exactly with integer division (`DIV 1000`) —
+    * the driver data is microsecond-aligned, so no precision is lost. The
+    * conf is runtime-settable, so this works in any session the driver owns.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

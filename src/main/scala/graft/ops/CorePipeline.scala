@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q01–q09: the reference pipeline's operator surface (SURVEY.md §2.1
+  * R1–R13) re-expressed on the driver testdata tables.
+  *
+  * Every query is fully deterministic: total ORDER BY on a unique key,
+  * `sort_array` on every collected list, timestamps emitted as epoch
+  * micros (exact longs) or formatted strings — never raw floats from
+  * arithmetic unless rounded identically in the oracle SQL.
+  */
+object CorePipeline {
+
+  /** q01 — scan + projection (R1–R3): parquet scan with column pruning.
+    * At scale the 4-column ReadSchema is what hits the parquet reader. */
+  def q01ScanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q02 — JSON parse (R4): extract a typed field from a JSON string column.
+    * `get_json_object` is codegen'd; no UDF. */
+  def q02JsonParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** q03 — explode/unnest (R5): posexplode of the embedding array.
+    * Narrow transform — no shuffle; output is (vec_id, pos, val). */
+  def q03Explode(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .orderBy("vec_id", "pos")
+
+  /** q04 — projection + rename (R6): mirror of the reference's event
+    * construction, where output names differ from input names. */
+  def q04ProjectRename(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey").as("id"),
+        upper(col("c_name")).as("name"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("balance"))
+      .orderBy("id")
+
+  /** q05 — group-by + list aggregation (R7+R8): the reference's
+    * customer→watchedMovies regroup. Catalyst plans this as partial +
+    * final HashAggregate (the reference's per-batch map + global merge,
+    * automatic). List is sorted for determinism (SURVEY §2.2 quirk 4). */
+  def q05GroupCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        concat_ws("|", col("event_type"), col("event_id")).as("ev"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(sort_array(collect_list(col("ev"))), ";").as("events_str"))
+      .orderBy("user_id")
+
+  /** q06 — dedup-latest (R9): keep the most-recent event per
+    * (user_id, event_type); ties broken toward the larger event_id.
+    * This is the reference's movieId-dedup / most-recent-date-wins merge
+    * as a ranking window. At scale: one shuffle on the partition keys;
+    * AQE handles skewed users. */
+  def q06DedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** q07 — merge/upsert into keyed state (R10): two snapshots of per-key
+    * state (existing = first half of the month, incoming = second half),
+    * full-outer joined; most-recent wins, ties favor existing — the
+    * reference's `isMoreRecent` semantics (strict `after`, SURVEY §2.2
+    * quirk 2). Unlike the reference (2 Redis round-trips per key), this is
+    * one shuffle + bulk write; at 100 TB the state side would be bucketed
+    * so only the incoming side shuffles. */
+  def q07MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val split = lit("2024-01-16").cast("timestamp")
+    def latestPerKey(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    }
+    val existing = latestPerKey(ev.filter(col("ts") < split))
+      .withColumnRenamed("event_id", "e_id").withColumnRenamed("ts", "e_ts")
+    val incoming = latestPerKey(ev.filter(col("ts") >= split))
+      .withColumnRenamed("event_id", "i_id").withColumnRenamed("ts", "i_ts")
+    // strict '>' : on equal timestamps existing wins (reference Date.after)
+    val takeIncoming = col("e_ts").isNull ||
+      (col("i_ts").isNotNull && col("i_ts") > col("e_ts"))
+    existing.join(incoming, Seq("user_id", "event_type"), "full_outer")
+      .select(
+        col("user_id"), col("event_type"),
+        when(takeIncoming, col("i_id")).otherwise(col("e_id")).as("event_id"),
+        unix_micros(when(takeIncoming, col("i_ts")).otherwise(col("e_ts"))).as("ts_us"),
+        when(takeIncoming, lit("incoming")).otherwise(lit("existing")).as("origin"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** q08 — date functions (R12): the reference parses "yyyy-MM-dd" strings
+    * lazily; here the full scalar date surface over a real timestamp. */
+  def q08DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
+        datediff(lit("2024-02-01").cast("date"), col("ts").cast("date")).as("days_to_feb"))
+      .orderBy("event_id")
+
+  /** q09 — serialize to JSON + KV shape (R13): `to_json(struct(...))` under
+    * a composite string key, the reference's "customer:"+id → JSON string
+    * Redis write. Only ints/strings inside the JSON (float formatting is
+    * engine-specific). The actual sink is exercised by Verify's parquet
+    * write and by sink/KVSink in tests. */
+  def q09ToJsonKv(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("first_ts_us"))
+      .select(
+        concat(lit("user:"), col("user_id")).as("key"),
+        to_json(struct(col("user_id"), col("n_events"), col("first_ts_us"))).as("value"))
+      .orderBy("key")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> (q01ScanProject _),
+    "q02_json_parse" -> (q02JsonParse _),
+    "q03_explode" -> (q03Explode _),
+    "q04_project_rename" -> (q04ProjectRename _),
+    "q05_group_collect" -> (q05GroupCollect _),
+    "q06_dedup_latest" -> (q06DedupLatest _),
+    "q07_merge_upsert" -> (q07MergeUpsert _),
+    "q08_date_funcs" -> (q08DateFuncs _),
+    "q09_to_json_kv" -> (q09ToJsonKv _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q03_explode" ->
+      """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |       unnest(embedding) AS val
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+    "q04_project_rename" ->
+      """SELECT c_custkey AS id, upper(c_name) AS name,
+        |       c_mktsegment AS segment, c_acctbal AS balance
+        |FROM customer ORDER BY id""".stripMargin,
+    "q05_group_collect" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       string_agg(event_type || '|' || event_id, ';'
+        |                  ORDER BY event_type || '|' || event_id) AS events_str
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q06_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q07_merge_upsert" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         ts < TIMESTAMP '2024-01-16' AS is_existing
+        |  FROM events
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, event_type, ts < TIMESTAMP '2024-01-16'
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |), e AS (SELECT * FROM latest WHERE is_existing),
+        |   i AS (SELECT * FROM latest WHERE NOT is_existing)
+        |SELECT coalesce(e.user_id, i.user_id) AS user_id,
+        |       coalesce(e.event_type, i.event_type) AS event_type,
+        |       CASE WHEN e.ts IS NULL OR (i.ts IS NOT NULL AND i.ts > e.ts)
+        |            THEN i.event_id ELSE e.event_id END AS event_id,
+        |       epoch_us(CASE WHEN e.ts IS NULL OR (i.ts IS NOT NULL AND i.ts > e.ts)
+        |            THEN i.ts ELSE e.ts END) AS ts_us,
+        |       CASE WHEN e.ts IS NULL OR (i.ts IS NOT NULL AND i.ts > e.ts)
+        |            THEN 'incoming' ELSE 'existing' END AS origin
+        |FROM e FULL OUTER JOIN i
+        |  ON e.user_id = i.user_id AND e.event_type = i.event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q08_date_funcs" ->
+      """SELECT event_id, CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+        |       strftime(ts, '%Y-%m-%d') AS day_str,
+        |       CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') AS INT) AS days_to_feb
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q09_to_json_kv" ->
+      """SELECT 'user:' || user_id AS key,
+        |       to_json({'user_id': user_id, 'n_events': count(*),
+        |                'first_ts_us': min(epoch_us(ts))}) AS value
+        |FROM events GROUP BY user_id ORDER BY key""".stripMargin)
+}

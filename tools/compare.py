@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 check: run Verify's parquet outputs
+against DuckDB executing oracle_sql.json on the same sf dir's tables.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Sorts columns by name, normalizes values, compares row-by-row (both
+sides fully ordered by the query's own ORDER BY — we additionally sort
+rows as a safety net, mirroring a hash-compare).
+"""
+import sys, json, glob, os
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cs = [cols[i] for i in order]
+    rs = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return cs, rs
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    declared = sorted(d for d in os.listdir(out_dir)
+                      if os.path.isdir(f"{out_dir}/{d}"))
+    for name in declared:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL  {name}: no parquet output"); n_fail += 1; continue
+        got = con.execute(f"SELECT * FROM read_parquet({files!r})")
+        gcols = [d[0] for d in got.description]; grows = got.fetchall()
+        if name not in oracle:
+            print(f"noORC {name}: rows={len(grows)} (rows-only check: {'ok' if grows else 'EMPTY'})")
+            if not grows: n_fail += 1
+            continue
+        try:
+            exp = con.execute(oracle[name])
+            ecols = [d[0] for d in exp.description]; erows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        gc, gr = canon(gcols, grows)
+        ec, er = canon(ecols, erows)
+        if gc != ec:
+            print(f"FAIL  {name}: columns differ spark={gc} duck={ec}"); n_fail += 1; continue
+        if len(gr) != len(er):
+            print(f"FAIL  {name}: rowcount spark={len(gr)} duck={len(er)}"); n_fail += 1; continue
+        if gr != er:
+            bad = next(i for i in range(len(gr)) if gr[i] != er[i])
+            print(f"FAIL  {name}: first mismatch row {bad}:\n  spark={gr[bad]}\n  duck ={er[bad]}")
+            n_fail += 1; continue
+        print(f"PASS  {name}: {len(gr)} rows")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(declared)} declared")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
