@@ -21,10 +21,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.CorePipeline.queries ++ ops.Relational.queries
+    ops.CorePipeline.queries ++ ops.Relational.queries ++
+      ops.TextOps.queries ++ ops.Similarity.queries ++
+      ops.StreamingOps.queries ++ ops.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.CorePipeline.oracleSql ++ ops.Relational.oracleSql
+    ops.CorePipeline.oracleSql ++ ops.Relational.oracleSql ++
+      ops.TextOps.oracleSql ++ ops.Similarity.oracleSql ++
+      ops.StreamingOps.oracleSql ++ ops.MultimodalOps.oracleSql
 }

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decoded-media record produced by the stub decoder. */
+case class DecodedMedia(
+    media_id: Long, mime: String, byte_len: Long,
+    width: Int, height: Int, n_frames: Int, sampled_frames: Seq[Int])
+
+/** q40 + multimodal column plumbing: media as opaque BINARY columns with
+  * a typed metadata struct, decoded by a per-partition stub.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake (dimensions derived from byte
+  * length) — but the Spark-side shape is real: binary column + metadata
+  * struct schema, `mapPartitions` batch decode (the Scala analog of
+  * `mapInPandas` — one iterator per partition, so a real decoder could
+  * amortize codec init per partition exactly like a Pandas batch UDF),
+  * and frame sampling producing an array column. At 100 TB the binary
+  * payload stays columnar in parquet, is never shuffled (all derivations
+  * are narrow), and decode parallelism = partition count.
+  */
+object MultimodalOps {
+
+  /** Media table: the driver has no binary fixture (TESTDATA.md), so the
+    * bytes are the UTF-8 text — the column TYPE and everything downstream
+    * treat it as opaque binary. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("bytes"),
+      struct(
+        lit("application/x-fake").as("mime"),
+        octet_length(col("text").cast("binary")).as("byte_len"),
+        col("source").as("origin")).as("meta"))
+
+  /** STUB: deterministic fake decode — real codecs are absent from the
+    * container. Dimensions are arithmetic on byte length; a production
+    * impl would replace ONLY this function body (signature and batch
+    * shape stay). */
+  def decodeStub(media: DataFrame): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("bytes"), col("meta.mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        // per-partition init (codec handle in a real decoder) goes here
+        it.map { case (id, bytes, mime) =>
+          val b = bytes.length.toLong
+          val w = (b % 512 + 128).toInt
+          val h = (b * 7 % 512 + 128).toInt
+          val nf = (b % 16 + 1).toInt
+          DecodedMedia(id, mime, b, w, h, nf, frameSample(nf, 4))
+        }
+      }
+  }
+
+  /** Frame indices 0, stride, 2·stride, … < nFrames. */
+  def frameSample(nFrames: Int, stride: Int): Seq[Int] =
+    0 until nFrames by stride
+
+  /** q40 — the multimodal pipeline shape, expressed with codegen'd
+    * column arithmetic (so the DuckDB oracle can mirror it — the
+    * mapPartitions variant above is behavior-identical, tested in
+    * MultimodalSpec). */
+  def q40Multimodal(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).select(
+      col("media_id"),
+      col("meta.byte_len").as("byte_len"),
+      (col("meta.byte_len") % 512 + 128).cast("int").as("width"),
+      (col("meta.byte_len") * 7 % 512 + 128).cast("int").as("height"),
+      (col("meta.byte_len") % 16 + 1).cast("int").as("n_frames"),
+      (floor((col("meta.byte_len") % 16 + 1 + 3) / 4)).cast("int").as("n_sampled"))
+      .orderBy("media_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_multimodal" -> (q40Multimodal _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 512 + 128 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) * 7 % 512 + 128 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames,
+        |  CAST(floor((octet_length(encode(text)) % 16 + 1 + 3) / 4) AS INT) AS n_sampled
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

@@ -1,0 +1,249 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+/** Elementwise-min merge of per-shingle hash vectors → a MinHash
+  * signature. The one custom aggregate in the engine (SURVEY.md §7.3):
+  * built-ins have no elementwise array-min aggregate. Buffer is a
+  * primitive long array — constant-size state per group, merge is O(k),
+  * so partial aggregation works and the shuffle carries k longs per doc
+  * regardless of document size. */
+class MinHashAgg(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+  def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+  def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (a(i) < b(i)) b(i) = a(i); i += 1 }
+    b
+  }
+  def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = reduce(b1, b2.toSeq)
+  def finish(b: Array[Long]): Seq[Long] = b.toSeq
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
+/** q25/q26/q38/q39: near-duplicate detection and similarity search over
+  * `documents` / `embeddings` — the LLM-training-data workhorses.
+  *
+  * Scale design:
+  *  - MinHash/LSH (q25) shuffles k=16 longs per document, never text;
+  *    candidate pairs come from equi-joins on band keys (no all-pairs).
+  *  - Brute-force cosine (q26) broadcasts the single query vector — one
+  *    narrow pass + TakeOrderedAndProject; the 100 TB path is q38's LSH,
+  *    which prunes candidates by shared hyperplane-sign bands first.
+  *  - q39 buckets by the full 16-bit signature, so near-identical vectors
+  *    (sign-stable under any hyperplane) always collide; candidate pairs
+  *    per bucket ~ bucket_size², kept small by signature width.
+  *
+  * q25/q38/q39 have no DuckDB oracle (sketches aren't SQL-portable);
+  * SimilaritySpec carries correctness via planted duplicates and a
+  * brute-force recall floor. q26 is oracle-checked exactly (rounded to 6
+  * decimals on both sides).
+  */
+object Similarity {
+
+  // ---------------------------------------------------------------- q25
+  val K = 16 // minhash signature width; bands of 4 rows → 4 band keys
+
+  /** Kirsch–Mitzenmacher: k pseudo-independent hashes from two xxhash64
+    * draws, h_i = (h1 + i·h2) mod p — modular (p = 2³¹−1) rather than
+    * wrapping, since ANSI mode (Spark 4 default) rejects long overflow.
+    * One string hash per draw instead of k — the standard cheap-family
+    * trick. */
+  private def hashFamily(sh: Column): Column = {
+    val p = lit(2147483647L) // 2^31 - 1
+    val h1 = pmod(xxhash64(sh), p)
+    val h2 = pmod(xxhash64(concat(sh, lit("#2"))), p)
+    transform(sequence(lit(0), lit(K - 1)),
+      i => pmod(h1 + i.cast("long") * h2, p))
+  }
+
+  /** Word 3-shingles of lowercased text, distinct. */
+  private def shingles(text: Column): Column = {
+    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** documents ∪ near-duplicate copies (suffix-perturbed, doc_id+1e6) —
+    * planted so the near-dup surface has guaranteed positives on the
+    * synthetic corpus (all driver texts are mutually distant). */
+  private def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    base.unionByName(base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" planted near duplicate suffix")).as("text")))
+  }
+
+  /** MinHash signatures: explode shingles, hash each to a k-vector, merge
+    * with the elementwise-min Aggregator. */
+  def minhashSignatures(corpus: DataFrame): DataFrame = {
+    val minhash = udaf(new MinHashAgg(K))
+    corpus
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), hashFamily(col("sh")).as("hs"))
+      .groupBy("doc_id")
+      .agg(minhash(col("hs")).as("sig"))
+  }
+
+  /** q25 — MinHash + LSH near-duplicate pairs: band the signatures
+    * (4 bands × 4 rows), equi-join on (band_idx, band), estimate Jaccard
+    * as the fraction of matching signature components, keep est ≥ 0.5. */
+  def q25NearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(plantedCorpus(spark, dir))
+    val bands = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => slice(col("sig"), b * 4 + 1, lit(4)))).as(Seq("band_idx", "band")))
+    val cand = bands.select(col("band_idx"), col("band"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band_idx"), col("band"), col("doc_id").as("b_id")),
+        Seq("band_idx", "band"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / K, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---------------------------------------------------------------- q26
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** q26 — brute-force cosine top-k: 10 nearest to vec_id=0. The query
+    * vector is broadcast (1 row); the scan side stays narrow and the
+    * top-k is TakeOrderedAndProject — no shuffle of the fact side. */
+  def q26CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q38
+  val Planes = 16 // → 4 bands × 4 sign bits
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed; java.util.Random
+    * is spec-stable across JVMs). */
+  private lazy val hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(Planes, 64)(rnd.nextGaussian())
+  }
+
+  /** Sign-band keys: 4 bands, each packing 4 hyperplane sign bits. */
+  private def signBands(e: Column): Column = {
+    val bits = (0 until Planes).map { i =>
+      when(dot(e, typedlit(hyperplanes(i).toSeq)) > 0, 1).otherwise(0)
+    }
+    val bands = (0 until 4).map { b =>
+      (0 until 4).map(j => bits(b * 4 + j) * (1 << j)).reduce(_ + _)
+    }
+    array(bands: _*)
+  }
+
+  /** q38 — ANN top-k via random-hyperplane LSH: candidates share at least
+    * one sign band with the query; exact cosine only within candidates.
+    * At 100 TB the bands become the partitioning key (each query touches
+    * 4 buckets instead of the full corpus). */
+  def q38AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("bands", signBands(col("e")))
+    val rows = emb.select(col("vec_id"), col("e"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val qRows = rows.filter(col("vec_id") === 0)
+      .select(col("band_idx"), col("band_val"), col("e").as("qe"))
+    rows.filter(col("vec_id") =!= 0)
+      .join(broadcast(qRows), Seq("band_idx", "band_val"))
+      .select(col("vec_id"), col("e"), col("qe"))
+      .distinct()
+      .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q39
+  /** q39 — embedding near-duplicate pairs: bucket by the FULL 16-bit sign
+    * signature (near-identical vectors never split across buckets), pair
+    * within buckets, verify cosine ≥ 0.9999. Positives planted as scaled
+    * copies (same direction ⇒ cosine 1). */
+  def q39EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpus = base.unionByName(base.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("e"), x => x * 1.01).as("e")))
+    val sig = corpus.withColumn("bucket",
+      aggregate(signBands(col("e")), lit(0),
+        (acc, b) => acc * 16 + b))
+    val a = sig.select(col("bucket"), col("vec_id").as("a_id"), col("e").as("ea"))
+    val b = sig.select(col("bucket"), col("vec_id").as("b_id"), col("e").as("eb"))
+    a.join(b, "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.9999)
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  // ------------------------------------------------- winnowing (helper)
+  /** Winnowing fingerprints (rolling k-gram hashes, min per window) —
+    * the MOSS-style document fingerprint. Returns (doc_id, fingerprints:
+    * sorted distinct longs). Tested in SimilaritySpec; not t2-declared
+    * (no SQL equivalent). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val grams = transform(sequence(lit(1), length(norm) - (k - 1)),
+      i => xxhash64(norm.substr(i, lit(k))))
+    docs.select(col("doc_id"),
+      sort_array(array_distinct(
+        transform(sequence(lit(0), size(grams) - w),
+          i => array_min(slice(grams, i + 1, lit(w)))))).as("fingerprints"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_near_dup" -> (q25NearDup _),
+    "q26_cosine_topk" -> (q26CosineTopK _),
+    "q38_ann_lsh" -> (q38AnnLsh _),
+    "q39_embed_near_dup" -> (q39EmbedNearDup _))
+
+  /** q26 only — sketch-based ops (q25/q38/q39) are not SQL-portable. */
+  val oracleSql: Map[String, String] = Map(
+    "q26_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS qv,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings WHERE vec_id <> 0),
+        |d AS (
+        |  SELECT s.vec_id, sum(s.v * q.qv) AS dp, sum(s.v * s.v) AS na,
+        |         sum(q.qv * q.qv) AS nb
+        |  FROM s JOIN q USING (pos) GROUP BY s.vec_id)
+        |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+        |FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Latest-event state per (user_id, event_type) — the streaming shape of
+  * the reference's Redis upsert (SURVEY.md §2.1 R10). */
+case class EventRow(user_id: Long, event_type: String, event_id: Long, ts_us: Long)
+
+/** q28–q30 batch analogs + real Structured Streaming builders.
+  *
+  * `window()` / `session_window()` are batch-evaluable, so the t2 queries
+  * run the SAME expressions the streaming jobs use — the streaming
+  * variants add only watermarking and state management. StreamingSpec
+  * drives the streaming builders through MemoryStream and asserts they
+  * equal the batch analogs on identical data.
+  */
+object StreamingOps {
+
+  private def valDec = col("value").cast("decimal(18,6)")
+
+  /** q28 — tumbling 1-hour windows: count + exact decimal sum per window.
+    * Epoch-aligned starts (Spark window origin = epoch; oracle uses
+    * time_bucket, also epoch-aligned for sub-day widths). */
+  def q28Tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(valDec).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("ws_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("ws_us")
+
+  /** q29 — sliding windows (1 hour every 30 minutes): each event lands in
+    * exactly 2 windows; Spark plans this as an Expand (2 rows per input)
+    * before the hash aggregate — no per-window scan repetition. */
+  def q29Sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(valDec).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("ws_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("ws_us")
+
+  /** q30 — session windows (30-minute gap) per user: a new session starts
+    * when an event arrives ≥ gap after the previous one. Oracle mirrors
+    * with the lag/flag/cumsum idiom. */
+  def q30Session(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(valDec).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
+  // ------------------------------------------------- streaming builders
+
+  /** Streaming tumbling counts with a 10-minute watermark: late events
+    * beyond the watermark are dropped; windows finalize (Append mode)
+    * once the watermark passes their end. */
+  def streamingTumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(valDec).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("ws_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming session windows per user (30-minute gap, 10-minute
+    * watermark) — state store merges/expires sessions automatically. */
+  def streamingSessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        col("n_events"))
+
+  /** Streaming keyed upsert (the reference's Redis merge, R10): keep the
+    * latest event per (user_id, event_type); ties favor existing state —
+    * the strict `Date.after` rule (SURVEY.md §2.2 quirk 2). State never
+    * expires (the reference's Redis keys live forever; documented in
+    * SURVEY.md §7.4). Emits the updated state row per input batch. */
+  def statefulUpsert(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[EventRow]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: (Long, String), rows: Iterator[EventRow], state: GroupState[EventRow]) => {
+          var cur = state.getOption.orNull
+          rows.foreach { e =>
+            // strictly-later wins; equal ts keeps existing (quirk 2)
+            if (cur == null || e.ts_us > cur.ts_us) cur = e
+          }
+          state.update(cur)
+          Iterator.single(cur)
+        })
+      .toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_tumbling" -> (q28Tumbling _),
+    "q29_sliding" -> (q29Sliding _),
+    "q30_session" -> (q30Session _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q28_tumbling" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+        |       count(*) AS n_events,
+        |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY ws_us""".stripMargin,
+    "q29_sliding" ->
+      """SELECT epoch_us(ws) AS ws_us, count(*) AS n_events,
+        |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts)
+        |                   - INTERVAL '30 minutes']) AS ws,
+        |         value
+        |  FROM events)
+        |GROUP BY ws ORDER BY ws_us""".stripMargin,
+    "q30_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |       count(*) AS n_events,
+        |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin)
+}

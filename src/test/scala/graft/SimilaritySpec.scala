@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{MinHashAgg, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness for the sketch-based ops (q25/q38/q39) that have no DuckDB
+  * oracle: planted duplicates must be found, the ANN path must agree with
+  * brute force on what it returns, and the MinHash aggregate must be an
+  * elementwise min. Runs on sf0.001. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  val dir: String = SparkTest.sfDir
+
+  test("MinHashAgg: reduce/merge are elementwise min") {
+    val agg = new MinHashAgg(4)
+    val b = agg.reduce(agg.zero, Seq(5L, 7L, 1L, 9L))
+    val b2 = agg.reduce(b, Seq(6L, 2L, 3L, 9L))
+    assert(b2.toSeq == Seq(5L, 2L, 1L, 9L))
+    val m = agg.merge(Array(4L, 8L, 0L, 9L), b2)
+    assert(m.toSeq == Seq(4L, 2L, 0L, 9L))
+  }
+
+  test("q25: LSH recovers nearly all planted near-duplicate pairs") {
+    val pairs = Similarity.q25NearDup(spark, dir).collect()
+    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted >= 450, s"found only $planted of 500 planted pairs")
+    // estimates are valid jaccard estimates
+    pairs.foreach { r =>
+      val e = r.getDouble(2)
+      assert(e >= 0.5 && e <= 1.0)
+    }
+  }
+
+  test("q26: returns 10 rows, descending, cosine in [-1,1]") {
+    val rows = Similarity.q26CosineTopK(spark, dir).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sortBy(-_)))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("q38: ANN results are true cosines and overlap brute-force top-10") {
+    val ann = Similarity.q38AnnLsh(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ann.nonEmpty && ann.size <= 10)
+    val brute = Similarity.q26CosineTopK(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every ANN candidate's cosine equals the brute-force value for that id
+    val all = graft.Tables.embeddings(spark, dir).count()
+    ann.foreach { case (id, c) =>
+      brute.get(id).foreach(b => assert(math.abs(b - c) < 1e-9)) }
+    // LSH with 4 bands on the fixed seed recovers at least part of the true top-k
+    assert(ann.keySet.intersect(brute.keySet).nonEmpty,
+      s"ANN top-10 disjoint from brute-force top-10 (corpus $all)")
+  }
+
+  test("q39: finds exactly the planted scaled-copy pairs at 0.9999") {
+    val rows = Similarity.q39EmbedNearDup(spark, dir).collect()
+    val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted.length == 500, s"planted found: ${planted.length}")
+    planted.foreach(r => assert(r.getDouble(2) >= 0.9999))
+  }
+
+  test("winnowing: doc shares fingerprints with its extended copy, not with others") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again PLUS EXTRA TAIL"),
+      (3L, "completely different content with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val fps = Similarity.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val j12 = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).union(fps(2L)).size
+    val j13 = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).union(fps(3L)).size
+    assert(j12 > 0.5, s"near-identical docs jaccard $j12")
+    assert(j13 < 0.1, s"unrelated docs jaccard $j13")
+  }
+}

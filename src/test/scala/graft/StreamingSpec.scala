@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.StreamingOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+case class EventIn(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming behavior through MemoryStream: streaming windowed
+  * aggregation equals the batch analog on identical data; the stateful
+  * upsert reproduces the reference's merge semantics (latest wins, ties
+  * keep existing); watermarking drops late data in append mode. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming tumbling agg equals batch q28 on the same events") {
+    val rows = Tables.events(spark, SparkTest.sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventIn].collect().toSeq
+    val input = MemoryStream[EventIn](spark)
+    val q = StreamingOps.streamingTumbling(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("ws_us").collect().map(_.toSeq).toSeq
+      val batch = StreamingOps.q28Tumbling(spark, SparkTest.sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful upsert: latest wins across batches, equal ts keeps existing") {
+    val input = MemoryStream[EventIn](spark)
+    val q = StreamingOps.statefulUpsert(input.toDF())
+      .writeStream.format("memory").queryName("upsert_out")
+      .outputMode("update").start()
+    try {
+      input.addData(EventIn(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // same ts, different event -> existing wins (quirk 2)
+      input.addData(EventIn(2, ts("2024-01-01 10:00:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // strictly later -> replaces
+      input.addData(EventIn(3, ts("2024-01-01 11:00:00"), 1, "click", 3.0))
+      q.processAllAvailable()
+      val byBatch = spark.table("upsert_out").collect()
+        .map(r => r.getLong(2)).toSeq // event_id per emitted update
+      assert(byBatch == Seq(1L, 1L, 3L), s"got $byBatch")
+    } finally q.stop()
+  }
+
+  test("watermark: late data beyond 10 minutes is dropped in append mode") {
+    val input = MemoryStream[EventIn](spark)
+    val q = StreamingOps.streamingTumbling(input.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventIn(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+        EventIn(2, ts("2024-01-01 10:20:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the 10:00 window + watermark
+      input.addData(EventIn(3, ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val afterClose = spark.table("late_out")
+        .filter(col("ws_us") === 1704103200000000L) // 2024-01-01 10:00 UTC
+        .collect()
+      assert(afterClose.length == 1 && afterClose.head.getLong(1) == 2,
+        "10:00 window should have finalized with 2 events")
+      // a very late event for the closed 10:00 window must be dropped
+      input.addData(EventIn(4, ts("2024-01-01 10:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val stillClosed = spark.table("late_out")
+        .filter(col("ws_us") === 1704103200000000L).collect()
+      assert(stillClosed.length == 1 && stillClosed.head.getLong(1) == 2,
+        "late event must not reopen or change the finalized window")
+    } finally q.stop()
+  }
+}
