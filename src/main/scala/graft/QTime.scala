@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Time a single declared query with per-stage CPU metrics (dev tool):
+  * runMain graft.QTime <name> [sfDir]. Wall-clock on this host is
+  * throttle-noisy; executor CPU time is the workload truth. */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        println(f"STAGE ${si.stageId}%3d ${si.name.take(60)}%-60s " +
+          f"tasks=${si.numTasks}%4d run=${m.executorRunTime / 1000.0}%8.1fs " +
+          f"cpu=${m.executorCpuTime / 1e9}%8.1fs")
+      }
+    })
+    val fn = SparkEntry.queries(name)
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    println(f"QTIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s total")
+    spark.stop()
+  }
+}

@@ -50,29 +50,46 @@ object Similarity {
   // ---------------------------------------------------------------- q25
   val K = 16 // minhash signature width; bands of 4 rows → 4 band keys
 
-  /** Kirsch–Mitzenmacher: k pseudo-independent hashes from two xxhash64
-    * draws, h_i = (h1 + i·h2) mod p — modular (p = 2³¹−1) rather than
-    * wrapping, since ANSI mode (Spark 4 default) rejects long overflow.
-    * One string hash per draw instead of k — the standard cheap-family
-    * trick. */
+  /** K independent component hashes derived from ONE string hash:
+    * h_i = xxhash64(i, xxhash64(shingle)). The string is hashed once
+    * (the per-component rehash is over 12 fixed bytes). NOT a
+    * Kirsch–Mitzenmacher linear family — on a low-entropy corpus
+    * (shared vocabulary) a linear combo of two draws lets one
+    * globally-small shingle minimize MANY components at once,
+    * correlating the signature, inflating Jaccard estimates, and
+    * collapsing LSH buckets together (measured: quadratic band-join
+    * blowup). Independent draws keep the estimator unbiased. */
   private def hashFamily(sh: Column): Column = {
-    val p = lit(2147483647L) // 2^31 - 1
-    val h1 = pmod(xxhash64(sh), p)
-    val h2 = pmod(xxhash64(concat(sh, lit("#2"))), p)
-    transform(sequence(lit(0), lit(K - 1)),
-      i => pmod(h1 + i.cast("long") * h2, p))
+    val hb = xxhash64(sh)
+    transform(sequence(lit(0), lit(K - 1)), i => xxhash64(i, hb))
   }
 
-  /** Word 3-shingles of lowercased text, distinct. */
-  private def shingles(text: Column): Column = {
-    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3))))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
+  /** (doc_id, sh) rows: word 3-shingles of lowercased text. Tokens and
+    * the shingle array are STAGED as projection columns — inlining them
+    * into one expression tree makes the interpreted higher-order lambdas
+    * re-split the text per element_at (measured ~30× CPU). Duplicate
+    * shingles are kept: min() is multiset-insensitive, so array_distinct
+    * would be pure overhead. */
+  def explodedShinglesDebug(c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = explodedShingles(c)
+
+  private def explodedShingles(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+          .otherwise(array(concat_ws(" ", col("toks")))).as("shs"))
+      // explode_outer, NOT explode: inner explode synthesizes a
+      // `size(shs) > 0 AND isnotnull(shs)` filter that predicate
+      // pushdown inlines BELOW the projections — duplicating the whole
+      // shingle tree and re-splitting the text per element_at, i.e.
+      // O(tokens²) per document (measured 1082 CPU-s on 10k docs).
+      // `shs` is never null/empty (the otherwise-branch yields a
+      // 1-element array), so outer semantics are identical.
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
 
   /** documents ∪ near-duplicate copies (suffix-perturbed, doc_id+1e6) —
     * planted so the near-dup surface has guaranteed positives on the
@@ -84,39 +101,64 @@ object Similarity {
       concat(col("text"), lit(" planted near duplicate suffix")).as("text")))
   }
 
-  /** MinHash signatures: explode shingles, hash each to a k-vector, merge
-    * with the elementwise-min Aggregator. */
+  /** MinHash signatures the codegen'd way: two scalar hashes per shingle,
+    * then K independent `min` aggregates (whole-stage codegen, partial
+    * aggregation before the shuffle) reassembled into the signature
+    * array. ~50× faster than routing arrays through a UDAF — the
+    * [[MinHashAgg]] Aggregator remains the general-k API (and is what
+    * you'd use when K isn't a compile-time constant). */
   def minhashSignatures(corpus: DataFrame): DataFrame = {
+    val based = explodedShingles(corpus)
+      .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
+    val mins = (0 until K).map(i =>
+      min(xxhash64(lit(i), col("hb"))).as(s"m$i"))
+    based.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** [[minhashSignatures]] via the custom Aggregator — the general-k
+    * path, kept API-compatible and tested in SimilaritySpec. */
+  def minhashSignaturesAgg(corpus: DataFrame): DataFrame = {
     val minhash = udaf(new MinHashAgg(K))
-    corpus
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    explodedShingles(corpus)
       .select(col("doc_id"), hashFamily(col("sh")).as("hs"))
       .groupBy("doc_id")
       .agg(minhash(col("hs")).as("sig"))
   }
 
   /** q25 — MinHash + LSH near-duplicate pairs: band the signatures
-    * (4 bands × 4 rows), equi-join on (band_idx, band), estimate Jaccard
-    * as the fraction of matching signature components, keep est ≥ 0.5. */
+    * (4 bands × 4 rows), equi-join on a SCALAR band key, estimate
+    * Jaccard as the fraction of matching signature components, keep
+    * est ≥ 0.5. The band key is xxhash64(band_idx, slice) — joining on
+    * the raw array column is a trap: arrays aren't hash-partitionable
+    * join keys, so Spark degrades the join to a nested-loop with
+    * interpreted array equality (measured 77 s on 4k×4k rows; scalar
+    * key: sub-second). Hash collisions only add false candidates, which
+    * the est filter removes. */
   def q25NearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(plantedCorpus(spark, dir))
-    val bands = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => slice(col("sig"), b * 4 + 1, lit(4)))).as(Seq("band_idx", "band")))
-    val cand = bands.select(col("band_idx"), col("band"), col("doc_id").as("a_id"))
-      .join(bands.select(col("band_idx"), col("band"), col("doc_id").as("b_id")),
-        Seq("band_idx", "band"))
+    // persist: the signature table feeds BOTH sides of the self-join and
+    // is tiny (k longs per doc — ~128 B/doc at any scale), while
+    // recomputing it means re-hashing every shingle of the corpus
+    val sigs = minhashSignatures(plantedCorpus(spark, dir)).persist()
+    // carry the signature through the band explode: the pair join then
+    // yields both signatures directly (no extra joins back to sigs)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => xxhash64(b, slice(col("sig"), b * 4 + 1, lit(4)))))
+        .as(Seq("band_idx", "band_key")))
+    val a = bands.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("a_id"), col("sig").as("sig_a"))
+    val b = bands.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
-    cand.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"),
         round(aggregate(
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / K, 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
@@ -170,8 +212,9 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("bands", signBands(col("e")))
+    // persisted: both the corpus side and the query side read this
     val rows = emb.select(col("vec_id"), col("e"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+      posexplode(col("bands")).as(Seq("band_idx", "band_val"))).persist()
     val qRows = rows.filter(col("vec_id") === 0)
       .select(col("band_idx"), col("band_val"), col("e").as("qe"))
     rows.filter(col("vec_id") =!= 0)
@@ -194,9 +237,11 @@ object Similarity {
     val corpus = base.unionByName(base.select(
       (col("vec_id") + 1000000L).as("vec_id"),
       transform(col("e"), x => x * 1.01).as("e")))
+    // persisted: feeds both sides of the bucket self-join (16 sign-dot
+    // products per row are the expensive part, not the join)
     val sig = corpus.withColumn("bucket",
       aggregate(signBands(col("e")), lit(0),
-        (acc, b) => acc * 16 + b))
+        (acc, b) => acc * 16 + b)).persist()
     val a = sig.select(col("bucket"), col("vec_id").as("a_id"), col("e").as("ea"))
     val b = sig.select(col("bucket"), col("vec_id").as("b_id"), col("e").as("eb"))
     a.join(b, "bucket")

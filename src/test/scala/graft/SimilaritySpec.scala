@@ -22,6 +22,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m.toSeq == Seq(4L, 2L, 0L, 9L))
   }
 
+  test("minhash: codegen'd column path equals the Aggregator path") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").limit(50)
+    val fast = Similarity.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = Similarity.minhashSignaturesAgg(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast == agg)
+  }
+
   test("q25: LSH recovers nearly all planted near-duplicate pairs") {
     val pairs = Similarity.q25NearDup(spark, dir).collect()
     val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
