@@ -193,10 +193,17 @@ object Similarity {
     Array.fill(Planes, 64)(rnd.nextGaussian())
   }
 
-  /** Sign-band keys: 4 bands, each packing 4 hyperplane sign bits. */
+  /** Sign-band keys: 4 bands, each packing 4 hyperplane sign bits.
+    * The plane weights are literals, so each projection is UNROLLED into
+    * plain codegen'd arithmetic (element_at·w summed) — an interpreted
+    * `aggregate(zip_with(...))` lambda here costs ~1024 boxed calls per
+    * row (measured ~0.5 ms/row; unrolled: microseconds). */
   private def signBands(e: Column): Column = {
-    val bits = (0 until Planes).map { i =>
-      when(dot(e, typedlit(hyperplanes(i).toSeq)) > 0, 1).otherwise(0)
+    val bits = hyperplanes.toSeq.map { plane =>
+      val d = plane.zipWithIndex.map { case (w, i) =>
+        element_at(e, i + 1) * lit(w)
+      }.reduce(_ + _)
+      when(d > 0, 1).otherwise(0)
     }
     val bands = (0 until 4).map { b =>
       (0 until 4).map(j => bits(b * 4 + j) * (1 << j)).reduce(_ + _)
