@@ -260,6 +260,85 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  // ---------------------------------------------------------------- q41
+  /** q41 — SimHash near-dup pairs: 64-bit fingerprint = sign of
+    * per-bit vote sums over shingle-hash bits, candidates via 8×8-bit
+    * band equality, verified with hamming ≤ 7 (`bit_count(a XOR b)`).
+    *
+    * Features are 3-word SHINGLES, not tokens: on a shared-vocabulary
+    * corpus every document has nearly the same bag-of-words, so
+    * token-feature SimHash collapses all fingerprints to the global
+    * token-distribution bias. Shingles (~|vocab|³ space) keep random
+    * docs at hamming ≈ 32 while near-identical docs stay ≤ 7.
+    *
+    * The 64 vote sums are 64 codegen'd sum aggregates (same pattern as
+    * the MinHash mins); the fingerprint shuffles as one long. Planted
+    * positives: 1-token-suffix copies (vote shift ≤ 3 per bit). */
+  def q41SimHash(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = base.unionByName(base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text")))
+    val based = explodedShingles(corpus)
+      .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
+    // vote_j = Σ ±1 per shingle from bit j of its hash
+    val votes = (0 until 64).map(j =>
+      sum(shiftrightunsigned(col("hb"), j).bitwiseAND(1) * 2 - 1).as(s"v$j"))
+    val fp = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))
+    val sigs = based.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("fp")).persist()
+    val bands = sigs.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 8).map(b =>
+        shiftright(col("fp"), b * 8).bitwiseAND(255)): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("a_id"), col("fp").as("fp_a"))
+    val b = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("b_id"), col("fp").as("fp_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= 7)
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---------------------------------------------------------------- q42
+  /** q42 — exact n-gram Jaccard on LSH candidates: MinHash bands
+    * propose pairs (q25's machinery), then the TRUE Jaccard of hashed
+    * 3-gram shingle sets confirms them. A direct shingle equi-join
+    * would be Σ count(shingle)² rows — quadratic on a low-entropy
+    * corpus — so the sketch prunes first and the exact measure runs
+    * only on candidates. Shingle sets travel as sorted distinct hash
+    * arrays (8 B per shingle, not the text). */
+  def q42NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedCorpus(spark, dir)
+    val sets = explodedShingles(corpus)
+      .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
+      .groupBy("doc_id").agg(collect_set(col("hb")).as("hset"))
+    val sigs = minhashSignatures(corpus)
+      .join(sets, "doc_id").persist()
+    val bands = sigs.select(col("doc_id"), col("hset"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => xxhash64(b, slice(col("sig"), b * 4 + 1, lit(4)))))
+        .as(Seq("band_idx", "band_key")))
+    val a = bands.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("a_id"), col("hset").as("set_a"))
+    val b = bands.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("b_id"), col("hset").as("set_b"))
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(inter.cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - inter), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
   // ------------------------------------------------- winnowing (helper)
   /** Winnowing fingerprints (rolling k-gram hashes, min per window) —
     * the MOSS-style document fingerprint. Returns (doc_id, fingerprints:
@@ -279,7 +358,9 @@ object Similarity {
     "q25_near_dup" -> (q25NearDup _),
     "q26_cosine_topk" -> (q26CosineTopK _),
     "q38_ann_lsh" -> (q38AnnLsh _),
-    "q39_embed_near_dup" -> (q39EmbedNearDup _))
+    "q39_embed_near_dup" -> (q39EmbedNearDup _),
+    "q41_simhash" -> (q41SimHash _),
+    "q42_ngram_jaccard" -> (q42NgramJaccard _))
 
   /** q26 only — sketch-based ops (q25/q38/q39) are not SQL-portable. */
   val oracleSql: Map[String, String] = Map(

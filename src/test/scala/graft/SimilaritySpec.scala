@@ -72,6 +72,21 @@ class SimilaritySpec extends AnyFunSuite {
     planted.foreach(r => assert(r.getDouble(2) >= 0.9999))
   }
 
+  test("q41: SimHash finds most planted 1-token-suffix copies, no far pairs") {
+    val rows = Similarity.q41SimHash(spark, dir).collect()
+    val planted = rows.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted >= 250, s"simhash found only $planted of 500 planted pairs")
+    rows.foreach(r => assert(r.getInt(2) <= 7))
+  }
+
+  test("q42: exact jaccard on LSH candidates recovers planted pairs with high J") {
+    val rows = Similarity.q42NgramJaccard(spark, dir).collect()
+    val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted.length >= 450, s"found only ${planted.length} of 500")
+    // suffix adds ≤4 shingles to ~50+: true J must be well above threshold
+    planted.foreach(r => assert(r.getDouble(2) > 0.5 && r.getDouble(2) <= 1.0))
+  }
+
   test("winnowing: doc shares fingerprints with its extended copy, not with others") {
     import spark.implicits._
     val docs = Seq(
