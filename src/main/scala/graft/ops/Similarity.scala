@@ -50,46 +50,43 @@ object Similarity {
   // ---------------------------------------------------------------- q25
   val K = 16 // minhash signature width; bands of 4 rows → 4 band keys
 
-  /** K independent component hashes derived from ONE string hash:
-    * h_i = xxhash64(i, xxhash64(shingle)). The string is hashed once
-    * (the per-component rehash is over 12 fixed bytes). NOT a
-    * Kirsch–Mitzenmacher linear family — on a low-entropy corpus
-    * (shared vocabulary) a linear combo of two draws lets one
-    * globally-small shingle minimize MANY components at once,
-    * correlating the signature, inflating Jaccard estimates, and
+  /** K independent component hashes from the 64-bit shingle hash:
+    * h_i = xxhash64(i, hb). NOT a Kirsch–Mitzenmacher linear family —
+    * on a low-entropy corpus (shared vocabulary) a linear combo of two
+    * draws lets one globally-small shingle minimize MANY components at
+    * once, correlating the signature, inflating Jaccard estimates, and
     * collapsing LSH buckets together (measured: quadratic band-join
     * blowup). Independent draws keep the estimator unbiased. */
-  private def hashFamily(sh: Column): Column = {
-    val hb = xxhash64(sh)
+  private def hashFamily(hb: Column): Column =
     transform(sequence(lit(0), lit(K - 1)), i => xxhash64(i, hb))
-  }
 
-  /** (doc_id, sh) rows: word 3-shingles of lowercased text. Tokens and
-    * the shingle array are STAGED as projection columns — inlining them
-    * into one expression tree makes the interpreted higher-order lambdas
-    * re-split the text per element_at (measured ~30× CPU). Duplicate
-    * shingles are kept: min() is multiset-insensitive, so array_distinct
-    * would be pure overhead. */
-  def explodedShinglesDebug(c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = explodedShingles(c)
-
+  /** (doc_id, hb) rows: 64-bit hashes of word 3-shingles. Shingle
+    * STRINGS are never built — tokens are hashed individually and the
+    * shingle hash composes the three token hashes (downstream only ever
+    * consumes the hash; concat_ws string construction was the dominant
+    * CPU cost of the near-dup family). Stages are separate projections:
+    * inlining them makes the interpreted higher-order lambdas re-split
+    * the text per element_at (measured ~30× CPU). Duplicate shingles
+    * are kept: min() and collect_set are multiset-insensitive.
+    *
+    * explode_outer, NOT explode: inner explode synthesizes a
+    * `size(...) > 0` filter that predicate pushdown inlines BELOW the
+    * projections — duplicating the whole tree and re-splitting the text
+    * per element, O(tokens²) per document (measured 1082 CPU-s on 10k
+    * docs). The array is never null/empty (the otherwise-branch yields
+    * one element), so outer semantics are identical. */
   private def explodedShingles(corpus: DataFrame): DataFrame =
     corpus
       .select(col("doc_id"),
         filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("hs"))
       .select(col("doc_id"),
-        when(size(col("toks")) >= 3,
-          transform(sequence(lit(0), size(col("toks")) - 3),
-            i => concat_ws(" ", element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
-          .otherwise(array(concat_ws(" ", col("toks")))).as("shs"))
-      // explode_outer, NOT explode: inner explode synthesizes a
-      // `size(shs) > 0 AND isnotnull(shs)` filter that predicate
-      // pushdown inlines BELOW the projections — duplicating the whole
-      // shingle tree and re-splitting the text per element_at, i.e.
-      // O(tokens²) per document (measured 1082 CPU-s on 10k docs).
-      // `shs` is never null/empty (the otherwise-branch yields a
-      // 1-element array), so outer semantics are identical.
-      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+        when(size(col("hs")) >= 3,
+          transform(sequence(lit(0), size(col("hs")) - 3),
+            i => xxhash64(element_at(col("hs"), i + 1),
+              element_at(col("hs"), i + 2), element_at(col("hs"), i + 3))))
+          .otherwise(array(xxhash64(col("hs")))).as("shb"))
+      .select(col("doc_id"), explode_outer(col("shb")).as("hb"))
 
   /** documents ∪ near-duplicate copies (suffix-perturbed, doc_id+1e6) —
     * planted so the near-dup surface has guaranteed positives on the
@@ -108,11 +105,9 @@ object Similarity {
     * [[MinHashAgg]] Aggregator remains the general-k API (and is what
     * you'd use when K isn't a compile-time constant). */
   def minhashSignatures(corpus: DataFrame): DataFrame = {
-    val based = explodedShingles(corpus)
-      .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
     val mins = (0 until K).map(i =>
       min(xxhash64(lit(i), col("hb"))).as(s"m$i"))
-    based.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    explodedShingles(corpus).groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
   }
 
@@ -121,7 +116,7 @@ object Similarity {
   def minhashSignaturesAgg(corpus: DataFrame): DataFrame = {
     val minhash = udaf(new MinHashAgg(K))
     explodedShingles(corpus)
-      .select(col("doc_id"), hashFamily(col("sh")).as("hs"))
+      .select(col("doc_id"), hashFamily(col("hb")).as("hs"))
       .groupBy("doc_id")
       .agg(minhash(col("hs")).as("sig"))
   }
@@ -280,7 +275,6 @@ object Similarity {
       (col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" zz")).as("text")))
     val based = explodedShingles(corpus)
-      .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
     // vote_j = Σ ±1 per shingle from bit j of its hash
     val votes = (0 until 64).map(j =>
       sum(shiftrightunsigned(col("hb"), j).bitwiseAND(1) * 2 - 1).as(s"v$j"))
@@ -316,7 +310,6 @@ object Similarity {
   def q42NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val corpus = plantedCorpus(spark, dir)
     val sets = explodedShingles(corpus)
-      .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
       .groupBy("doc_id").agg(collect_set(col("hb")).as("hset"))
     val sigs = minhashSignatures(corpus)
       .join(sets, "doc_id").persist()
