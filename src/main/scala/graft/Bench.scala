@@ -23,17 +23,23 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      // a crashed query reports -1, never its (near-zero) elapsed time —
+      // a failure must not read as "fast" in the emitted JSON
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that persist intermediates must not tax their successors
       spark.catalog.clearCache()
-      name -> dt
+      (name, if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

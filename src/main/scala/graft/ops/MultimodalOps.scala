@@ -33,7 +33,7 @@ object MultimodalOps {
       col("text").cast("binary").as("bytes"),
       struct(
         lit("application/x-fake").as("mime"),
-        octet_length(col("text").cast("binary")).as("byte_len"),
+        octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
         col("source").as("origin")).as("meta"))
 
   /** STUB: deterministic fake decode — real codecs are absent from the

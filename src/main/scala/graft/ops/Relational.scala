@@ -102,8 +102,11 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(qty).as("sum_qty"),
-        sum(price).as("sum_base_price"),
+        // final sums cast to decimal(38,x): Spark's sum over decimal(18,x)
+        // yields decimal(28,x) while DuckDB yields DECIMAL(38,x) — values
+        // are identical but the driver hash-compares TYPES too
+        sum(qty).cast("decimal(38,2)").as("sum_qty"),
+        sum(price).cast("decimal(38,2)").as("sum_base_price"),
         sum(disc).as("sum_disc_price"),
         sum(charge).as("sum_charge"),
         (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
@@ -120,7 +123,8 @@ object Relational {
     Tables.orders(spark, dir)
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -146,9 +150,11 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).as("rn"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"))
+        // cast to long: DuckDB emits BIGINT for ranking functions and the
+        // local type diff (tools/compare.py) is kept exactly aligned
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
       .orderBy("o_custkey", "rn")
   }
 
@@ -160,7 +166,8 @@ object Relational {
     val frame = w.rowsBetween(-2, Window.currentRow)
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
-        sum(col("value").cast("decimal(18,6)")).over(frame).as("moving_sum"),
+        sum(col("value").cast("decimal(18,6)")).over(frame)
+          .cast("decimal(38,6)").as("moving_sum"),
         lag(col("event_id"), 1).over(w).as("prev_id"),
         lead(col("event_id"), 1).over(w).as("next_id"))
       .orderBy("user_id", "event_id")
@@ -223,6 +230,107 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q31 — pivot: orders count per priority × status, statuses widened
+    * to columns. Plans as one hash aggregate over (priority, status)
+    * then a final pivot aggregate — two narrow shuffles, no row
+    * explosion; the value list is explicit (never inferred — inference
+    * would add a distinct-scan job, unacceptable at 100 TB). */
+  def q31Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority").as("priority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("priority")
+
+  /** q32 — percentiles: exact quantiles (linear interpolation — same
+    * definition as DuckDB's quantile_cont) of account balance per
+    * market segment. Exact percentile sorts per group; at 100 TB the
+    * drop-in is approx_percentile (t-digest, mergeable sketch) — kept
+    * exact here because the oracle is exact. */
+  def q32Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(
+        round(expr("percentile(c_acctbal, 0.25D)"), 6).as("p25"),
+        round(expr("percentile(c_acctbal, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(c_acctbal, 0.75D)"), 6).as("p75"),
+        round(min(col("c_acctbal")), 6).as("lo"),
+        round(max(col("c_acctbal")), 6).as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  /** q33 — as-of join: for each purchase event, the most recent click of
+    * the same user at ts ≤ purchase ts (ties allowed, DuckDB ASOF
+    * semantics). Implemented as union + one window pass — sort both
+    * sides together per user, carry the last click forward with
+    * last(ignoreNulls) — i.e. ONE shuffle on user_id and zero joins.
+    * That is the 100 TB formulation: a windowed merge scales with
+    * per-user density; a range join would re-shuffle both sides and
+    * degrade on skew. Clicks are pre-deduped to one row per (user, ts)
+    * (max event_id) so the as-of match is unambiguous on both engines. */
+  def q33AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("c_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("c_id"), lit(null).cast("long").as("p_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("c_id"), col("event_id").as("p_id"))
+    // side=0 sorts clicks before same-ts purchases → ts-equal click wins,
+    // matching ASOF's >= bound
+    val w = Window.partitionBy("user_id").orderBy("ts", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .select(col("user_id"), col("ts"), col("side"), col("p_id"),
+        last(col("c_id"), ignoreNulls = true).over(w).as("asof_c_id"),
+        last(when(col("c_id").isNotNull, col("ts")), ignoreNulls = true)
+          .over(w).as("asof_c_ts"))
+      .filter(col("side") === 1)
+      .select(col("p_id"), col("user_id"), unix_micros(col("ts")).as("p_ts_us"),
+        col("asof_c_id").as("c_id"),
+        unix_micros(col("asof_c_ts")).as("c_ts_us"))
+      .orderBy("p_id")
+  }
+
+  /** q43 — cube + grouping markers: all four grouping-set levels of
+    * (status, priority) in one pass. Spark plans cube as a single Expand
+    * (4 rows per input) feeding one hash aggregate — not four scans. */
+  def q43Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  /** q44 — ordered string aggregation: per-segment CSV of the top-5
+    * customer names by balance. The list is assembled from an explicit
+    * sorted collect (rank-filtered first — the aggregate only ever sees
+    * 5 rows per group, so the string never grows with the data). */
+  def q44StringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_name"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .groupBy("c_mktsegment")
+      .agg(concat_ws(",",
+        array_sort(collect_list(struct(col("rn"), col("c_name"))))
+          .getField("c_name")).as("top5_names"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_filter" -> (q10Filter _),
     "q11_join_inner" -> (q11JoinInner _),
@@ -237,7 +345,12 @@ object Relational {
     "q20_topk" -> (q20TopK _),
     "q21_setops" -> (q21SetOps _),
     "q22_scalar_bundle" -> (q22ScalarBundle _),
-    "q23_map_funcs" -> (q23MapFuncs _))
+    "q23_map_funcs" -> (q23MapFuncs _),
+    "q31_pivot" -> (q31Pivot _),
+    "q32_percentiles" -> (q32Percentiles _),
+    "q33_asof_join" -> (q33AsofJoin _),
+    "q43_cube" -> (q43Cube _),
+    "q44_stringagg" -> (q44StringAgg _))
 
   val oracleSql: Map[String, String] = Map(
     "q10_filter" ->
@@ -328,5 +441,47 @@ object Relational {
       """SELECT event_id, event_type AS m_type,
         |  CAST(user_id AS VARCHAR) AS m_user, 2 AS m_size,
         |  'type,user' AS m_keys
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q31_pivot" ->
+      """SELECT o_orderpriority AS priority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+    "q32_percentiles" ->
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+        |  round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+        |  round(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+        |  round(min(c_acctbal), 6) AS lo,
+        |  round(max(c_acctbal), 6) AS hi,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q33_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS c_id
+        |           FROM events WHERE event_type = 'click'
+        |           GROUP BY user_id, ts),
+        |p AS (SELECT user_id, ts, event_id AS p_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.p_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
+        |       c.c_id, epoch_us(c.ts) AS c_ts_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p_id""".stripMargin,
+    "q43_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q44_stringagg" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_name,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY rn) AS top5_names
+        |FROM ranked WHERE rn <= 5
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }

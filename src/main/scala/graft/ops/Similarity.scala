@@ -50,6 +50,130 @@ object Similarity {
   // ---------------------------------------------------------------- q25
   val K = 16 // minhash signature width; bands of 4 rows → 4 band keys
 
+  // ------------------------------------------------ compiled sketches
+  // A document's MinHash signature, SimHash fingerprint, and shingle
+  // set are LOCAL computations — one pass over the text, fixed-size
+  // output. Round 1 derived them with explode → higher-order-function
+  // chains → groupBy (distributed machinery for a per-row job);
+  // interpreted lambda evaluation made that ~60 executor-CPU-seconds
+  // per pass at sf0.1. Each sketch below is one compiled function per
+  // row: no explode, no shuffle, no aggregate — the only shuffle the
+  // near-dup queries keep is the band-key self-join. At 100 TB this is
+  // also the right shape: sketching scales embarrassingly with the
+  // scan, and only k longs per document ever reach the wire.
+
+  @inline private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private val seeds: Array[Long] =
+    Array.tabulate(K)(i => splitmix64(0x5DEECE66DL + i * 0x9E3779B97F4A7C15L))
+
+  /** 64-bit hashes of word 3-shingles: lowercase, tokens = maximal
+    * [a-z] runs (identical tokenization to round 1's
+    * split(lower(text), "[^a-z]+")), shingle hash = order-sensitive
+    * splitmix64 chain over the three token hashes. Documents with < 3
+    * tokens yield one composite hash. */
+  private[ops] def shingleHashes(text: String): Array[Long] = {
+    val s = if (text == null) "" else text.toLowerCase
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 1125899906842597L
+    var in = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') { h = h * 31 + c; in = true }
+      else if (in) { toks += splitmix64(h); h = 1125899906842597L; in = false }
+      i += 1
+    }
+    if (in) toks += splitmix64(h)
+    val n = toks.length
+    if (n >= 3) {
+      val out = new Array[Long](n - 2)
+      var j = 0
+      while (j < n - 2) {
+        out(j) = splitmix64(splitmix64(toks(j) ^ toks(j + 1)) ^ toks(j + 2))
+        j += 1
+      }
+      out
+    } else {
+      var acc = 0x2545F4914F6CDD1DL
+      var j = 0
+      while (j < n) { acc = splitmix64(acc ^ toks(j)); j += 1 }
+      Array(acc)
+    }
+  }
+
+  /** text → K-wide MinHash signature in one pass (K independent
+    * splitmix64 draws per shingle, elementwise min). */
+  private val minhashSigUdf = udf { (text: String) =>
+    val sh = shingleHashes(text)
+    val sig = Array.fill(K)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val hb = sh(i)
+      var k = 0
+      while (k < K) {
+        val h = splitmix64(hb ^ seeds(k))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** text → 64-bit SimHash fingerprint (per-bit ±1 votes over shingle
+    * hashes, sign of the vote sum). */
+  private val simhashUdf = udf { (text: String) =>
+    val sh = shingleHashes(text)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < sh.length) {
+      val hb = sh(i)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (((hb >>> j) & 1L) * 2 - 1).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+
+  /** text → sorted distinct shingle-hash set (the exact-Jaccard ground
+    * truth; 8 B per shingle, never the text). */
+  private val shingleSetUdf = udf { (text: String) =>
+    val sh = shingleHashes(text)
+    java.util.Arrays.sort(sh)
+    var n = 0
+    var i = 0
+    while (i < sh.length) {
+      if (i == 0 || sh(i) != sh(i - 1)) { sh(n) = sh(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(sh, n)
+  }
+
+  /** Exact Jaccard of two sorted distinct long arrays (two-pointer
+    * merge — no per-call hash-set allocation). */
+  private val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
   /** K independent component hashes from the 64-bit shingle hash:
     * h_i = xxhash64(i, hb). NOT a Kirsch–Mitzenmacher linear family —
     * on a low-entropy corpus (shared vocabulary) a linear combo of two
@@ -134,7 +258,8 @@ object Similarity {
     // persist: the signature table feeds BOTH sides of the self-join and
     // is tiny (k longs per doc — ~128 B/doc at any scale), while
     // recomputing it means re-hashing every shingle of the corpus
-    val sigs = minhashSignatures(plantedCorpus(spark, dir)).persist()
+    val sigs = plantedCorpus(spark, dir)
+      .select(col("doc_id"), minhashSigUdf(col("text")).as("sig")).persist()
     // carry the signature through the band explode: the pair join then
     // yields both signatures directly (no extra joins back to sigs)
     val bands = sigs.select(col("doc_id"), col("sig"),
@@ -158,11 +283,26 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- q26
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Cosine similarity as one compiled pass: dp, |a|², |b|² accumulated
+    * in a single primitive loop (same left-to-right summation order as
+    * the previous aggregate(zip_with(...)) formulation, so results are
+    * bit-identical — the q26 oracle depends on that). Higher-order
+    * function lambdas evaluate interpreted with per-element boxing
+    * (~200 boxed calls per 64-dim pair); on the pairwise near-dup
+    * queries that was the dominant verify cost. */
+  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dp += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dp / (math.sqrt(na) * math.sqrt(nb))
+  }
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  private def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** q26 — brute-force cosine top-k: 10 nearest to vec_id=0. The query
     * vector is broadcast (1 row); the scan side stays narrow and the
@@ -188,23 +328,32 @@ object Similarity {
     Array.fill(Planes, 64)(rnd.nextGaussian())
   }
 
-  /** Sign-band keys: 4 bands, each packing 4 hyperplane sign bits.
-    * The plane weights are literals, so each projection is UNROLLED into
-    * plain codegen'd arithmetic (element_at·w summed) — an interpreted
-    * `aggregate(zip_with(...))` lambda here costs ~1024 boxed calls per
-    * row (measured ~0.5 ms/row; unrolled: microseconds). */
-  private def signBands(e: Column): Column = {
-    val bits = hyperplanes.toSeq.map { plane =>
-      val d = plane.zipWithIndex.map { case (w, i) =>
-        element_at(e, i + 1) * lit(w)
-      }.reduce(_ + _)
-      when(d > 0, 1).otherwise(0)
+  /** Sign-band keys: 4 bands, each packing 4 hyperplane sign bits —
+    * one compiled function call per row, ~1k flops in a tight loop.
+    *
+    * Round 1 unrolled the 16 dot products into a ~1024-node Column
+    * expression tree ("codegen-friendly" in theory); in practice the
+    * optimizer re-instantiated that tree through every downstream
+    * projection (bench log: 1.2 MB broadcast task binaries) and
+    * codegen compilation dominated the query (q38: 607 s on 2 000
+    * rows). A single deterministic Scala UDF keeps the plan one node
+    * wide and the arithmetic primitive. */
+  private val signBandsUdf = udf { (e: Seq[Double]) =>
+    val bands = new Array[Int](4)
+    var p = 0
+    while (p < Planes) {
+      val plane = hyperplanes(p)
+      var d = 0.0
+      var i = 0
+      val n = math.min(plane.length, e.length)
+      while (i < n) { d += e(i) * plane(i); i += 1 }
+      if (d > 0) bands(p >> 2) |= 1 << (p & 3)
+      p += 1
     }
-    val bands = (0 until 4).map { b =>
-      (0 until 4).map(j => bits(b * 4 + j) * (1 << j)).reduce(_ + _)
-    }
-    array(bands: _*)
+    bands
   }
+
+  private def signBands(e: Column): Column = signBandsUdf(e)
 
   /** q38 — ANN top-k via random-hyperplane LSH: candidates share at least
     * one sign band with the query; exact cosine only within candidates.
@@ -266,22 +415,16 @@ object Similarity {
     * token-distribution bias. Shingles (~|vocab|³ space) keep random
     * docs at hamming ≈ 32 while near-identical docs stay ≤ 7.
     *
-    * The 64 vote sums are 64 codegen'd sum aggregates (same pattern as
-    * the MinHash mins); the fingerprint shuffles as one long. Planted
-    * positives: 1-token-suffix copies (vote shift ≤ 3 per bit). */
+    * The fingerprint is computed in one compiled pass per document
+    * ([[simhashUdf]]) and shuffles as one long. Planted positives:
+    * 1-token-suffix copies (vote shift ≤ 3 per bit). */
   def q41SimHash(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select("doc_id", "text")
     val corpus = base.unionByName(base.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" zz")).as("text")))
-    val based = explodedShingles(corpus)
-    // vote_j = Σ ±1 per shingle from bit j of its hash
-    val votes = (0 until 64).map(j =>
-      sum(shiftrightunsigned(col("hb"), j).bitwiseAND(1) * 2 - 1).as(s"v$j"))
-    val fp = (0 until 64).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))
-    val sigs = based.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fp.as("fp")).persist()
+    val sigs = corpus
+      .select(col("doc_id"), simhashUdf(col("text")).as("fp")).persist()
     val bands = sigs.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 8).map(b =>
         shiftright(col("fp"), b * 8).bitwiseAND(255)): _*))
@@ -308,11 +451,12 @@ object Similarity {
     * only on candidates. Shingle sets travel as sorted distinct hash
     * arrays (8 B per shingle, not the text). */
   def q42NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = plantedCorpus(spark, dir)
-    val sets = explodedShingles(corpus)
-      .groupBy("doc_id").agg(collect_set(col("hb")).as("hset"))
-    val sigs = minhashSignatures(corpus)
-      .join(sets, "doc_id").persist()
+    // shingle set and MinHash signature in ONE projection over the scan —
+    // round 1 ran the shingle pipeline twice (sets + signatures) and
+    // joined the results; both sketches are local to the row
+    val sigs = plantedCorpus(spark, dir)
+      .select(col("doc_id"), shingleSetUdf(col("text")).as("hset"),
+        minhashSigUdf(col("text")).as("sig")).persist()
     val bands = sigs.select(col("doc_id"), col("hset"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => xxhash64(b, slice(col("sig"), b * 4 + 1, lit(4)))))
@@ -321,12 +465,10 @@ object Similarity {
       col("doc_id").as("a_id"), col("hset").as("set_a"))
     val b = bands.select(col("band_idx"), col("band_key"),
       col("doc_id").as("b_id"), col("hset").as("set_b"))
-    val inter = size(array_intersect(col("set_a"), col("set_b")))
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(inter.cast("double") /
-          (size(col("set_a")) + size(col("set_b")) - inter), 6).as("jaccard"))
+        round(jaccardUdf(col("set_a"), col("set_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .distinct()
       .orderBy("a_id", "b_id")

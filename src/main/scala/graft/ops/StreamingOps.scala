@@ -21,13 +21,17 @@ object StreamingOps {
 
   private def valDec = col("value").cast("decimal(18,6)")
 
+  /** Spark sums decimal(18,6) to decimal(28,6); DuckDB to DECIMAL(38,6).
+    * The driver hash-compares types, so widen the final sum to match. */
+  private def sumValue = sum(valDec).cast("decimal(38,6)").as("sum_value")
+
   /** q28 — tumbling 1-hour windows: count + exact decimal sum per window.
     * Epoch-aligned starts (Spark window origin = epoch; oracle uses
     * time_bucket, also epoch-aligned for sub-day widths). */
   def q28Tumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n_events"), sum(valDec).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
       .select(unix_micros(col("w.start")).as("ws_us"),
         col("n_events"), col("sum_value"))
       .orderBy("ws_us")
@@ -38,7 +42,7 @@ object StreamingOps {
   def q29Sliding(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n_events"), sum(valDec).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
       .select(unix_micros(col("w.start")).as("ws_us"),
         col("n_events"), col("sum_value"))
       .orderBy("ws_us")
@@ -49,7 +53,7 @@ object StreamingOps {
   def q30Session(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n_events"), sum(valDec).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
       .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_us")
@@ -62,7 +66,7 @@ object StreamingOps {
   def streamingTumbling(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n_events"), sum(valDec).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
       .select(unix_micros(col("w.start")).as("ws_us"),
         col("n_events"), col("sum_value"))
 

@@ -25,7 +25,7 @@ class MultimodalSpec extends AnyFunSuite {
         (d.byte_len, d.width, d.height, d.n_frames, d.sampled_frames.length)).toMap
     val q40 = MultimodalOps.q40Multimodal(spark, dir).collect()
       .map(r => r.getLong(0) ->
-        (r.getInt(1).toLong, r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
     assert(decoded.keySet == q40.keySet)
     decoded.foreach { case (id, d) => assert(d == q40(id), s"media $id: $d vs ${q40(id)}") }
   }

@@ -69,4 +69,43 @@ class RelationalSpec extends AnyFunSuite {
       .agg(sum(col("l_quantity").cast("decimal(18,2)"))).collect().head.getDecimal(0)
     assert(row.getDecimal(0).compareTo(manual) == 0)
   }
+
+  test("q31: pivot cells sum back to the orders rowcount") {
+    val rows = Relational.q31Pivot(spark, dir).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
+    assert(total == Tables.orders(spark, dir).count())
+  }
+
+  test("q32: quartiles are ordered and bounded by min/max") {
+    Relational.q32Percentiles(spark, dir).collect().foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val (lo, hi) = (r.getDouble(4), r.getDouble(5))
+      assert(lo <= p25 && p25 <= p50 && p50 <= p75 && p75 <= hi)
+    }
+  }
+
+  test("q33: as-of match is the latest click at or before the purchase") {
+    val rows = Relational.q33AsofJoin(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.filter(r => !r.isNullAt(4)).foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2),
+        s"click ts ${r.getLong(4)} after purchase ts ${r.getLong(2)}")
+    }
+    // every purchase event appears exactly once (left-join cardinality)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("q43: cube grand total equals the orders rowcount") {
+    val rows = Relational.q43Cube(spark, dir).collect()
+    val grand = rows.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    assert(grand.getLong(2) == Tables.orders(spark, dir).count())
+    // 4 grouping levels: (s,p), (s,ALL), (ALL,p), (ALL,ALL)
+    assert(rows.count(r => r.getString(0) == "ALL") >= 1)
+  }
+
+  test("q44: every segment lists at most 5 names") {
+    Relational.q44StringAgg(spark, dir).collect().foreach { r =>
+      assert(r.getString(1).split(",").length <= 5)
+    }
+  }
 }

@@ -24,10 +24,20 @@ def norm(v):
         return v.hex()
     return v
 
+def arrow_types(con, sql):
+    # .description reports generic NUMBER for all numerics; the arrow
+    # schema carries exact decimal precision/scale, which the driver's
+    # hash-compare is sensitive to (DECIMAL(28,2) vs DECIMAL(38,2) fails
+    # it even when all values are identical)
+    sch = con.execute(sql).fetch_arrow_table().schema
+    return {f.name: str(f.type) for f in sch}
+
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     cs = [cols[i] for i in order]
-    rs = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    # key=repr: None is not orderable against ints; repr gives a total,
+    # deterministic order applied identically to both sides
+    rs = sorted((tuple(norm(r[i]) for i in order) for r in rows), key=repr)
     return cs, rs
 
 def main(sf_dir, out_dir):
@@ -47,6 +57,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL  {name}: no parquet output"); n_fail += 1; continue
         got = con.execute(f"SELECT * FROM read_parquet({files!r})")
         gcols = [d[0] for d in got.description]; grows = got.fetchall()
+        gtypes = arrow_types(con, f"SELECT * FROM read_parquet({files!r}) LIMIT 0")
         if name not in oracle:
             print(f"noORC {name}: rows={len(grows)} (rows-only check: {'ok' if grows else 'EMPTY'})")
             if not grows: n_fail += 1
@@ -54,12 +65,21 @@ def main(sf_dir, out_dir):
         try:
             exp = con.execute(oracle[name])
             ecols = [d[0] for d in exp.description]; erows = exp.fetchall()
+            etypes = arrow_types(con, oracle[name])
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
         gc, gr = canon(gcols, grows)
         ec, er = canon(ecols, erows)
         if gc != ec:
             print(f"FAIL  {name}: columns differ spark={gc} duck={ec}"); n_fail += 1; continue
+        # the driver's hash-compare is type-sensitive: a DECIMAL(28,2) vs
+        # DECIMAL(38,2) divergence fails it even when values are identical,
+        # so diff the DuckDB-reported type of every column too
+        tdiff = {c: (gtypes[c], etypes[c]) for c in gtypes
+                 if gtypes[c] != etypes[c]}
+        if tdiff:
+            print(f"FAIL  {name}: column types differ (spark, duck): {tdiff}")
+            n_fail += 1; continue
         if len(gr) != len(er):
             print(f"FAIL  {name}: rowcount spark={len(gr)} duck={len(er)}"); n_fail += 1; continue
         if gr != er:
