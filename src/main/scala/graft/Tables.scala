@@ -37,4 +37,18 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Decouple compute parallelism from file layout for CPU-heavy narrow
+    * transforms (regex scoring, sketching). The driver testdata is ONE
+    * row group per table, so the scan yields one task no matter how many
+    * cores exist and per-row work serializes on a single thread. At
+    * scale inputs arrive in many splits and this is a no-op (it only
+    * repartitions when the scan has fewer splits than cores); locally it
+    * costs one shuffle of the projected columns — trivial next to the
+    * compute it parallelizes. Call it AFTER projecting down to the
+    * columns the query needs, so only those bytes shuffle. */
+  def fanout(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

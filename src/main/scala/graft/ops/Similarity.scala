@@ -217,9 +217,9 @@ object Similarity {
     * synthetic corpus (all driver texts are mutually distant). */
   private def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select("doc_id", "text")
-    base.unionByName(base.select(
+    Tables.fanout(base.unionByName(base.select(
       (col("doc_id") + 1000000L).as("doc_id"),
-      concat(col("text"), lit(" planted near duplicate suffix")).as("text")))
+      concat(col("text"), lit(" planted near duplicate suffix")).as("text"))))
   }
 
   /** MinHash signatures the codegen'd way: two scalar hashes per shingle,
@@ -308,8 +308,8 @@ object Similarity {
     * vector is broadcast (1 row); the scan side stays narrow and the
     * top-k is TakeOrderedAndProject — no shuffle of the fact side. */
   def q26CosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val emb = Tables.fanout(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
     val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
@@ -360,8 +360,8 @@ object Similarity {
     * At 100 TB the bands become the partitioning key (each query touches
     * 4 buckets instead of the full corpus). */
   def q38AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val emb = Tables.fanout(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
       .withColumn("bands", signBands(col("e")))
     // persisted: both the corpus side and the query side read this
     val rows = emb.select(col("vec_id"), col("e"),
@@ -383,8 +383,8 @@ object Similarity {
     * within buckets, verify cosine ≥ 0.9999. Positives planted as scaled
     * copies (same direction ⇒ cosine 1). */
   def q39EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val base = Tables.fanout(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
     val corpus = base.unionByName(base.select(
       (col("vec_id") + 1000000L).as("vec_id"),
       transform(col("e"), x => x * 1.01).as("e")))
@@ -420,9 +420,9 @@ object Similarity {
     * 1-token-suffix copies (vote shift ≤ 3 per bit). */
   def q41SimHash(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select("doc_id", "text")
-    val corpus = base.unionByName(base.select(
+    val corpus = Tables.fanout(base.unionByName(base.select(
       (col("doc_id") + 1000000L).as("doc_id"),
-      concat(col("text"), lit(" zz")).as("text")))
+      concat(col("text"), lit(" zz")).as("text"))))
     val sigs = corpus
       .select(col("doc_id"), simhashUdf(col("text")).as("fp")).persist()
     val bands = sigs.select(col("doc_id"), col("fp"),
