@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run a comma-separated list of declared queries in ONE
+  * session, in order (reproduces Bench's shared-session conditions,
+  * unlike QTime's fresh JVM per query):
+  * runMain graft.QSeq q28_tumbling,q29_sliding,q30_session [sfDir] */
+object QSeq {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"QSEQ $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

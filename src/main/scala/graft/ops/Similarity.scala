@@ -474,6 +474,49 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  // ---------------------------------------------------------------- q45
+  /** q45 — ANN via IVF (inverted-file index), the classic scale path
+    * next to LSH (q38): a coarse quantizer of nCells centroid vectors
+    * partitions the corpus into cells; a query probes only its nProbe
+    * nearest cells and computes exact cosine there.
+    *
+    * The quantizer here is deterministic IVF-flat with data-sampled
+    * centroids (vec_id 1..16 — no k-means iteration; documented
+    * simplification, the dataflow is the real thing). Everything is
+    * DataFrame ops: centroids are a broadcast dimension table, cell
+    * assignment is a broadcast join + max_by argmax (narrow, no corpus
+    * shuffle), and the probe is a broadcast semi-join on cell id. At
+    * 100 TB the cell id becomes the partition key, so a query touches
+    * nProbe/nCells of the data. */
+  def q45AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val nProbe = 4
+    val emb = Tables.fanout(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    // nearest centroid per vector: 16-way broadcast expand + argmax —
+    // max_by on (cosine, -cid) keeps the tie deterministic
+    val cells = emb.crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(cosine(col("e"), col("ce")), -col("cid")))
+        .as("cell"))
+    val withCell = emb.join(cells, "vec_id")
+    // the query probes its nProbe nearest cells
+    val q = emb.filter(col("vec_id") === 0)
+    val probeCells = q.crossJoin(broadcast(cents))
+      .select(col("cid").as("cell"),
+        cosine(col("e"), col("ce")).as("qc"))
+      .orderBy(col("qc").desc, col("cell")).limit(nProbe)
+      .select("cell")
+    val qe = q.select(col("e").as("qe"))
+    withCell.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   // ------------------------------------------------- winnowing (helper)
   /** Winnowing fingerprints (rolling k-gram hashes, min per window) —
     * the MOSS-style document fingerprint. Returns (doc_id, fingerprints:
@@ -495,7 +538,8 @@ object Similarity {
     "q38_ann_lsh" -> (q38AnnLsh _),
     "q39_embed_near_dup" -> (q39EmbedNearDup _),
     "q41_simhash" -> (q41SimHash _),
-    "q42_ngram_jaccard" -> (q42NgramJaccard _))
+    "q42_ngram_jaccard" -> (q42NgramJaccard _),
+    "q45_ann_ivf" -> (q45AnnIvf _))
 
   /** q26 only — sketch-based ops (q25/q38/q39) are not SQL-portable. */
   val oracleSql: Map[String, String] = Map(

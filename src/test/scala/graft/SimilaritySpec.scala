@@ -65,6 +65,19 @@ class SimilaritySpec extends AnyFunSuite {
       s"ANN top-10 disjoint from brute-force top-10 (corpus $all)")
   }
 
+  test("q45: IVF probe returns true cosines and overlaps brute-force top-10") {
+    val ivf = Similarity.q45AnnIvf(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.nonEmpty && ivf.size <= 10)
+    val brute = Similarity.q26CosineTopK(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // IVF never invents similarities: every returned cosine is the exact one
+    ivf.foreach { case (id, c) =>
+      brute.get(id).foreach(b => assert(math.abs(b - c) < 1e-9)) }
+    assert(ivf.keySet.intersect(brute.keySet).nonEmpty,
+      "IVF top-10 disjoint from brute-force top-10")
+  }
+
   test("q39: finds exactly the planted scaled-copy pairs at 0.9999") {
     val rows = Similarity.q39EmbedNearDup(spark, dir).collect()
     val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
