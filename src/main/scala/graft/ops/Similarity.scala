@@ -283,26 +283,15 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- q26
-  /** Cosine similarity as one compiled pass: dp, |a|², |b|² accumulated
-    * in a single primitive loop (same left-to-right summation order as
-    * the previous aggregate(zip_with(...)) formulation, so results are
-    * bit-identical — the q26 oracle depends on that). Higher-order
-    * function lambdas evaluate interpreted with per-element boxing
-    * (~200 boxed calls per 64-dim pair); on the pairwise near-dup
-    * queries that was the dominant verify cost. */
-  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var dp = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) {
-      val x = a(i); val y = b(i)
-      dp += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dp / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  private def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  /** Cosine similarity via the native codegen'd Catalyst expression
+    * [[graft.functions.CosineSim]]: the dot/norm loop is emitted INLINE
+    * into the enclosing WholeStageCodegen stage (primitive double[]
+    * access, no UDF serialization boundary). Summation order is
+    * ascending-index — bit-identical to the original
+    * aggregate(zip_with(...)) formulation the q26 oracle was checked
+    * against. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
 
   /** q26 — brute-force cosine top-k: 10 nearest to vec_id=0. The query
     * vector is broadcast (1 row); the scan side stays narrow and the
