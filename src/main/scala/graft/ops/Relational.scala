@@ -270,21 +270,23 @@ object Relational {
     * last(ignoreNulls) — i.e. ONE shuffle on user_id and zero joins.
     * That is the 100 TB formulation: a windowed merge scales with
     * per-user density; a range join would re-shuffle both sides and
-    * degrade on skew. Clicks are pre-deduped to one row per (user, ts)
-    * (max event_id) so the as-of match is unambiguous on both engines. */
+    * degrade on skew. Same-ts click ties resolve to the max event_id on
+    * both engines (window sort order here, per-(user, ts) max dedup in
+    * the oracle SQL). */
   def q33AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ts"))
-      .agg(max(col("event_id")).as("c_id"))
       .select(col("user_id"), col("ts"), lit(0).as("side"),
-        col("c_id"), lit(null).cast("long").as("p_id"))
+        col("event_id").as("c_id"), lit(null).cast("long").as("p_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("side"),
         lit(null).cast("long").as("c_id"), col("event_id").as("p_id"))
     // side=0 sorts clicks before same-ts purchases → ts-equal click wins,
-    // matching ASOF's >= bound
-    val w = Window.partitionBy("user_id").orderBy("ts", "side")
+    // matching ASOF's >= bound; ascending c_id within same-ts clicks makes
+    // last() pick the max event_id — the same tie-break the oracle's
+    // per-(user, ts) max dedup produces, without a pre-aggregation shuffle
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), coalesce(col("c_id"), col("p_id")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .select(col("user_id"), col("ts"), col("side"), col("p_id"),

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale techniques referenced by SURVEY.md §4.2 as library utilities:
+  * skew salting and bucketed-state writes. These are not t2 queries
+  * (they are physical strategies, not semantics); ScaleSpec proves the
+  * salted join is result-identical to the plain join and that a
+  * bucketed state table joins without re-shuffling the state side.
+  *
+  * First resort for skew is AQE's skew-join handling (on by default in
+  * Spark 4); explicit salting is for the cases AQE cannot fix — e.g. a
+  * single key too hot for any split of the OTHER side to broadcast, or
+  * deterministic plans required by a downstream consumer.
+  */
+object ScaleOps {
+
+  /** Inner equi-join with the fact side's hot keys spread over `nSalts`
+    * sub-keys: each fact row gets a deterministic salt (hash of the
+    * whole row — identical rows collapse, distinct rows of a hot key
+    * spread), and the dim side is replicated once per salt. The join
+    * then distributes a hot key over nSalts reducers instead of one.
+    * Cost: dim side × nSalts (keep dims small or nSalts modest).
+    * Result is exactly the plain inner join — proven in ScaleSpec. */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
+      nSalts: Int = 8): DataFrame = {
+    val factCols = fact.columns.map(col)
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(struct(factCols.toIndexedSeq: _*)), lit(nSalts)).cast("int"))
+    val dimExp = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(dimExp, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write `state` as a bucketed, sort-within-buckets table so that
+    * every future merge (the reference's R10 read-modify-write) joins
+    * against it WITHOUT shuffling the state side: only the (much
+    * smaller) incoming batch is exchanged into the state's bucketing.
+    * This is the SURVEY §4.2 posture for snapshot merges at 100 TB —
+    * the accumulated state never crosses the wire again. */
+  def writeBucketedState(state: DataFrame, table: String, path: String,
+      key: String, nBuckets: Int = 8): Unit =
+    state.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+}

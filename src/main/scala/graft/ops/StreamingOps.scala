@@ -79,6 +79,14 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
         col("n_events"))
 
+  /** Streaming exact dedup (R9's streaming shape): drop repeats of
+    * (user_id, event_type, event_id) arriving within the watermark
+    * horizon. State holds one row per key and expires with the
+    * watermark — the bounded-state version of batch dropDuplicates. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type", "event_id")
+
   /** Streaming keyed upsert (the reference's Redis merge, R10): keep the
     * latest event per (user_id, event_type); ties favor existing state —
     * the strict `Date.after` rule (SURVEY.md §2.2 quirk 2). State never

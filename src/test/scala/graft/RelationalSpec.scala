@@ -103,6 +103,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.count(r => r.getString(0) == "ALL") >= 1)
   }
 
+  test("q12: dimension join plans as a broadcast hash join (no fact shuffle)") {
+    val plan = Relational.q12JoinBroadcast(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side shuffled:\n$plan")
+  }
+
+  test("q33: as-of join runs on ONE data shuffle (plus the final sort)") {
+    val plan = Relational.q33AsofJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    // exchanges: 1 hash-partition on user_id for the window + 1 range
+    // partition for the output ORDER BY — and nothing else (no join)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"as-of join shuffles too much ($exchanges):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"as-of should be a windowed merge, not a join:\n$plan")
+  }
+
+  test("q01: scan schema is pruned to the projected columns") {
+    val plan = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("l_orderkey") && scan.contains("l_quantity")
+      && !scan.contains("l_comment") && !scan.contains("l_extendedprice"),
+      s"scan not pruned: $scan")
+  }
+
   test("q44: every segment lists at most 5 names") {
     Relational.q44StringAgg(spark, dir).collect().foreach { r =>
       assert(r.getString(1).split(",").length <= 5)

@@ -39,6 +39,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark repeats, keeps distinct keys") {
+    val input = MemoryStream[EventIn](spark)
+    val q = StreamingOps.streamingDedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        EventIn(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        EventIn(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0), // dup
+        EventIn(2, ts("2024-01-01 10:01:00"), 7, "click", 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        EventIn(1, ts("2024-01-01 10:02:00"), 7, "click", 1.0), // dup, later batch
+        EventIn(3, ts("2024-01-01 10:03:00"), 8, "view", 3.0)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(out == Seq(1L, 2L, 3L), s"got $out")
+    } finally q.stop()
+  }
+
   test("stateful upsert: latest wins across batches, equal ts keeps existing") {
     val input = MemoryStream[EventIn](spark)
     val q = StreamingOps.statefulUpsert(input.toDF())
