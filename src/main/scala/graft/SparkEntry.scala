@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CorePipeline.queries ++ ops.Relational.queries ++
       ops.TextOps.queries ++ ops.Similarity.queries ++
-      ops.StreamingOps.queries ++ ops.MultimodalOps.queries
+      ops.StreamingOps.queries ++ ops.MultimodalOps.queries ++
+      pipeline.CorpusPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.CorePipeline.oracleSql ++ ops.Relational.oracleSql ++
       ops.TextOps.oracleSql ++ ops.Similarity.oracleSql ++
-      ops.StreamingOps.oracleSql ++ ops.MultimodalOps.oracleSql
+      ops.StreamingOps.oracleSql ++ ops.MultimodalOps.oracleSql ++
+      pipeline.CorpusPipeline.oracleSql
 }

@@ -254,11 +254,15 @@ object Similarity {
     * interpreted array equality (measured 77 s on 4k×4k rows; scalar
     * key: sub-second). Hash collisions only add false candidates, which
     * the est filter removes. */
-  def q25NearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** MinHash+LSH near-duplicate pairs of any (doc_id, text) corpus:
+    * (a_id, b_id, est_jaccard) with a_id < b_id and est ≥ minEst.
+    * Public so pipelines (CorpusPipeline) can dedup arbitrary corpora
+    * with the same machinery q25 declares. */
+  def nearDupPairs(corpus: DataFrame, minEst: Double = 0.5): DataFrame = {
     // persist: the signature table feeds BOTH sides of the self-join and
     // is tiny (k longs per doc — ~128 B/doc at any scale), while
     // recomputing it means re-hashing every shingle of the corpus
-    val sigs = plantedCorpus(spark, dir)
+    val sigs = corpus
       .select(col("doc_id"), minhashSigUdf(col("text")).as("sig")).persist()
     // carry the signature through the band explode: the pair join then
     // yields both signatures directly (no extra joins back to sigs)
@@ -277,10 +281,12 @@ object Similarity {
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / K, 6).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("est_jaccard") >= minEst)
       .distinct()
-      .orderBy("a_id", "b_id")
   }
+
+  def q25NearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(plantedCorpus(spark, dir)).orderBy("a_id", "b_id")
 
   // ---------------------------------------------------------------- q26
   /** Cosine similarity via the native codegen'd Catalyst expression

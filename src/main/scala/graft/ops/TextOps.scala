@@ -71,6 +71,19 @@ object TextOps {
 
   private val stopwords = Seq(" the ", " a ", " of ", " and ", " to ")
 
+  /** The q35 composite quality score as a reusable expression; expects
+    * the frame to carry `text`, `n_chars`, and `padded`
+    * (= ' ' || lower(text) || ' '). Used by q35 and CorpusPipeline. */
+  def qualityScore: Column = {
+    val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+    val nTokens = greatest(regexp_count(col("text"), lit("[a-zA-Z]+")), lit(1))
+    val nStop = stopwords.map(occ(col("padded"), _)).reduce(_ + _)
+    round(
+      least(nTokens, lit(100)).cast("double") / 100
+        + nStop.cast("double") / nTokens
+        - nPunct.cast("double") / col("n_chars"), 6)
+  }
+
   /** q35 — quality scoring: length, punctuation/uppercase character
     * ratios, stopword density, and a composite score — the standard
     * cheap pre-filter before expensive LLM-data processing. All ratios
@@ -91,10 +104,7 @@ object TextOps {
         round(nPunct.cast("double") / col("n_chars"), 6).as("punct_ratio"),
         round(nUpper.cast("double") / col("n_chars"), 6).as("upper_ratio"),
         round(nStop.cast("double") / nTokens, 6).as("stopword_ratio"),
-        round(
-          least(nTokens, lit(100)).cast("double") / 100
-            + nStop.cast("double") / nTokens
-            - nPunct.cast("double") / col("n_chars"), 6).as("quality_score"))
+        qualityScore.as("quality_score"))
       .orderBy("doc_id")
   }
 

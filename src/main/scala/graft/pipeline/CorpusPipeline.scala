@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.ops.{Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation — the library's operators
+  * composed the way a real LLM-data pipeline runs them:
+  *
+  *  1. exact dedup on the whitespace-normalized sha2 (keep min doc_id)
+  *  2. near-dup removal: MinHash-LSH pairs, drop the larger doc_id of
+  *     every confirmed pair ([[Similarity.nearDupPairs]])
+  *  3. quality gate: [[TextOps.qualityScore]] ≥ minQuality
+  *  4. token budget: documents kept in doc_id priority order while the
+  *     running whitespace-token total stays within `tokenBudget`
+  *
+  * Scale notes: stages 1–3 shuffle only hashes/sketches (32 B and
+  * 16×8 B per doc), never text. Stage 4's running total is a global
+  * window — a single-reducer pass over the SURVIVORS' (doc_id,
+  * n_tokens) pairs only, which is fine up to billions of docs of
+  * metadata; at the point it isn't, the standard move is budgeting per
+  * shard (partitionBy a shard key) or pre-aggregating counts per
+  * doc_id range and cutting at the range boundary.
+  */
+object CorpusPipeline {
+
+  /** Testable core: prepare an arbitrary (doc_id, text, n_chars, lang)
+    * frame. */
+  def prepare(docs: DataFrame, minQuality: Double,
+      tokenBudget: Long): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // 1 — exact dedup (hash-groupBy; text never shuffles)
+    val keepIds = docs.select(col("doc_id"), sha2(norm, 256).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val exact = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    // 2 — near-dup removal (LSH candidates only; drop the b side)
+    val dropB = Similarity.nearDupPairs(exact.select("doc_id", "text"))
+      .select(col("b_id").as("doc_id")).distinct()
+    val nearDeduped = exact.join(dropB, Seq("doc_id"), "left_anti")
+    // 3 — quality gate
+    val scored = nearDeduped
+      .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
+      .withColumn("quality_score", TextOps.qualityScore)
+      .withColumn("n_tokens",
+        regexp_count(col("text"), lit("\\S+")).cast("long"))
+      .filter(col("quality_score") >= minQuality)
+    // 4 — token budget in doc_id priority order
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select("doc_id", "lang", "n_chars", "n_tokens", "quality_score",
+        "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** q46 — the declared pipeline run over `documents` (rows-only check:
+    * the near-dup stage is sketch-based, so no SQL oracle). */
+  def q46CorpusPrep(spark: SparkSession, dir: String): DataFrame =
+    prepare(
+      Tables.fanout(Tables.documents(spark, dir)
+        .select("doc_id", "text", "n_chars", "lang")),
+      minQuality = 0.3, tokenBudget = 10000L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_corpus_prep" -> (q46CorpusPrep _))
+
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -17,4 +17,20 @@ object GraftShims {
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a 2-arg expression builder under `name` in the session's
+    * function registry, making it callable from spark.sql(...). The
+    * public route for this is SparkSessionExtensions#injectFunction,
+    * which requires configuring the extension class at session build
+    * time; this shim offers the same registration on an already-running
+    * session (the driver owns session creation here). */
+  def registerBinaryFunction(spark: SparkSession, name: String,
+      builder: (Expression, Expression) => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      { args =>
+        require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+        builder(args(0), args(1))
+      },
+      "scala_udf")
 }

@@ -62,6 +62,16 @@ class CosineSimSpec extends AnyFunSuite {
     assert(!out(0).isNullAt(0) && out(1).isNullAt(0))
   }
 
+  test("cosine_sim is callable from SQL after registration") {
+    CosineSim.register(spark)
+    val row = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
+        " cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS o")
+      .collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-15)
+    assert(math.abs(row.getDouble(1)) < 1e-15)
+  }
+
   test("expression stays inside WholeStageCodegen") {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
