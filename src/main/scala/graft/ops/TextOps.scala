@@ -137,7 +137,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q47 — deterministic stratified sampling: xxhash64(doc_id) mod 100
+    * buckets each row reproducibly (no rand() state, stable across
+    * runs, retries, and cluster sizes — the property a training-data
+    * sampler must have); per-language rates via a literal map. At
+    * 100 TB this is a pure narrow filter on the scan — no shuffle, no
+    * sampling pass. No DuckDB oracle (xxhash64 is Spark-specific);
+    * RelationalSpec checks determinism and per-stratum rates. */
+  def q47HashSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = map(
+      lit("en"), lit(50), lit("es"), lit(30),
+      lit("fr"), lit(30), lit("de"), lit(30))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(xxhash64(col("doc_id")), lit(100)).cast("int").as("bucket"))
+      .filter(col("bucket") < coalesce(element_at(rates, col("lang")), lit(10)))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_hash_sample" -> (q47HashSample _),
     "q24_dedup_exact" -> (q24DedupExact _),
     "q27_wordcount_topk" -> (q27WordcountTopK _),
     "q34_langid" -> (q34LangId _),

@@ -131,6 +131,20 @@ class RelationalSpec extends AnyFunSuite {
       s"scan not pruned: $scan")
   }
 
+  test("q47: hash sample is deterministic and respects per-stratum rates") {
+    val s1 = graft.ops.TextOps.q47HashSample(spark, dir).collect()
+    val s2 = graft.ops.TextOps.q47HashSample(spark, dir).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq)
+    assert(s1.nonEmpty)
+    // every sampled row's bucket is under its language's rate
+    s1.foreach { r =>
+      val cap = r.getString(1) match {
+        case "en" => 50; case "es" | "fr" | "de" => 30; case _ => 10
+      }
+      assert(r.getInt(2) < cap)
+    }
+  }
+
   test("q44: every segment lists at most 5 names") {
     Relational.q44StringAgg(spark, dir).collect().foreach { r =>
       assert(r.getString(1).split(",").length <= 5)
