@@ -174,6 +174,13 @@ object Similarity {
     inter.toDouble / (a.length + b.length - inter)
   }
 
+  /** Public Column API for the compiled sketches (used by pipelines and
+    * specs; the q-numbered queries below are the declared instances). */
+  def minhashSignature(text: Column): Column = minhashSigUdf(text)
+  def simhashFingerprint(text: Column): Column = simhashUdf(text)
+  def shingleSet(text: Column): Column = shingleSetUdf(text)
+  def exactJaccard(a: Column, b: Column): Column = jaccardUdf(a, b)
+
   /** K independent component hashes from the 64-bit shingle hash:
     * h_i = xxhash64(i, hb). NOT a Kirsch–Mitzenmacher linear family —
     * on a low-entropy corpus (shared vocabulary) a linear combo of two

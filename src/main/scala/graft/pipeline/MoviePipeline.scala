@@ -57,6 +57,19 @@ object MoviePipeline {
       .option("mode", "PERMISSIVE")
       .json(path)
 
+  /** R4 malformed-line surface: PERMISSIVE parse keeps the raw line in a
+    * corrupt-record column instead of failing the file. The reference
+    * retries a failing file 3× and then DROPS it entirely
+    * (DataTransformationService.java:124–126 — silent data loss); the
+    * engine keeps every parseable line and surfaces the bad ones for
+    * counting/quarantine. */
+  def readMoviesWithCorrupt(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(inputSchema.add("_corrupt_record", StringType))
+      .option("pathGlobFilter", "*.json")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** R5–R6: explode `watchedBy` into one rating event per element and
     * project the OUTPUT shape. Parent `movieId` wins over the nested
     * `movie-id` (quirk 1). Empty/null arrays contribute nothing (matching

@@ -17,6 +17,23 @@ class MoviePipelineSpec extends AnyFunSuite {
     rows.toDF("customerId", "movieId", "title", "yearOfRelease", "rating", "date")
       .select("customerId", "movieId", "title", "yearOfRelease", "rating", "date")
 
+  test("g7: malformed lines land in the corrupt column, good lines parse") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    java.nio.file.Files.writeString(tmp.resolve("part.json"),
+      """{"movieId":"m1","title":"T","yearOfRelease":2020,"watchedBy":[{"customer-id":"c1","rating":5,"date":"2024-01-01"}]}
+        |this line is not json at all
+        |{"movieId":"m2","title":"U","yearOfRelease":2021,"watchedBy":[]}
+        |""".stripMargin)
+    val df = MoviePipeline.readMoviesWithCorrupt(spark, tmp.toString).cache()
+    try {
+      assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+      val good = df.filter(col("_corrupt_record").isNull)
+      assert(good.count() == 2)
+      assert(good.select("movieId").collect().map(_.getString(0)).sorted
+        .toSeq == Seq("m1", "m2"))
+    } finally df.unpersist()
+  }
+
   test("g1: parent movieId wins over nested movie-id") {
     val df = MoviePipeline.explodeEvents(movies(
       """{"movieId":"m1","title":"Inception","yearOfRelease":2010,
