@@ -184,12 +184,16 @@ object Relational {
 
   /** q21 — set operations: distinct custkeys with open ('O') vs finished
     * ('F') orders — union / intersect / except, tagged into one output.
-    * Each set op plans as an aggregate or semi/anti join (no sort). */
+    * Each set op plans as an aggregate or semi/anti join (no sort). The
+    * two key sets are persisted: three set ops reference each side, and
+    * without the cache Spark re-scans and re-distincts orders per branch
+    * (6 scans; with it: 2) — the key sets are bounded by customer
+    * cardinality, far below the fact table they summarize. */
   def q21SetOps(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     def keys(status: String): DataFrame =
       o.filter(col("o_orderstatus") === status)
-        .select(col("o_custkey").as("custkey")).distinct()
+        .select(col("o_custkey").as("custkey")).distinct().persist()
     val f = keys("F"); val op = keys("O")
     f.union(op).distinct().withColumn("op", lit("union"))
       .unionByName(f.intersect(op).withColumn("op", lit("intersect")))

@@ -34,7 +34,12 @@ object CorpusPipeline {
     // 1 — exact dedup (hash-groupBy; text never shuffles)
     val keepIds = docs.select(col("doc_id"), sha2(norm, 256).as("h"))
       .groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
-    val exact = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    // persisted: every later stage re-reads the survivors (near-dup
+    // corpus, both sketch sides, scoring) — without this the source is
+    // re-scanned per stage. The in-library analog of checkpointing
+    // between pipeline stages, which is how this runs at 100 TB too
+    // (materialize survivors, then iterate on the much smaller set).
+    val exact = docs.join(keepIds, Seq("doc_id"), "left_semi").persist()
     // 2 — near-dup removal (LSH candidates only; drop the b side)
     val dropB = Similarity.nearDupPairs(exact.select("doc_id", "text"))
       .select(col("b_id").as("doc_id")).distinct()
