@@ -337,6 +337,21 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** q48 — distribution window functions: percent_rank, cume_dist, and
+    * ntile quartiles per customer. Same single-shuffle window shape as
+    * q18; both engines share the (rank-1)/(n-1) and count≤current/n
+    * definitions, so outputs agree exactly (rounded to 6). */
+  def q48WindowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_filter" -> (q10Filter _),
     "q11_join_inner" -> (q11JoinInner _),
@@ -356,7 +371,8 @@ object Relational {
     "q32_percentiles" -> (q32Percentiles _),
     "q33_asof_join" -> (q33AsofJoin _),
     "q43_cube" -> (q43Cube _),
-    "q44_stringagg" -> (q44StringAgg _))
+    "q44_stringagg" -> (q44StringAgg _),
+    "q48_window_distribution" -> (q48WindowDistribution _))
 
   val oracleSql: Map[String, String] = Map(
     "q10_filter" ->
@@ -489,5 +505,14 @@ object Relational {
         |  FROM customer)
         |SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY rn) AS top5_names
         |FROM ranked WHERE rn <= 5
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q48_window_distribution" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }
