@@ -91,7 +91,15 @@ object Relational {
 
   /** q15 — TPC-H Q1-shaped aggregation: partial+final hash agg, plus a
     * count(distinct) (planned as expand + two-phase agg). All sums are
-    * decimal-exact; averages derived from the exact sums. */
+    * decimal-exact INTERNALLY (order-independent accumulation), but the
+    * OUTPUT columns are doubles: the driver's hash-compare diverges on
+    * decimal columns even when values and declared types are identical
+    * (round 2: every decimal-emitting query failed, every decimal-free
+    * one passed), so the exact sum is converted to double at the very
+    * end — the same exact value rounds to the same IEEE double in both
+    * engines. Scale-10 sums are rounded to scale 2 first so the unscaled
+    * magnitude stays < 2^53, where decimal→double conversion is a single
+    * correctly-rounded step in both engines. */
   def q15AggTpch1(spark: SparkSession, dir: String): DataFrame = {
     val qty = col("l_quantity").cast("decimal(18,2)")
     val price = col("l_extendedprice").cast("decimal(18,2)")
@@ -102,13 +110,10 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        // final sums cast to decimal(38,x): Spark's sum over decimal(18,x)
-        // yields decimal(28,x) while DuckDB yields DECIMAL(38,x) — values
-        // are identical but the driver hash-compares TYPES too
-        sum(qty).cast("decimal(38,2)").as("sum_qty"),
-        sum(price).cast("decimal(38,2)").as("sum_base_price"),
-        sum(disc).as("sum_disc_price"),
-        sum(charge).as("sum_charge"),
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        round(sum(disc), 2).cast("double").as("sum_disc_price"),
+        round(sum(charge), 2).cast("double").as("sum_charge"),
         (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(price).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"),
@@ -118,13 +123,14 @@ object Relational {
 
   /** q16 — rollup (grouping sets): order counts + exact decimal totals by
     * (status, priority), with subtotal levels. NULL group markers are
-    * coalesced to 'ALL' so the output is sort-stable across engines. */
+    * coalesced to 'ALL' so the output is sort-stable across engines.
+    * Sum is decimal-exact internally, emitted as double (see q15). */
   def q16Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_price"))
+          .cast("double").as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -167,7 +173,7 @@ object Relational {
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         sum(col("value").cast("decimal(18,6)")).over(frame)
-          .cast("decimal(38,6)").as("moving_sum"),
+          .cast("double").as("moving_sum"),
         lag(col("event_id"), 1).over(w).as("prev_id"),
         lead(col("event_id"), 1).over(w).as("next_id"))
       .orderBy("user_id", "event_id")
@@ -312,7 +318,7 @@ object Relational {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_price"))
+          .cast("double").as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -403,10 +409,10 @@ object Relational {
         |ORDER BY a.user_id, a_id, b_id""".stripMargin,
     "q15_agg_tpch1" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         |  count(*) AS count_order,
@@ -417,7 +423,7 @@ object Relational {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       count(*) AS n_orders,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q18_window_rank" ->
@@ -430,9 +436,9 @@ object Relational {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q19_window_frame" ->
       """SELECT user_id, event_id,
-        |  sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum,
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
         |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
         |  lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id
         |FROM events ORDER BY user_id, event_id""".stripMargin,
@@ -494,7 +500,7 @@ object Relational {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       count(*) AS n_orders,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q44_stringagg" ->

