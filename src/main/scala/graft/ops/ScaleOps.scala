@@ -17,20 +17,29 @@ import org.apache.spark.sql.functions._
 object ScaleOps {
 
   /** Inner equi-join with the fact side's hot keys spread over `nSalts`
-    * sub-keys: each fact row gets a deterministic salt (hash of the
-    * whole row — identical rows collapse, distinct rows of a hot key
-    * spread), and the dim side is replicated once per salt. The join
-    * then distributes a hot key over nSalts reducers instead of one.
+    * sub-keys, and the dim side replicated once per salt. The join then
+    * distributes a hot key over nSalts reducers instead of one.
+    *
+    * The salt comes from the row's PHYSICAL position (partition id +
+    * per-partition counter), not its content: hashing the row's columns
+    * would send byte-identical duplicate rows of a hot key to one salt,
+    * preserving the skew exactly when duplicates dominate. Any salt
+    * value yields the same join result (each fact row meets its dim
+    * match under every salt), so positional assignment is safe; it is
+    * only the SPREAD that matters. The salt column name is picked to
+    * not collide with either input's columns.
+    *
     * Cost: dim side × nSalts (keep dims small or nSalts modest).
     * Result is exactly the plain inner join — proven in ScaleSpec. */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
       nSalts: Int = 8): DataFrame = {
-    val factCols = fact.columns.map(col)
-    val salted = fact.withColumn("__salt",
-      pmod(xxhash64(struct(factCols.toIndexedSeq: _*)), lit(nSalts)).cast("int"))
-    val dimExp = dim.withColumn("__salt",
+    val saltCol = Iterator.from(0).map(i => s"__salt_$i")
+      .find(n => !fact.columns.contains(n) && !dim.columns.contains(n)).get
+    val salted = fact.withColumn(saltCol,
+      pmod(xxhash64(monotonically_increasing_id()), lit(nSalts)).cast("int"))
+    val dimExp = dim.withColumn(saltCol,
       explode(sequence(lit(0), lit(nSalts - 1))))
-    salted.join(dimExp, Seq(key, "__salt")).drop("__salt")
+    salted.join(dimExp, Seq(key, saltCol)).drop(saltCol)
   }
 
   /** Write `state` as a bucketed, sort-within-buckets table so that

@@ -30,6 +30,15 @@ class MinHashAgg(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
 /** q25/q26/q38/q39: near-duplicate detection and similarity search over
   * `documents` / `embeddings` — the LLM-training-data workhorses.
   *
+  * Cache lifecycle contract: builders that feed one computed table into
+  * BOTH sides of a self-join (`nearDupPairs`, q38/q39/q41/q42) persist
+  * that intermediate — it is sketch-sized (≤ ~128 B per document), never
+  * text. The persist belongs to the returned plan; a caller composing
+  * many invocations in one session reclaims the blocks with
+  * `spark.catalog.clearCache()` (or `unpersist` on the input) between
+  * runs — the library cannot unpersist for you because the returned
+  * DataFrame is lazy and the blocks must outlive its materialization.
+  *
   * Scale design:
   *  - MinHash/LSH (q25) shuffles k=16 longs per document, never text;
   *    candidate pairs come from equi-joins on band keys (no all-pairs).

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   * metadata; at the point it isn't, the standard move is budgeting per
   * shard (partitionBy a shard key) or pre-aggregating counts per
   * doc_id range and cutting at the range boundary.
+  *
+  * Cache lifecycle: `prepare` persists the exact-dedup survivors (and
+  * [[graft.ops.Similarity.nearDupPairs]] persists its signature table)
+  * for the duration of the returned plan. Callers running many
+  * pipelines in one session should `spark.catalog.clearCache()` between
+  * runs — see the contract note on [[graft.ops.Similarity]].
   */
 object CorpusPipeline {
 

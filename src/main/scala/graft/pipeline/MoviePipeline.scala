@@ -62,13 +62,26 @@ object MoviePipeline {
     * retries a failing file 3× and then DROPS it entirely
     * (DataTransformationService.java:124–126 — silent data loss); the
     * engine keeps every parseable line and surfaces the bad ones for
-    * counting/quarantine. */
-  def readMoviesWithCorrupt(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(inputSchema.add("_corrupt_record", StringType))
+    * counting/quarantine.
+    *
+    * Implemented as text-source + `from_json` rather than the JSON
+    * datasource with a corrupt-record column: the JSON scan raises
+    * AnalysisException on queries that reference ONLY `_corrupt_record`
+    * (e.g. a quarantine count) unless the frame was cached first — a
+    * trap for library callers, and caching a 100 TB read is not an
+    * option. `from_json` carries the corrupt line in the struct with no
+    * such restriction and streams at any scale. */
+  def readMoviesWithCorrupt(spark: SparkSession, path: String): DataFrame = {
+    val schemaWithCorrupt = inputSchema.add("_corrupt_record", StringType)
+    spark.read
       .option("pathGlobFilter", "*.json")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+      .text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"), schemaWithCorrupt,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+      .select(col("r.*"))
+  }
 
   /** R5–R6: explode `watchedBy` into one rating event per element and
     * project the OUTPUT shape. Parent `movieId` wins over the nested
