@@ -1,0 +1,312 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q49–q59: the second relational wave — subqueries, conditional
+  * aggregation, grouping sets, unpivot, null-safe joins, interval range
+  * frames, value window functions, edit distance, union-by-name, the
+  * TPC-H Q3 join pipeline, and time-series gap filling. All follow the
+  * determinism rules in [[Relational]] (total ORDER BY, decimal-exact
+  * sums emitted as double, no decimal/timestamp output columns —
+  * timestamps leave as epoch micros int64).
+  */
+object Extended {
+
+  /** q49 — explicit GROUPING SETS (not rollup/cube): the (status)-only
+    * and (priority)-only marginals in ONE pass. Spark plans grouping
+    * sets as a single Expand (one row per set per input) feeding one
+    * hash aggregate — not N scans; at 100 TB that is the only shape
+    * that reads the fact table once. */
+  def q49GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  /** q50 — subqueries: EXISTS (→ left-semi join, no row duplication)
+    * and a scalar aggregate subquery (→ one global agg broadcast into
+    * the filter; Catalyst plans it as a subquery reuse, the fact table
+    * is still read once). Orders that contain a near-max-quantity line
+    * AND price above the global average. */
+  def q50Subqueries(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val big = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 49).select("l_orderkey")
+    val avgPrice = orders
+      .agg(avg(col("o_totalprice")).as("ap"))
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("ap"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q51 — conditional aggregation: per-status urgent-order counts and
+    * totals in one pass over orders (sum(CASE WHEN) / count FILTER —
+    * no self-join, no second scan). Sums decimal-exact, emitted double. */
+  def q51ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = col("o_orderpriority") === "1-URGENT"
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(when(urgent, 1)).as("n_urgent"),
+        sum(when(urgent, col("o_totalprice")).otherwise(lit(0.0))
+          .cast("decimal(18,2)")).cast("double").as("urgent_price"),
+        (count(when(urgent, 1)).cast("double") / count(lit(1)))
+          .as("urgent_frac"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** q52 — null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL
+    * keys MATCH each other instead of dropping out. NULLs are injected
+    * via nullif on one region key so the fixture exercises the
+    * null=null path. Spark still hash-partitions `<=>` keys (nulls form
+    * one group), so the join stays an equi hash join, not a BNL. */
+  def q52NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"),
+        nullif(col("n_regionkey"), lit(2)).as("rk"))
+    val r = Tables.region(spark, dir)
+      .select(col("r_name"), nullif(col("r_regionkey"), lit(2)).as("rk"))
+    n.join(r, n("rk") <=> r("rk"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+  }
+
+  /** q53 — unpivot / melt: wide part metrics → long (partkey, metric,
+    * val). Planned as an Expand (one output row per unpivoted column
+    * per input row) — single pass, no join, no shuffle. */
+  def q53Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retail"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+        "metric", "val")
+      .orderBy("p_partkey", "metric")
+
+  /** q54 — interval RANGE window frame: per-user trailing-1-hour sum of
+    * `value` ordered by event time. RANGE frames bound by VALUE (here
+    * time), not row count — same-timestamp rows always share a frame,
+    * so the result is deterministic even under ties. Decimal-exact sum
+    * emitted as double (frames are small: magnitude << 2^53). */
+  def q54RangeFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("trailing_1h_sum",
+        expr("""CAST(sum(v) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE)"""))
+      .select(col("user_id"), col("event_id"), col("trailing_1h_sum"))
+      .orderBy("user_id", "event_id")
+
+  /** q55 — value window functions: first/last/nth order price per
+    * customer over the full partition frame (ROWS UNBOUNDED..UNBOUNDED
+    * so last_value sees the whole partition, not the default growing
+    * frame). Order within the partition is made total by (date, key). */
+  def q55ValueWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q56 — string edit distance: levenshtein between the part name and
+    * its type label — the classic fuzzy-matching scalar (entity
+    * resolution, near-dup candidate scoring). Pure codegen'd per-row
+    * function: embarrassingly parallel at any scale. */
+  def q56EditDistance(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_type"),
+        levenshtein(col("p_name"), lower(col("p_type"))).as("lev"))
+      .orderBy("p_partkey")
+
+  /** q57 — union by NAME (schema alignment): two differently-shaped
+    * entity projections stacked by column name, missing columns
+    * null-filled — the schema-evolution-tolerant union (positional
+    * union would silently mismatch columns). */
+  def q57UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+        col("s_acctbal").as("bal"), lit("supplier").as("origin"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_name").as("name"), col("c_custkey").as("id"),
+        lit("customer").as("origin")) // different order, no bal
+    sup.unionByName(cust, allowMissingColumns = true)
+      .orderBy("origin", "id")
+  }
+
+  /** q58 — the TPC-H Q3 pipeline: 3-way join (dimension-filtered
+    * customer ⋈ orders ⋈ lineitem) → agg → top-10. The scale-defining
+    * plan: both date filters push to the parquet scans, the customer
+    * side (1 segment = ~1/5 of a dim table) broadcasts, lineitem — the
+    * 100 TB side — is read once and never re-shuffled except on its
+    * join key. Revenue is decimal-exact, emitted double; top-k is
+    * TakeOrderedAndProject (per-partition heads, no global sort). */
+  def q58TpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1996-01-01"
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,10)").as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        // o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC so the
+        // cast to instant is identity and unix_micros applies
+        unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q59 — time-series gap filling: hourly event counts with EMPTY
+    * hours zero-filled. The hour spine is generated from the data's own
+    * min/max (sequence + explode — a few thousand rows at any sf, so
+    * the left join broadcasts the counts side or the spine side, never
+    * the raw events). */
+  def q59GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"))
+    val counts = hours.groupBy("h").agg(count(lit(1)).as("n"))
+    val spine = hours.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    spine.join(counts, Seq("h"), "left")
+      .select(unix_micros(col("h")).as("h_us"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("h_us")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_grouping_sets" -> (q49GroupingSets _),
+    "q50_subqueries" -> (q50Subqueries _),
+    "q51_conditional_agg" -> (q51ConditionalAgg _),
+    "q52_nullsafe_join" -> (q52NullSafeJoin _),
+    "q53_unpivot" -> (q53Unpivot _),
+    "q54_range_frame" -> (q54RangeFrame _),
+    "q55_value_window" -> (q55ValueWindow _),
+    "q56_edit_distance" -> (q56EditDistance _),
+    "q57_union_by_name" -> (q57UnionByName _),
+    "q58_tpch_q3" -> (q58TpchQ3 _),
+    "q59_gap_fill" -> (q59GapFill _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q49_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+    "q50_subqueries" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |  AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q51_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |                     THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,2)))
+        |       AS DOUBLE) AS urgent_price,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+        |    / count(*) AS urgent_frac
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q52_nullsafe_join" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM (SELECT n_nationkey, n_name, nullif(n_regionkey, 2) AS rk FROM nation) n
+        |JOIN (SELECT r_name, nullif(r_regionkey, 2) AS rk FROM region) r
+        |  ON n.rk IS NOT DISTINCT FROM r.rk
+        |ORDER BY n_nationkey""".stripMargin,
+    "q53_unpivot" ->
+      """SELECT p_partkey, metric, val
+        |FROM (UNPIVOT (SELECT p_partkey,
+        |                      CAST(p_size AS DOUBLE) AS size,
+        |                      p_retailprice AS retail
+        |               FROM part)
+        |      ON size, retail INTO NAME metric VALUE val)
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "q54_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS trailing_1h_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q55_value_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q56_edit_distance" ->
+      """SELECT p_partkey, p_name, p_type,
+        |       CAST(levenshtein(p_name, lower(p_type)) AS INT) AS lev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q57_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT s_suppkey AS id, s_name AS name, s_acctbal AS bal,
+        |         'supplier' AS origin FROM supplier
+        |  UNION ALL BY NAME
+        |  SELECT c_name AS name, c_custkey AS id, CAST(NULL AS DOUBLE) AS bal,
+        |         'customer' AS origin FROM customer)
+        |ORDER BY origin, id""".stripMargin,
+    "q58_tpch_q3" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+        |  CAST(ROUND(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                      AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q59_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT min(h) FROM hourly),
+        |                                (SELECT max(h) FROM hourly),
+        |                                INTERVAL 1 HOUR)) AS h)
+        |SELECT epoch_us(spine.h) AS h_us, coalesce(hourly.n, 0) AS n
+        |FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+        |ORDER BY h_us""".stripMargin)
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.Extended
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the q49–q59 wave — properties the DuckDB oracle
+  * can't see (plan shape) or that pin the intent independent of it. */
+class ExtendedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  val dir: String = SparkTest.sfDir
+
+  test("q49: grouping sets emits exactly the two marginals") {
+    val rows = Extended.q49GroupingSets(spark, dir).collect()
+    // each row belongs to exactly one set: (status, ALL) or (ALL, priority)
+    assert(rows.forall(r => (r.getString(0) == "ALL") != (r.getString(1) == "ALL")))
+    val statusTotal = rows.filter(_.getString(1) == "ALL").map(_.getLong(2)).sum
+    val prioTotal = rows.filter(_.getString(0) == "ALL").map(_.getLong(2)).sum
+    val n = Tables.orders(spark, dir).count()
+    assert(statusTotal == n && prioTotal == n)
+  }
+
+  test("q49: grouping sets plans one Expand, not N scans") {
+    val plan = Extended.q49GroupingSets(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert("FileScan".r.findAllIn(plan).size == 1)
+  }
+
+  test("q50: exists-subquery keeps no duplicates and respects both predicates") {
+    val out = Extended.q50Subqueries(spark, dir).collect()
+    val keys = out.map(_.getLong(0))
+    assert(keys.distinct.length == keys.length)
+    val avg = Tables.orders(spark, dir)
+      .agg(org.apache.spark.sql.functions.avg("o_totalprice"))
+      .collect().head.getDouble(0)
+    assert(out.forall(_.getDouble(2) > avg))
+  }
+
+  test("q52: null-safe join matches nulled keys to each other") {
+    val out = Extended.q52NullSafeJoin(spark, dir).collect()
+    assert(out.length == 25) // every nation matched, incl. region 2 via NULL<=>NULL
+    val nulled = Tables.nation(spark, dir)
+      .filter(col("n_regionkey") === 2).count()
+    val viaNull = out.count(r => {
+      val rn = r.getString(2); rn != null
+    })
+    assert(viaNull == 25 && nulled > 0)
+  }
+
+  test("q53: unpivot yields 2 rows per part, one per metric") {
+    val nParts = Tables.part(spark, dir).count()
+    val out = Extended.q53Unpivot(spark, dir)
+    assert(out.count() == 2 * nParts)
+    assert(out.select("metric").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("retail", "size"))
+  }
+
+  test("q54: interval range frame is monotone within a 1-row user burst") {
+    // trailing 1h sum of a single event >= that event's own value
+    val joined = Extended.q54RangeFrame(spark, dir)
+      .join(Tables.events(spark, dir).select(col("event_id"), col("value")),
+        "event_id")
+    val bad = joined.filter(col("trailing_1h_sum") <
+      col("value").cast("decimal(18,6)").cast("double") - lit(1e-9)).count()
+    assert(bad == 0)
+  }
+
+  test("q55: first/last prices bound every row's own price ordering") {
+    val rows = Extended.q55ValueWindow(spark, dir).collect()
+    // first/last are constant within a customer partition
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getDouble(2)).distinct.length == 1)
+      assert(rs.map(_.getDouble(3)).distinct.length == 1)
+    }
+  }
+
+  test("q57: union by name aligns columns and null-fills the missing one") {
+    val out = Extended.q57UnionByName(spark, dir)
+    val cust = out.filter(col("origin") === "customer")
+    assert(cust.filter(col("bal").isNotNull).count() == 0)
+    val sup = out.filter(col("origin") === "supplier")
+    assert(sup.filter(col("bal").isNull).count() == 0)
+  }
+
+  test("q58: plan broadcasts the dimension side and takes ordered top-k") {
+    val plan = Extended.q58TpchQ3(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q58: revenue is descending with orderkey tiebreak") {
+    val rows = Extended.q58TpchQ3(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) > b.getDouble(2) ||
+        (a.getDouble(2) == b.getDouble(2) && a.getLong(0) < b.getLong(0)))
+    }
+  }
+
+  test("q59: spine is a complete hourly sequence and zero-fills gaps") {
+    val rows = Extended.q59GapFill(spark, dir).collect()
+    val hours = rows.map(_.getLong(0))
+    assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600L * 1000000 })
+    val nEvents = Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nEvents)
+  }
+}
