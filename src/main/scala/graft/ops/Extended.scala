@@ -206,7 +206,37 @@ object Extended {
       .orderBy("h_us")
   }
 
+  /** q60 — sequence packing for training batches: documents in doc_id
+    * order are packed into fixed-capacity token bins (bin = the
+    * capacity-quotient of the tokens BEFORE this doc — the streaming
+    * pack: a doc may straddle its bin boundary, matching how sequence
+    * packers chunk concatenated corpora). Output is per-bin stats.
+    *
+    * Scale: the running total is a global window over (doc_id,
+    * n_tokens) pairs only — text never enters the shuffle. At the point
+    * a single reducer over doc metadata saturates (~billions of docs),
+    * pack per shard: range-partition doc_id, pack within shards, offset
+    * bin ids by a per-shard exclusive prefix sum (one tiny driver-side
+    * pass over shard totals). */
+  def q60PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.fanout(Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(cap)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_pack_sequences" -> (q60PackSequences _),
     "q49_grouping_sets" -> (q49GroupingSets _),
     "q50_subqueries" -> (q50Subqueries _),
     "q51_conditional_agg" -> (q51ConditionalAgg _),
@@ -220,6 +250,20 @@ object Extended {
     "q59_gap_fill" -> (q59GapFill _))
 
   val oracleSql: Map[String, String] = Map(
+    "q60_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
     "q49_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

@@ -100,6 +100,19 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("q60: packing conserves tokens and bins partition the doc order") {
+    val rows = Extended.q60PackSequences(spark, dir).collect()
+    val total = Tables.documents(spark, dir)
+      .select(regexp_count(col("text"), lit("\\S+")).cast("long").as("t"))
+      .agg(sum("t")).collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == total)
+    // bins are contiguous and doc ranges never interleave
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(0) > a.getLong(0))
+      assert(b.getLong(3) > a.getLong(4)) // next first_doc > prev last_doc
+    }
+  }
+
   test("q59: spine is a complete hourly sequence and zero-fills gaps") {
     val rows = Extended.q59GapFill(spark, dir).collect()
     val hours = rows.map(_.getLong(0))
