@@ -94,6 +94,30 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "event_id")
 
+  /** Stream-stream inner join with an event-time interval: each click
+    * joins the purchases of the SAME user that happen within 1 hour
+    * after it. Both sides carry watermarks and the join condition
+    * bounds event-time distance, so each side's buffered state is
+    * bounded (watermark + interval) and rows are evicted as the
+    * watermark advances — the only shape under which Spark permits an
+    * append-mode stream-stream join. Batch-evaluable too (same
+    * expressions; the interval condition becomes a range join). */
+  def streamingIntervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("c_id"), col("p_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        unix_micros(col("p_ts")).as("p_ts_us"))
+  }
+
   /** Streaming keyed upsert (the reference's Redis merge, R10): keep the
     * latest event per (user_id, event_type); ties favor existing state —
     * the strict `Date.after` rule (SURVEY.md §2.2 quirk 2). State never

@@ -23,4 +23,37 @@ class SourcesSpec extends AnyFunSuite {
     val b = cust.orderBy("c_custkey").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("orc source: roundtrip preserves rows and schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val sup = Tables.supplier(spark, dir)
+    sup.write.mode("overwrite").orc(tmp)
+    val back = spark.read.orc(tmp)
+    assert(back.schema == sup.schema)
+    assert(back.orderBy("s_suppkey").collect().map(_.toSeq).toSeq ==
+      sup.orderBy("s_suppkey").collect().map(_.toSeq).toSeq)
+  }
+
+  test("partitioned parquet write: a partition filter prunes the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    // hive-style layout on disk: one directory per status value
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("o_orderstatus=")) && dirs.length >= 2)
+    val q = spark.read.parquet(tmp).filter(org.apache.spark.sql.functions
+      .col("o_orderstatus") === "F")
+    // the filter must land in the scan's partitionFilters (directory
+    // pruning — at 100 TB this is reading 1/N of the data, not scanning
+    // and discarding), not in a post-scan Filter over all partitions
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      "status filter should prune partitions at the scan")
+    val expected = Tables.orders(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F").count()
+    assert(q.count() == expected)
+  }
 }

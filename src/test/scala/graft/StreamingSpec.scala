@@ -107,4 +107,36 @@ class StreamingSpec extends AnyFunSuite {
         "late event must not reopen or change the finalized window")
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch evaluation") {
+    val clicks = MemoryStream[EventIn](spark)
+    val purchases = MemoryStream[EventIn](spark)
+    val q = StreamingOps.streamingIntervalJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      val cRows = Seq(
+        EventIn(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
+        EventIn(2, ts("2024-01-01 10:30:00"), 1, "click", 0),
+        EventIn(3, ts("2024-01-01 10:00:00"), 2, "click", 0))
+      val pRows = Seq(
+        EventIn(10, ts("2024-01-01 10:45:00"), 1, "purchase", 0), // joins c1+c2
+        EventIn(11, ts("2024-01-01 12:00:00"), 1, "purchase", 0), // too late for both
+        EventIn(12, ts("2024-01-01 10:10:00"), 2, "purchase", 0), // joins c3
+        EventIn(13, ts("2024-01-01 09:59:00"), 2, "purchase", 0)) // before c3
+      clicks.addData(cRows); purchases.addData(pRows)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .select("c_id", "p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(streamed == Seq((1L, 10L), (2L, 10L), (3L, 12L)), s"got $streamed")
+      // batch evaluation of the same builder on static frames agrees
+      import spark.implicits._
+      val batch = StreamingOps.streamingIntervalJoin(
+          cRows.toDF(), pRows.toDF())
+        .select("c_id", "p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(batch == streamed)
+    } finally q.stop()
+  }
 }
