@@ -2,8 +2,41 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+
+/** One ranked entry: `ord` is the ranking value, `id` the payload key
+  * and the deterministic tiebreak (desc by ord, asc by id). */
+case class TopKEntry(ord: Double, id: Long)
+
+/** Bounded top-k per group as a typed Aggregator: the buffer is a
+  * sorted ≤k-element list, so PARTIAL aggregation applies — each map
+  * task reduces its rows to at most k entries per group BEFORE the
+  * shuffle. The window+row_number formulation (the q18/q20 shape)
+  * must shuffle and sort every row; this shuffles ≤ k·partitions rows
+  * per group no matter how large the group is — the 100 TB answer to
+  * "top N per key" on skewed keys. */
+class TopKAgg(k: Int)
+    extends Aggregator[TopKEntry, List[TopKEntry], Seq[TopKEntry]] {
+  private def better(a: TopKEntry, b: TopKEntry): Boolean =
+    a.ord > b.ord || (a.ord == b.ord && a.id < b.id)
+  private def insert(b: List[TopKEntry], a: TopKEntry): List[TopKEntry] =
+    if (b.lengthCompare(k) >= 0 && !better(a, b.last)) b
+    else {
+      val (hi, lo) = b.span(better(_, a))
+      (hi ::: a :: lo).take(k)
+    }
+  def zero: List[TopKEntry] = Nil
+  def reduce(b: List[TopKEntry], a: TopKEntry): List[TopKEntry] = insert(b, a)
+  def merge(b1: List[TopKEntry], b2: List[TopKEntry]): List[TopKEntry] =
+    b2.foldLeft(b1)(insert)
+  def finish(b: List[TopKEntry]): Seq[TopKEntry] = b
+  def bufferEncoder: org.apache.spark.sql.Encoder[List[TopKEntry]] =
+    ExpressionEncoder[List[TopKEntry]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[TopKEntry]] =
+    ExpressionEncoder[Seq[TopKEntry]]()
+}
 
 /** q49–q59: the second relational wave — subqueries, conditional
   * aggregation, grouping sets, unpivot, null-safe joins, interval range
@@ -235,7 +268,48 @@ object Extended {
       .orderBy("bin")
   }
 
+  /** q61 — top-3 orders per customer via [[TopKAgg]]: partial top-k on
+    * the map side (≤3 rows per customer per task cross the wire), final
+    * merge per key, posexplode for ranks. Same result as the
+    * window+row_number shape, radically less shuffle on big/skewed
+    * groups. */
+  def q61TopKPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new TopKAgg(3).toColumn
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => TopKEntry(r._2, r._3))
+      .agg(topk.name("top"))
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e.id").as("o_orderkey"), col("e.ord").as("o_totalprice"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** q62 — PII scrubbing for training corpora: redact email-shaped and
+    * long-digit-run substrings, count what was removed. Regexes stay in
+    * the dialect subset Java and RE2 agree on (character classes +
+    * bounded repetition). Pure per-row projection — codegen'd, no
+    * shuffle, embarrassingly parallel at any scale. */
+  def q62PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-zA-Z0-9._]+@[a-zA-Z0-9]+\\.[a-zA-Z]+"
+    val digits = "[0-9]{4,}"
+    Tables.fanout(Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_emails"),
+        regexp_count(col("text"), lit(digits)).as("n_digit_runs"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          digits, "<NUM>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_topk_per_key" -> (q61TopKPerKey _),
+    "q62_pii_redact" -> (q62PiiRedact _),
     "q60_pack_sequences" -> (q60PackSequences _),
     "q49_grouping_sets" -> (q49GroupingSets _),
     "q50_subqueries" -> (q50Subqueries _),
@@ -250,6 +324,21 @@ object Extended {
     "q59_gap_fill" -> (q59GapFill _))
 
   val oracleSql: Map[String, String] = Map(
+    "q61_topk_per_key" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q62_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9]+\.[a-zA-Z]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INT) AS n_digit_runs,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._]+@[a-zA-Z0-9]+\.[a-zA-Z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q60_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

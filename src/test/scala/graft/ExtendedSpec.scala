@@ -113,6 +113,44 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("q61: aggregator top-k equals the window+row_number formulation") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val viaWindow = Tables.orders(spark, dir)
+      .withColumn("rnk", row_number().over(
+        W.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk").cast("long"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rnk").collect().map(_.toSeq).toSeq
+    val viaAgg = Extended.q61TopKPerKey(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("q61: the plan is a partial+final aggregate, not a window sort") {
+    val plan = Extended.q61TopKPerKey(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "top-k per key must not plan a Window")
+  }
+
+  test("q62: redaction removes every counted match and only those docs change") {
+    val out = Extended.q62PiiRedact(spark, dir)
+    // no email/digit-run survives in the redacted text
+    val survivors = out.filter(
+      regexp_count(col("redacted"),
+        lit("[a-zA-Z0-9._]+@[a-zA-Z0-9]+\\.[a-zA-Z]+")) > 0 ||
+      regexp_count(col("redacted"), lit("[0-9]{4,}")) > 0).count()
+    assert(survivors == 0)
+    // a doc changes iff something was counted
+    val joined = out.join(
+      Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+    val inconsistent = joined.filter(
+      (col("n_emails") + col("n_digit_runs") > 0) =!=
+        (col("text") =!= col("redacted"))).count()
+    assert(inconsistent == 0)
+  }
+
   test("q59: spine is a complete hourly sequence and zero-fills gaps") {
     val rows = Extended.q59GapFill(spark, dir).collect()
     val hours = rows.map(_.getLong(0))
