@@ -24,7 +24,8 @@ object SparkEntry {
     ops.CorePipeline.queries ++ ops.Relational.queries ++
       ops.TextOps.queries ++ ops.Similarity.queries ++
       ops.StreamingOps.queries ++ ops.MultimodalOps.queries ++
-      pipeline.CorpusPipeline.queries ++ ops.Extended.queries
+      pipeline.CorpusPipeline.queries ++ ops.Extended.queries ++
+      ops.GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     ops.CorePipeline.oracleSql ++ ops.Relational.oracleSql ++
       ops.TextOps.oracleSql ++ ops.Similarity.oracleSql ++
       ops.StreamingOps.oracleSql ++ ops.MultimodalOps.oracleSql ++
-      pipeline.CorpusPipeline.oracleSql ++ ops.Extended.oracleSql
+      pipeline.CorpusPipeline.oracleSql ++ ops.Extended.oracleSql ++
+      ops.GraphOps.oracleSql
 }

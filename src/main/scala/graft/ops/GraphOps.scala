@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q63–q64: correlated subqueries and connected components.
+  *
+  * Connected components is the missing half of every near-dup dedup:
+  * pair detection (q25/q39/q41/q42) yields EDGES, but "keep one doc per
+  * duplicate set" needs the transitive closure — the component — so
+  * that a~b, b~c collapses to one survivor even when a~c was never
+  * detected. Component id = min member id, the standard deterministic
+  * choice.
+  */
+object GraphOps {
+
+  /** Minimum-label propagation to a fixpoint: every vertex repeatedly
+    * takes the min label over itself and its neighbors. Converges in
+    * O(component diameter) rounds; each round is one shuffle (edges ⋈
+    * labels, groupBy min). The driver only checks the per-round change
+    * COUNT — all real work is distributed. At 100 TB-scale graphs the
+    * round count is the limiter; the standard fix is the
+    * alternating large/small-star algorithm (pointer doubling, O(log n)
+    * rounds) — same dataflow per round, so this method is the honest
+    * small-diameter version of it.
+    *
+    * `edges` must have columns (src, dst); treated as undirected. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = vertices.select(col("id"), col("id").as("label")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighbor labels: for each edge (src,dst), dst receives src's label
+      val nbr = und.join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(nbr)
+        .groupBy("id").agg(min("label").as("label")).persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** q63 — correlated aggregate subquery: orders priced above THEIR
+    * customer's average order price. Expressed decorrelated (per-key
+    * aggregate joined back on the key) — exactly the rewrite Catalyst
+    * applies to the correlated SQL form, so the DataFrame shape IS the
+    * optimized plan: one extra aggregate + one equi join, no
+    * per-row subquery execution. */
+  def q63CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // price > avg compared as price·n > sum in exact decimals: a double
+    // avg is accumulation-order-dependent in its last ulp, and a strict
+    // comparison at the boundary must not hinge on that
+    val perCust = o.groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
+        count(lit(1)).as("n_ord"))
+    o.join(perCust, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice").cast("decimal(18,2)") * col("n_ord")
+        > col("sum_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q64 — connected components over a deterministic near-in-time event
+    * graph: edges join events of the same user ≤ 5 minutes apart
+    * (the q14 range-join shape, tighter window); components are bursts
+    * of activity. Output: every event with its component id (min
+    * event_id in the component) and the component size. Oracle: DuckDB
+    * recursive-CTE transitive closure (small components ⇒ closure is
+    * cheap for the oracle; the ENGINE never materializes a closure). */
+  def q64ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val a = ev.select(col("user_id"), col("event_id").as("src"), col("us").as("a_us"))
+    val b = ev.select(col("user_id"), col("event_id").as("dst"), col("us").as("b_us"))
+    val edges = a.join(b, Seq("user_id"))
+      .filter(col("src") < col("dst") &&
+        col("b_us") >= col("a_us") && col("b_us") - col("a_us") <= 300000000L)
+      .select("src", "dst")
+    val verts = ev.select(col("event_id").as("id"))
+    val labels = connectedComponents(verts, edges)
+    labels.groupBy("label").agg(count(lit(1)).as("component_size"))
+      .join(labels, "label")
+      .select(col("id").as("event_id"), col("label").as("component_id"),
+        col("component_size"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_correlated_subquery" -> (q63CorrelatedSubquery _),
+    "q64_connected_components" -> (q64ConnectedComponents _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q63_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |      * (SELECT count(*) FROM orders o2
+        |         WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q64_connected_components" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |edges AS (
+        |  SELECT a.event_id AS src, b.event_id AS dst
+        |  FROM ev a JOIN ev b USING (user_id)
+        |  WHERE a.event_id < b.event_id
+        |    AND b.us >= a.us AND b.us - a.us <= 300000000),
+        |und AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT dst, src FROM edges),
+        |reach AS (
+        |  SELECT event_id AS id, event_id AS r FROM ev
+        |  UNION
+        |  SELECT reach.id, und.dst AS r
+        |  FROM reach JOIN und ON reach.r = und.src),
+        |labels AS (
+        |  SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+        |sizes AS (
+        |  SELECT component_id, count(*) AS component_size
+        |  FROM labels GROUP BY component_id)
+        |SELECT labels.id AS event_id, labels.component_id,
+        |       sizes.component_size
+        |FROM labels JOIN sizes USING (component_id)
+        |ORDER BY event_id""".stripMargin)
+}

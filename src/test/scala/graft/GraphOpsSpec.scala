@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.GraphOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  val dir: String = SparkTest.sfDir
+  import spark.implicits._
+
+  test("connected components on a known graph: chains, triangle, isolate") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} (isolated)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val labels = GraphOps.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(labels(20L) == 20L)
+  }
+
+  test("q64: component membership is transitive over 5-minute adjacency") {
+    val out = GraphOps.q64ConnectedComponents(spark, dir)
+    val rows = out.collect()
+    // component id is the min event_id of its members
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid)
+      assert(members.forall(_.getLong(2) == members.length))
+    }
+    // every event appears exactly once
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.length == Tables.events(spark, dir).count())
+  }
+
+  test("q63: kept orders strictly exceed their customer's average") {
+    val out = GraphOps.q63CorrelatedSubquery(spark, dir)
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) /
+        count(lit(1))).as("ca"))
+    val bad = out.join(perCust, "o_custkey")
+      .filter(col("o_totalprice").cast("decimal(18,2)") <= col("ca") - 0.005)
+      .count()
+    assert(bad == 0)
+    assert(out.count() > 0)
+  }
+}
