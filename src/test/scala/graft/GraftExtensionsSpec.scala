@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.CosineSim
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions route: a session built with
+  * `withExtensions(new GraftExtensions)` gets `cosine_sim` in SQL. The
+  * extension session shares the test SparkContext (never stopped);
+  * active/default session state is restored afterwards so the shared
+  * suite session is unaffected. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private def withExtensionSession[T](body: SparkSession => T): T = {
+    val prev = SparkTest.session // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      body(s2)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
+  test("injectFunction: cosine_sim is callable from SQL") {
+    withExtensionSession { s2 =>
+      val r = s2.sql(
+        """SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c,
+          |       cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS o
+          |""".stripMargin).collect().head
+      assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+    }
+  }
+
+  test("literal cosine_sim constant-folds via the BinaryExpression foldable contract") {
+    // no injected optimizer rule needed: CosineSim inherits foldable =
+    // (left.foldable && right.foldable) from BinaryExpression, so
+    // built-in ConstantFolding evaluates literal calls at plan time —
+    // this pin is why GraftExtensions deliberately injects no rule
+    withExtensionSession { s2 =>
+      val df = s2.sql(
+        "SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS c")
+      val remaining = df.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case c: CosineSim => c })
+      assert(remaining.isEmpty,
+        s"expected folded plan, got:\n${df.queryExecution.optimizedPlan}")
+      assert(math.abs(df.collect().head.getDouble(0) - 1.0) < 1e-12)
+    }
+  }
+}
