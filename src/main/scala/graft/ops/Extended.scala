@@ -307,7 +307,52 @@ object Extended {
       .orderBy("doc_id")
   }
 
+  /** q65 — conversion funnel (event-sequence detection): each click's
+    * FIRST purchase by the same user within 30 minutes. The candidate
+    * join is equi on user_id with a time-band residual (the q14 range
+    * shape — an equi anchor, never a cartesian); "first" is a
+    * row_number over (purchase time, id) per click with a total
+    * tiebreak. The window partitions by click id — millions of tiny
+    * partitions, the shape window engines scale on (no skew possible:
+    * partition size = purchases within 30 min of one click). */
+  def q65Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("us").as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("us").as("p_us"))
+    val w = Window.partitionBy("c_id").orderBy("p_us", "p_id")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_us") > col("c_us") &&
+          col("p_us") - col("c_us") <= 1800000000L)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("c_id"), col("p_id"),
+        (col("p_us") - col("c_us")).as("delay_us"))
+      .orderBy("c_id")
+  }
+
+  /** q66 — value histogram: fixed-width price buckets (10 × 60k, last
+    * bucket open-ended) with counts and exact bucket totals. One
+    * partial+final aggregate — the single-pass histogram any profiling
+    * stage runs over a fact column at scale. */
+  def q66Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(least(floor(col("o_totalprice") / 60000), lit(9L)).as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("bucket_total"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_funnel" -> (q65Funnel _),
+    "q66_histogram" -> (q66Histogram _),
     "q61_topk_per_key" -> (q61TopKPerKey _),
     "q62_pii_redact" -> (q62PiiRedact _),
     "q60_pack_sequences" -> (q60PackSequences _),
@@ -324,6 +369,25 @@ object Extended {
     "q59_gap_fill" -> (q59GapFill _))
 
   val oracleSql: Map[String, String] = Map(
+    "q65_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT user_id, c_id, p_id, delay_us FROM (
+        |  SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id,
+        |         p.us - c.us AS delay_us,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |                            ORDER BY p.us, p.event_id) AS rn
+        |  FROM ev c JOIN ev p
+        |    ON c.user_id = p.user_id
+        |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |   AND p.us > c.us AND p.us - c.us <= 1800000000)
+        |WHERE rn = 1 ORDER BY c_id""".stripMargin,
+    "q66_histogram" ->
+      """SELECT least(CAST(floor(o_totalprice / 60000) AS BIGINT), 9) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS bucket_total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q61_topk_per_key" ->
       """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

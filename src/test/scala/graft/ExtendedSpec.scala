@@ -151,6 +151,19 @@ class ExtendedSpec extends AnyFunSuite {
     assert(inconsistent == 0)
   }
 
+  test("q65: each click converts at most once, to a later in-window purchase") {
+    val rows = Extended.q65Funnel(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length) // one row per click
+    assert(rows.forall(r => r.getLong(3) > 0 && r.getLong(3) <= 1800000000L))
+  }
+
+  test("q66: histogram buckets cover all orders exactly once") {
+    val rows = Extended.q66Histogram(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, dir).count())
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+  }
+
   test("q59: spine is a complete hourly sequence and zero-fills gaps") {
     val rows = Extended.q59GapFill(spark, dir).collect()
     val hours = rows.map(_.getLong(0))
