@@ -56,4 +56,14 @@ object KVSink {
       finally store.close()
     }
   }
+
+  /** Streaming write via `foreachBatch`: each micro-batch goes through
+    * the batch path above, so the sink logic is written ONCE and reused
+    * in both modes (the foreachBatch route is also where idempotent /
+    * transactional upserts keyed on (key, batchId) would live — the
+    * ForeachWriter path cannot see batch boundaries). Usage:
+    * `df.writeStream.foreachBatch(KVSink.foreachBatchWriter(store))`. */
+  def foreachBatchWriter(store: KVStore, keyCol: String = "key",
+      valueCol: String = "value"): (DataFrame, Long) => Unit =
+    (batch, _) => writeBatch(batch, store, keyCol, valueCol)
 }

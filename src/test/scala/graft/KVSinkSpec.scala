@@ -47,4 +47,24 @@ class KVSinkSpec extends AnyFunSuite {
       assert(InMemoryKVStore.data.get("user:1:click") == "9")
     } finally q.stop()
   }
+
+  test("streaming: foreachBatch sink reuses the batch writer per micro-batch") {
+    InMemoryKVStore.data.clear()
+    val input = MemoryStream[EventIn](spark)
+    val kv = ops.StreamingOps.statefulUpsert(input.toDF())
+      .selectExpr("concat('user:', user_id, ':', event_type) AS key",
+        "cast(event_id AS string) AS value")
+    val q = kv.writeStream
+      .foreachBatch(KVSink.foreachBatchWriter(new InMemoryKVStore))
+      .outputMode("update").start()
+    try {
+      input.addData(EventIn(7, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(EventIn(9, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"),
+        1, "click", 2.0))
+      q.processAllAvailable()
+      assert(InMemoryKVStore.data.get("user:1:click") == "9")
+    } finally q.stop()
+  }
 }

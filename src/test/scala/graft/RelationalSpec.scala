@@ -76,6 +76,37 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q32: approx_percentile is a drop-in within 5% of exact quartiles") {
+    // SURVEY §2.3 claims approx_percentile (t-digest) is the 100 TB
+    // drop-in for exact percentile — pin that the swap stays close
+    val exact = Relational.q32Percentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val approx = Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(expr("approx_percentile(c_acctbal, array(0.25, 0.5, 0.75), 10000)")
+        .as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val span = 11000.0 // acctbal range
+    approx.foreach { case (seg, ps) =>
+      val (p25, p50, p75) = exact(seg)
+      assert(math.abs(ps(0) - p25) < 0.05 * span)
+      assert(math.abs(ps(1) - p50) < 0.05 * span)
+      assert(math.abs(ps(2) - p75) < 0.05 * span)
+    }
+  }
+
+  test("join strategy hints are honored: merge and shuffle_hash") {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val smj = o.join(c.hint("merge"),
+      col("o_custkey") === col("c_custkey")).queryExecution.sparkPlan
+    assert(smj.toString.contains("SortMergeJoin"))
+    val shj = o.join(c.hint("shuffle_hash"),
+      col("o_custkey") === col("c_custkey")).queryExecution.sparkPlan
+    assert(shj.toString.contains("ShuffledHashJoin"))
+  }
+
   test("q31: pivot cells sum back to the orders rowcount") {
     val rows = Relational.q31Pivot(spark, dir).collect()
     val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
