@@ -108,6 +108,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a restarted query emits each window exactly once") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val input = MemoryStream[EventIn](spark)
+    def start() = StreamingOps.streamingTumbling(input.toDF())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // phase 1: fill the 10:00 window, then advance the watermark past it
+    val q1 = start()
+    try {
+      input.addData(Seq(
+        EventIn(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        EventIn(2, ts("2024-01-01 10:20:00"), 1, "click", 1.0)))
+      q1.processAllAvailable()
+      input.addData(EventIn(3, ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // phase 2: restart from the checkpoint, advance past the 12:00 window
+    val q2 = start()
+    try {
+      input.addData(EventIn(4, ts("2024-01-01 14:00:00"), 1, "click", 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .select("ws_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // 10:00 window (2 events) from before the restart, 12:00 window
+    // (1 event) finalized after it — each exactly once, no
+    // reprocessing duplicates
+    val w1000 = 1704103500000000L - 300000000L // 2024-01-01 10:00 UTC epoch us
+    val w1200 = w1000 + 2L * 3600000000L
+    assert(rows == Seq((w1000, 2L), (w1200, 1L)), s"got $rows")
+  }
+
   test("stream-stream interval join matches the batch evaluation") {
     val clicks = MemoryStream[EventIn](spark)
     val purchases = MemoryStream[EventIn](spark)
