@@ -1,0 +1,319 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q67–q73: the third wave — interval algebra, TF-IDF scoring, SCD-2
+  * history building, bloom-pruned joins, statistical anomaly detection,
+  * portable deterministic sampling, and bigram language-model counts.
+  * Same determinism contract as [[Extended]]: total ORDER BY, exact
+  * decimal (or integer) aggregation with double emitted only at the
+  * end, and every double derived through an expression tree mirrored
+  * verbatim in the DuckDB oracle (IEEE-754 ops are exactly rounded, so
+  * identical trees yield identical bits).
+  */
+object Extended2 {
+
+  /** q67 — overlapping-interval coalescing (interval union): each order
+    * opens a VARIABLE-length validity interval; per customer, transitively
+    * overlapping intervals merge into spans. Unlike gap sessionization
+    * (q30) an early long interval can swallow many later short ones, so
+    * the island test needs the running MAX of interval ends — a cumulative
+    * max window, not a lag. All integer arithmetic (epoch micros).
+    *
+    * Scale: one shuffle on the partition key; windows + the final agg
+    * share that partitioning, so Catalyst plans a single Exchange. */
+  def q67IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val iv = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("s"))
+      .withColumn("e",
+        col("s") + (pmod(col("o_orderkey"), lit(90L)) + 1L) * dayUs)
+    val wMax = Window.partitionBy("o_custkey").orderBy("s", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIsl = Window.partitionBy("o_custkey").orderBy("s", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("pmax", max(col("e")).over(wMax))
+      .withColumn("island",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+          .otherwise(0L)).over(wIsl))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(min("s").as("span_start_us"), max("e").as("span_end_us"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey", "island")
+  }
+
+  /** q68 — TF-IDF term scoring: tf per (doc, term), df per term, and a
+    * linear inverse-document-frequency score tf·N/df (the log-free
+    * variant — logs are libm-dependent and would break bit-exact float
+    * parity with the oracle; the RANKING is what matters and N/df is
+    * monotone in 1/df exactly like log(N/df)). Top-3 terms per doc with
+    * a total (score desc, token) tiebreak.
+    *
+    * Scale: tf and df are two partial+final aggregates over the token
+    * stream; N broadcasts as a 1-row agg (never collected); the final
+    * per-doc top-k is a window over (doc, term) pairs — text itself
+    * never shuffles past tokenization. */
+  def q68Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = Tables.fanout(docs.select("doc_id", "text"))
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token").join(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** q69 — SCD Type-2 history build (the CDC/warehouse primitive): per
+    * user, collapse the event stream into `event_type` VERSIONS — one
+    * row per change, valid from its first occurrence until the next
+    * change (open version → null valid_to). lag detects the change
+    * points, lead closes each version; both windows share one
+    * partitioning, so the plan carries a single shuffle. */
+  def q69Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(wOrd))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
+  /** q70 — bloom-filter-pruned join: build a Bloom filter over the dim
+    * side's join keys, pre-filter the FACT side with it before the
+    * shuffle, then run the exact join (which removes the bloom's false
+    * positives — the result is bit-identical to the plain join, proven
+    * against the plain-join oracle). At 100 TB this is the difference
+    * between shuffling every fact row and shuffling only the ~selectivity
+    * fraction that can possibly match; Spark's own runtime row-level
+    * filtering (`spark.sql.optimizer.runtime.bloomFilter.enabled`) plays
+    * the same trick inside AQE — this is the explicit, any-plan form.
+    * The filter itself is a few MB regardless of data scale (built with
+    * one aggregate, broadcast to every task). */
+  def q70BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.part(spark, dir)
+      .filter(col("p_size") <= 5)
+      .select("p_partkey", "p_brand")
+    val bf = dim.stat.bloomFilter("p_partkey", 100000L, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    Tables.lineitem(spark, dir)
+      .filter(mightContain(col("l_partkey")))
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  /** q71 — statistical anomaly detection: flag events whose value is
+    * more than 2 population-adjusted standard deviations from their
+    * event_type's mean. Sums and sums-of-squares aggregate EXACTLY in
+    * decimal (order-independent); mean/variance/z then derive in double
+    * through the identical expression tree the oracle uses, so every
+    * IEEE operation (and sqrt, exactly rounded per the standard) yields
+    * the same bits. One aggregate + one broadcast join back — the fact
+    * table is read once and never re-shuffled. */
+  def q71ZscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("vdec"))
+    val stats = ev.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vdec")).as("sdec"),
+        sum((col("vdec") * col("vdec")).cast("decimal(38,12)")).as("ssq"))
+      // Round the exact decimal sums to scale 4 BEFORE the double cast:
+      // a decimal converts bit-identically across engines only while
+      // value·10^scale < 2^53 (DuckDB converts via double(scaled_int) /
+      // double(10^scale); beyond 2^53 the scaled int itself rounds and
+      // the result can differ 1 ulp from Spark's correctly-rounded
+      // BigDecimal conversion). Scale-4 sums here stay < 2^53 by orders
+      // of magnitude; the rounding itself is decimal-exact and identical
+      // (HALF_UP == round-half-away-from-zero) on both sides.
+      .withColumn("mean_d", round(col("sdec"), 4).cast("double") / col("n"))
+      .withColumn("ex2", round(col("ssq"), 4).cast("double") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("ex2") - col("mean_d") * col("mean_d"))
+          * (col("n").cast("double") / (col("n") - 1L))))
+    ev.join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("v", col("vdec").cast("double"))
+      .withColumn("z", (col("v") - col("mean_d")) / col("sd"))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("event_id"), col("event_type"), col("v"), col("z"))
+      .orderBy("event_id")
+  }
+
+  /** q72 — portable deterministic sampling: 2 customers per market
+    * segment chosen by the smallest md5 of the key's decimal string.
+    * Unlike q47's xxhash64 buckets (Spark-specific, rows-only check),
+    * md5-of-UTF-8 is engine-independent — any system can reproduce the
+    * exact sample, which is what a training-data lineage audit needs.
+    * Shuffle carries only (segment, key, name). */
+  def q72Md5Sample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("h", "c_custkey")
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_name"),
+        md5(col("c_custkey").cast("string").cast("binary")).as("h"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .select(col("c_mktsegment"), col("rnk"), col("c_custkey"),
+        col("c_name"), col("h"))
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  /** q73 — bigram language-model counts: adjacent token pairs via
+    * zip_with over two slices of the per-doc token array (no
+    * positional self-join — the pairing happens inside the row, then a
+    * single aggregate counts pairs). Conditional probability
+    * P(w2|w1) = cnt / Σ_w2 cnt from a window over the (tiny) bigram
+    * vocabulary. Top-20 with a total tiebreak. */
+  def q73BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")
+    val bigrams = expr(
+      """zip_with(slice(toks, 1, size(toks) - 1),
+        |         slice(toks, 2, size(toks) - 1),
+        |         (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)
+    val wTot = Window.partitionBy("w1")
+    Tables.fanout(Tables.documents(spark, dir).select("text"))
+      .select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(bigrams).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .withColumn("w1_total", sum(col("cnt")).over(wTot))
+      .withColumn("p_cond", col("cnt").cast("double") / col("w1_total"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_interval_merge" -> (q67IntervalMerge _),
+    "q68_tfidf" -> (q68Tfidf _),
+    "q69_scd2" -> (q69Scd2 _),
+    "q70_bloom_join" -> (q70BloomJoin _),
+    "q71_zscore_outliers" -> (q71ZscoreOutliers _),
+    "q72_md5_sample" -> (q72Md5Sample _),
+    "q73_bigram_lm" -> (q73BigramLm _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q67_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS s,
+        |         epoch_us(o_orderdate)
+        |           + ((o_orderkey % 90) + 1) * 86400000000 AS e
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_custkey, o_orderkey, s, e,
+        |         max(e) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |isl AS (
+        |  SELECT o_custkey, s, e,
+        |         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+        |                 ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m)
+        |SELECT o_custkey, CAST(island AS BIGINT) AS island,
+        |       min(s) AS span_start_us, max(e) AS span_end_us,
+        |       count(*) AS n_orders
+        |FROM isl GROUP BY o_custkey, island
+        |ORDER BY o_custkey, island""".stripMargin,
+    "q68_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rnk, token, tf, df, score FROM (
+        |  SELECT doc_id, t.token, tf, df,
+        |         CAST(tf AS DOUBLE) * n_docs / df AS score,
+        |         row_number() OVER (
+        |           PARTITION BY doc_id
+        |           ORDER BY CAST(tf AS DOUBLE) * n_docs / df DESC,
+        |                    t.token) AS rnk
+        |  FROM tf t JOIN dfc ON t.token = dfc.token CROSS JOIN n)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q69_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, event_type, us FROM o
+        |  WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, event_id, event_type, us AS valid_from_us,
+        |       lead(us) OVER (PARTITION BY user_id
+        |                      ORDER BY us, event_id) AS valid_to_us
+        |FROM ch ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "q70_bloom_join" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q71_zscore_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS vdec
+        |  FROM events),
+        |stats AS (
+        |  SELECT event_type AS et, count(*) AS n,
+        |         sum(vdec) AS sdec,
+        |         sum(CAST(vdec * vdec AS DECIMAL(38,12))) AS ssq
+        |  FROM ev GROUP BY 1),
+        |d AS (
+        |  SELECT et, n, CAST(round(sdec, 4) AS DOUBLE) / n AS mean_d,
+        |         CAST(round(ssq, 4) AS DOUBLE) / n AS ex2
+        |  FROM stats),
+        |s AS (
+        |  SELECT et, mean_d,
+        |         sqrt((ex2 - mean_d * mean_d)
+        |              * (CAST(n AS DOUBLE) / (n - 1))) AS sd
+        |  FROM d)
+        |SELECT event_id, event_type, CAST(vdec AS DOUBLE) AS v,
+        |       (CAST(vdec AS DOUBLE) - mean_d) / sd AS z
+        |FROM ev JOIN s ON ev.event_type = s.et
+        |WHERE abs((CAST(vdec AS DOUBLE) - mean_d) / sd) > 2.0
+        |ORDER BY event_id""".stripMargin,
+    "q72_md5_sample" ->
+      """SELECT c_mktsegment, rnk, c_custkey, c_name, h FROM (
+        |  SELECT c_mktsegment, c_custkey, c_name,
+        |         md5(CAST(c_custkey AS VARCHAR)) AS h,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY md5(CAST(c_custkey AS VARCHAR)),
+        |                                     c_custkey) AS rnk
+        |  FROM customer)
+        |WHERE rnk <= 2 ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q73_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
+        |b AS (
+        |  SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2 FROM t),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2)
+        |SELECT w1, w2, cnt, CAST(w1_total AS BIGINT) AS w1_total,
+        |       CAST(cnt AS DOUBLE) / w1_total AS p_cond
+        |FROM (SELECT w1, w2, cnt,
+        |             sum(cnt) OVER (PARTITION BY w1) AS w1_total FROM c)
+        |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin)
+}
