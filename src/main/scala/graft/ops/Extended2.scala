@@ -64,11 +64,19 @@ object Extended2 {
         explode(split(lower(col("text")), "[^a-z]+")).as("token"))
       .filter(col("token") =!= "")
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // df = how many tf rows share the token — computed as a count over a
+    // token-partitioned window on the tf frame itself, NOT as a separate
+    // aggregate joined back. That keeps the DAG linear: a tf→df→join
+    // diamond would evaluate the tokenization lineage (the expensive
+    // regex pass over all text) once per branch; here text is tokenized
+    // exactly once and every later hop shuffles only the compact
+    // (doc, term, tf) rows.
+    val wDf = Window.partitionBy("token")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
-    tf.join(df, "token").join(broadcast(n))
+    tf.withColumn("df", count(lit(1)).over(wDf))
+      .join(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs") / col("df"))
       .withColumn("rnk", row_number().over(w).cast("long"))
