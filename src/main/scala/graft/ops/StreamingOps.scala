@@ -3,11 +3,34 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Encoders => SqlEncoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Latest-event state per (user_id, event_type) — the streaming shape of
   * the reference's Redis upsert (SURVEY.md §2.1 R10). */
 case class EventRow(user_id: Long, event_type: String, event_id: Long, ts_us: Long)
+
+/** [[StreamingOps.statefulUpsertTws]]'s processor: one schema'd
+  * ValueState slot per key holding the current winner; merge rule
+  * identical to the reference's (strictly-later wins, ties keep
+  * existing — SURVEY.md §2.2 quirk 2, DataTransformationService.java:245). */
+class LatestEventProcessor
+    extends StatefulProcessor[(Long, String), EventRow, EventRow] {
+  @transient private var latest: ValueState[EventRow] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    latest = getHandle.getValueState[EventRow]("latest",
+      SqlEncoders.product[EventRow], TTLConfig.NONE)
+  override def handleInputRows(key: (Long, String), rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[EventRow] = {
+    var cur = if (latest.exists()) latest.get() else null
+    rows.foreach { e =>
+      if (cur == null || e.ts_us > cur.ts_us) cur = e
+    }
+    latest.update(cur)
+    Iterator.single(cur)
+  }
+}
 
 /** q28–q30 batch analogs + real Structured Streaming builders.
   *
@@ -140,6 +163,27 @@ object StreamingOps {
           state.update(cur)
           Iterator.single(cur)
         })
+      .toDF()
+  }
+
+  /** The same keyed upsert on Spark 4.x's arbitrary-state API
+    * (`transformWithState` + [[LatestEventProcessor]]). Differences from
+    * the `flatMapGroupsWithState` form that matter at scale: state is
+    * SCHEMA'd (encoder-backed, evolvable across restarts), lives in the
+    * RocksDB state store (required by the API; spills off-heap instead
+    * of growing the JVM heap), supports per-entry TTL natively
+    * (TTLConfig — here NONE, matching the reference's forever-lived
+    * Redis keys), and timers replace the coarse GroupStateTimeout.
+    * StreamingSpec proves it bit-equal to [[statefulUpsert]]. */
+  def statefulUpsertTws(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[EventRow]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new LatestEventProcessor,
+        TimeMode.None(), OutputMode.Update())
       .toDF()
   }
 

@@ -80,6 +80,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState upsert matches flatMapGroupsWithState semantics") {
+    // transformWithState requires the RocksDB state store provider;
+    // scope the conf to this test and restore the default after.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventIn](spark)
+    val q = StreamingOps.statefulUpsertTws(input.toDF())
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
+    try {
+      input.addData(EventIn(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // same ts, different event -> existing wins (quirk 2)
+      input.addData(EventIn(2, ts("2024-01-01 10:00:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // strictly later -> replaces; second key is independent state
+      input.addData(
+        EventIn(3, ts("2024-01-01 11:00:00"), 1, "click", 3.0),
+        EventIn(4, ts("2024-01-01 09:00:00"), 1, "view", 4.0))
+      q.processAllAvailable()
+      val emitted = spark.table("tws_out").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSeq
+      // batches 1 and 2 emit one row each (in order); batch 3's two keys
+      // emit in arbitrary partition order — compare that batch as a set
+      assert(emitted.take(2) == Seq(("click", 1L), ("click", 1L)),
+        s"got $emitted")
+      assert(emitted.drop(2).toSet == Set(("click", 3L), ("view", 4L)),
+        s"got $emitted")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("watermark: late data beyond 10 minutes is dropped in append mode") {
     val input = MemoryStream[EventIn](spark)
     val q = StreamingOps.streamingTumbling(input.toDF())
