@@ -212,7 +212,23 @@ object Extended2 {
       .limit(20)
   }
 
+  /** q74 — Z-order (Morton) clustering key: interleave the low 16 bits
+    * of customer and order keys into one sort key ([[LayoutOps.zorderKey]]).
+    * Emitted in (zkey, orderkey) order — the exact order a clustered
+    * rewrite would lay rows out in, making any 2ᵏ×2ᵏ square of
+    * (custkey, orderkey) space a contiguous run prunable by file-level
+    * min/max stats on either dimension. Pure bitwise arithmetic — the
+    * oracle replays the identical mask ladder. */
+  def q74Zorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        LayoutOps.zorderKey(
+          col("o_custkey").bitwiseAND(lit(65535L)),
+          col("o_orderkey").bitwiseAND(lit(65535L))).as("zkey"))
+      .orderBy("zkey", "o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_zorder" -> (q74Zorder _),
     "q67_interval_merge" -> (q67IntervalMerge _),
     "q68_tfidf" -> (q68Tfidf _),
     "q69_scd2" -> (q69Scd2 _),
@@ -222,6 +238,28 @@ object Extended2 {
     "q73_bigram_lm" -> (q73BigramLm _))
 
   val oracleSql: Map[String, String] = Map(
+    "q74_zorder" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         (o_custkey & 65535) AS a, (o_orderkey & 65535) AS b
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, o_custkey,
+        |         ((a | (a << 16)) & 281470681808895) AS a,
+        |         ((b | (b << 16)) & 281470681808895) AS b FROM base),
+        |s2 AS (SELECT o_orderkey, o_custkey,
+        |         ((a | (a << 8)) & 71777214294589695) AS a,
+        |         ((b | (b << 8)) & 71777214294589695) AS b FROM s1),
+        |s3 AS (SELECT o_orderkey, o_custkey,
+        |         ((a | (a << 4)) & 1085102592571150095) AS a,
+        |         ((b | (b << 4)) & 1085102592571150095) AS b FROM s2),
+        |s4 AS (SELECT o_orderkey, o_custkey,
+        |         ((a | (a << 2)) & 3689348814741910323) AS a,
+        |         ((b | (b << 2)) & 3689348814741910323) AS b FROM s3),
+        |s5 AS (SELECT o_orderkey, o_custkey,
+        |         ((a | (a << 1)) & 6148914691236517205) AS a,
+        |         ((b | (b << 1)) & 6148914691236517205) AS b FROM s4)
+        |SELECT o_orderkey, o_custkey, (a | (b << 1)) AS zkey
+        |FROM s5 ORDER BY zkey, o_orderkey""".stripMargin,
     "q67_interval_merge" ->
       """WITH iv AS (
         |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS s,
