@@ -227,8 +227,79 @@ object Extended2 {
           col("o_orderkey").bitwiseAND(lit(65535L))).as("zkey"))
       .orderBy("zkey", "o_orderkey")
 
+  /** q75 — time-hierarchy rollup: event counts and exact sums at
+    * (year, month, day), (year, month), (year), and grand-total levels
+    * in ONE pass (rollup → a single Expand + aggregate; four separate
+    * GROUP BYs would scan the fact table four times). Null group keys
+    * from super-aggregate rows are coalesced to -1 (year/month/day are
+    * always positive) for a total, type-stable ordering. */
+  def q75TimeRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .rollup("y", "m", "d")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("sum_value"))
+      .select(coalesce(col("y"), lit(-1L)).as("y"),
+        coalesce(col("m"), lit(-1L)).as("m"),
+        coalesce(col("d"), lit(-1L)).as("d"),
+        col("n_events"), col("sum_value"))
+      .orderBy("y", "m", "d")
+
+  /** q76 — blocked fuzzy duplicate detection (entity resolution):
+    * near-miss NAME variants by edit distance. The scale shape:
+    * collapse to DISTINCT names first (the value domain is orders of
+    * magnitude smaller than the row count), block by first token so
+    * the quadratic comparison runs only within blocks, keep pairs at
+    * distance 1–3. Character-level fuzziness — the complement of
+    * MinHash (token sets, q25) and SimHash (q41). */
+  def q76FuzzyDedup(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = names.select(col("p_name").as("name_a"), col("blk"),
+      col("cnt").as("cnt_a"))
+    val b = names.select(col("p_name").as("name_b"), col("blk").as("blk_b"),
+      col("cnt").as("cnt_b"))
+    a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+      .withColumn("d", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("d").between(1, 3))
+      .select(col("name_a"), col("name_b"), col("cnt_a"), col("cnt_b"),
+        col("d"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** q77 — CDC apply (upsert + DELETE): fold a timestamped change
+    * stream into a final snapshot — last change per key wins, and keys
+    * whose last change is a delete drop out entirely. This is q06's
+    * dedup-latest plus the delete path every real change-data-capture
+    * feed has. One window shuffle; no fold loop — last-wins makes the
+    * reduction order-free. Change ops are synthesized deterministically
+    * from events (every 10th event_id is a delete). */
+  def q77CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        when(pmod(col("event_id"), lit(10)) === 0, "D").otherwise("U")
+          .as("op"),
+        col("value").cast("decimal(18,6)").cast("double").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("event_id"), col("us").as("as_of_us"),
+        col("v"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_zorder" -> (q74Zorder _),
+    "q75_time_rollup" -> (q75TimeRollup _),
+    "q76_fuzzy_dedup" -> (q76FuzzyDedup _),
+    "q77_cdc_apply" -> (q77CdcApply _),
     "q67_interval_merge" -> (q67IntervalMerge _),
     "q68_tfidf" -> (q68Tfidf _),
     "q69_scd2" -> (q69Scd2 _),
@@ -260,6 +331,40 @@ object Extended2 {
         |         ((b | (b << 1)) & 6148914691236517205) AS b FROM s4)
         |SELECT o_orderkey, o_custkey, (a | (b << 1)) AS zkey
         |FROM s5 ORDER BY zkey, o_orderkey""".stripMargin,
+    "q75_time_rollup" ->
+      """SELECT coalesce(y, -1) AS y, coalesce(m, -1) AS m,
+        |       coalesce(d, -1) AS d,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (SELECT CAST(year(ts) AS BIGINT) AS y,
+        |             CAST(month(ts) AS BIGINT) AS m,
+        |             CAST(day(ts) AS BIGINT) AS d, value
+        |      FROM events)
+        |GROUP BY ROLLUP (y, m, d)
+        |ORDER BY y, m, d""".stripMargin,
+    "q76_fuzzy_dedup" ->
+      """WITH n AS (
+        |  SELECT p_name, split_part(p_name, ' ', 1) AS blk,
+        |         count(*) AS cnt
+        |  FROM part GROUP BY 1, 2)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       a.cnt AS cnt_a, b.cnt AS cnt_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS d
+        |FROM n a JOIN n b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q77_cdc_apply" ->
+      """SELECT user_id, event_id, us AS as_of_us, v FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC,
+        |                                     event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND op = 'U'
+        |ORDER BY user_id""".stripMargin,
     "q67_interval_merge" ->
       """WITH iv AS (
         |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS s,

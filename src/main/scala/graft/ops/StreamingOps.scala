@@ -187,6 +187,17 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Stream-static enrichment: each streaming event joins a STATIC
+    * dimension table (no state on either side — the static side is
+    * re-planned per micro-batch, so a dim refresh between batches is
+    * picked up automatically; with a small dim Catalyst broadcasts it
+    * into every batch, the streaming analog of q12). Inner join: events
+    * without a dim match drop, matching the batch semantics. */
+  def streamingStaticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("segment"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_tumbling" -> (q28Tumbling _),
     "q29_sliding" -> (q29Sliding _),

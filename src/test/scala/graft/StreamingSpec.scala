@@ -119,6 +119,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static enrich joins each batch against the static dim") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val input = MemoryStream[EventIn](spark)
+    val q = StreamingOps.streamingStaticEnrich(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventIn(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        EventIn(2, ts("2024-01-01 10:01:00"), 2, "click", 1.0),
+        EventIn(3, ts("2024-01-01 10:02:00"), 99, "click", 1.0)) // no dim row
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .orderBy("event_id")
+        .collect().map(r => (r.getLong(1), r.getString(3))).toSeq
+      assert(got == Seq((1L, "gold"), (2L, "silver")))
+    } finally q.stop()
+  }
+
   test("watermark: late data beyond 10 minutes is dropped in append mode") {
     val input = MemoryStream[EventIn](spark)
     val q = StreamingOps.streamingTumbling(input.toDF())
