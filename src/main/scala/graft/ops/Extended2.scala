@@ -295,11 +295,67 @@ object Extended2 {
       .orderBy("user_id")
   }
 
+  /** q78 — the TPC-H Q5 plan shape: a 6-table star join (two
+    * broadcast-dim hops down to nation/region, customer and supplier
+    * both anchored to the same nation) with a year filter and a
+    * revenue rollup per nation. What matters at 100 TB: lineitem — the
+    * fact — is filtered and joined on its own keys only; region,
+    * nation, and the restricted customer/supplier sides broadcast;
+    * revenue aggregates exactly in decimal. The co-nation predicate
+    * (c_nationkey = s_nationkey) rides the join, not a post-filter. */
+  def q78TpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,10)").as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q79 — embedding-column statistics: per-label vector count and mean
+    * L2 norm. The norm is an in-row higher-order fold (aggregate over
+    * zip of the array with itself — no explode, no per-element rows);
+    * per-row norms round to 6 decimals (the q26 convention: in-row
+    * float folds agree with the oracle's unnest+sum to ~1e-15, rounding
+    * absorbs the summation-order ulp), then average exactly via a
+    * scale-6 decimal sum. */
+  def q79EmbedStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        round(sqrt(aggregate(col("embedding"),
+          lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 6)
+          .cast("decimal(18,6)").as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("norm")).cast("double") / count(lit(1))).as("mean_norm"))
+      .orderBy("label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_zorder" -> (q74Zorder _),
     "q75_time_rollup" -> (q75TimeRollup _),
     "q76_fuzzy_dedup" -> (q76FuzzyDedup _),
     "q77_cdc_apply" -> (q77CdcApply _),
+    "q78_tpch_q5" -> (q78TpchQ5 _),
+    "q79_embed_stats" -> (q79EmbedStats _),
     "q67_interval_merge" -> (q67IntervalMerge _),
     "q68_tfidf" -> (q68Tfidf _),
     "q69_scd2" -> (q69Scd2 _),
@@ -354,6 +410,30 @@ object Extended2 {
         |  ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
         |ORDER BY name_a, name_b""".stripMargin,
+    "q78_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(ROUND(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                           AS DECIMAL(28,10))), 2) AS DOUBLE)
+        |         AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q79_embed_stats" ->
+      """WITH norms AS (
+        |  SELECT label,
+        |         CAST(round(sqrt(sum(v * v)), 6) AS DECIMAL(18,6)) AS norm
+        |  FROM (SELECT label, vec_id,
+        |               unnest(CAST(embedding AS DOUBLE[])) AS v
+        |        FROM embeddings)
+        |  GROUP BY label, vec_id)
+        |SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(norm) AS DOUBLE) / count(*) AS mean_norm
+        |FROM norms GROUP BY label ORDER BY label""".stripMargin,
     "q77_cdc_apply" ->
       """SELECT user_id, event_id, us AS as_of_us, v FROM (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -131,6 +131,65 @@ class Extended2Spec extends AnyFunSuite {
     assert(a.groupBy(_.getString(0)).values.forall(_.length <= 2))
   }
 
+  test("q75: every rollup level totals to the grand total") {
+    val rows = Extended2.q75TimeRollup(spark, dir).collect()
+    val grand = rows.filter(r => r.getLong(0) == -1L).map(_.getLong(3))
+    assert(grand.length == 1)
+    val n = grand.head
+    // per-year rows (m = -1, y != -1) sum to the grand total, and so on
+    val perYear = rows.filter(r => r.getLong(0) != -1L && r.getLong(1) == -1L)
+    val perDay = rows.filter(r => r.getLong(2) != -1L)
+    assert(perYear.map(_.getLong(3)).sum == n)
+    assert(perDay.map(_.getLong(3)).sum == n)
+  }
+
+  test("q76: reported pairs are within-block, ordered, and within distance") {
+    val rows = Extended2.q76FuzzyDedup(spark, dir).collect()
+    rows.foreach { r =>
+      val (a, b, d) = (r.getString(0), r.getString(1), r.getInt(4))
+      assert(a < b)
+      assert(a.split(" ").head == b.split(" ").head)
+      assert(d >= 1 && d <= 3)
+    }
+  }
+
+  test("q77: keys whose last change is a delete are absent from the snapshot") {
+    val snap = Extended2.q77CdcApply(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    // recompute the last change per user naively
+    val last = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        val winner = rs.maxBy(r => (r.getLong(2), r.getLong(1)))
+        u -> (winner.getLong(1) % 10 != 0)
+      }
+    last.foreach { case (u, kept) => assert(snap.contains(u) == kept, s"user $u") }
+  }
+
+  test("q78: plan broadcasts the dim sides and aggregates once") {
+    val plan = Extended2.q78TpchQ5(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // revenue decimal-exact before the final double
+    val rows = Extended2.q78TpchQ5(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(1) >= 0))
+    // sorted by revenue desc
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a.getDouble(1) >= b.getDouble(1)
+      case _ => true
+    })
+  }
+
+  test("q79: mean norms are positive and labels are complete") {
+    val rows = Extended2.q79EmbedStats(spark, dir).collect()
+    val nLabels = Tables.embeddings(spark, dir)
+      .select("label").distinct().count()
+    assert(rows.length == nLabels)
+    assert(rows.forall(_.getDouble(2) > 0))
+  }
+
   test("q73: bigram counts and conditionals match a hand-built fixture") {
     import spark.implicits._
     val docs = Seq("the cat sat", "the cat ran", "a cat").toDF("text")
