@@ -79,15 +79,25 @@ object GraphOps {
     * event_id in the component) and the component size. Oracle: DuckDB
     * recursive-CTE transitive closure (small components ⇒ closure is
     * cheap for the oracle; the ENGINE never materializes a closure). */
-  def q64ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+  /** The activity-burst graph shared by q64/q80: one edge per pair of
+    * same-user events ≤ 5 minutes apart (the q14 equi-anchored range
+    * join — never a cartesian). Edges are canonical (src < dst), each
+    * pair emitted once. */
+  private def burstEdges(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
     val a = ev.select(col("user_id"), col("event_id").as("src"), col("us").as("a_us"))
     val b = ev.select(col("user_id"), col("event_id").as("dst"), col("us").as("b_us"))
-    val edges = a.join(b, Seq("user_id"))
+    a.join(b, Seq("user_id"))
       .filter(col("src") < col("dst") &&
         col("b_us") >= col("a_us") && col("b_us") - col("a_us") <= 300000000L)
       .select("src", "dst")
+  }
+
+  def q64ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val edges = burstEdges(spark, dir)
     val verts = ev.select(col("event_id").as("id"))
     val labels = connectedComponents(verts, edges)
     labels.groupBy("label").agg(count(lit(1)).as("component_size"))
@@ -97,9 +107,29 @@ object GraphOps {
       .orderBy("event_id")
   }
 
+  /** q80 — degree distribution of the burst graph: how many vertices
+    * have k neighbors, INCLUDING isolated vertices (degree 0 — a left
+    * join against the vertex set, which a pure edge aggregation would
+    * silently drop). Two partial+final aggregates; the edge list is
+    * the only large intermediate and it is aggregated immediately. */
+  def q80DegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val edges = burstEdges(spark, dir)
+    val und = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("event_id"))
+      .agg(count(lit(1)).as("degree"))
+    Tables.events(spark, dir).select(col("event_id"))
+      .join(deg, Seq("event_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_vertices"))
+      .orderBy("degree")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_correlated_subquery" -> (q63CorrelatedSubquery _),
-    "q64_connected_components" -> (q64ConnectedComponents _))
+    "q64_connected_components" -> (q64ConnectedComponents _),
+    "q80_degree_dist" -> (q80DegreeDist _))
 
   val oracleSql: Map[String, String] = Map(
     "q63_correlated_subquery" ->
@@ -135,5 +165,22 @@ object GraphOps {
         |SELECT labels.id AS event_id, labels.component_id,
         |       sizes.component_size
         |FROM labels JOIN sizes USING (component_id)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q80_degree_dist" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |edges AS (
+        |  SELECT a.event_id AS src, b.event_id AS dst
+        |  FROM ev a JOIN ev b USING (user_id)
+        |  WHERE a.event_id < b.event_id
+        |    AND b.us >= a.us AND b.us - a.us <= 300000000),
+        |und AS (
+        |  SELECT src, dst FROM edges
+        |  UNION ALL SELECT dst, src FROM edges),
+        |deg AS (
+        |  SELECT src AS event_id, count(*) AS degree FROM und GROUP BY 1)
+        |SELECT coalesce(deg.degree, 0) AS degree,
+        |       count(*) AS n_vertices
+        |FROM ev LEFT JOIN deg USING (event_id)
+        |GROUP BY 1 ORDER BY degree""".stripMargin)
 }

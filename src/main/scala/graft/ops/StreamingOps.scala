@@ -125,7 +125,21 @@ object StreamingOps {
     * watermark advances — the only shape under which Spark permits an
     * append-mode stream-stream join. Batch-evaluable too (same
     * expressions; the interval condition becomes a range join). */
-  def streamingIntervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def streamingIntervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    intervalJoin(clicks, purchases, "inner")
+
+  /** LEFT OUTER flavor: clicks with NO purchase within the hour still
+    * emit — with null purchase columns — once the watermark proves no
+    * match can still arrive (the row leaves the state store at that
+    * point; before the watermark passes, the click is withheld, not
+    * emitted unmatched). The two-sided time bound is what makes the
+    * outer result well-defined on an infinite stream at all. */
+  def streamingIntervalJoinLeftOuter(clicks: DataFrame,
+      purchases: DataFrame): DataFrame =
+    intervalJoin(clicks, purchases, "left_outer")
+
+  private def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String): DataFrame = {
     val c = clicks.withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("event_id").as("c_id"),
         col("ts").as("c_ts"))
@@ -135,7 +149,8 @@ object StreamingOps {
     c.join(p,
         col("user_id") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
       .select(col("user_id"), col("c_id"), col("p_id"),
         unix_micros(col("c_ts")).as("c_ts_us"),
         unix_micros(col("p_ts")).as("p_ts_us"))

@@ -119,6 +119,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("left-outer interval join emits unmatched clicks after the watermark") {
+    val clicks = MemoryStream[EventIn](spark)
+    val purchases = MemoryStream[EventIn](spark)
+    val q = StreamingOps.streamingIntervalJoinLeftOuter(
+        clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("outer_join_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        EventIn(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),   // matched
+        EventIn(2, ts("2024-01-01 10:05:00"), 2, "click", 1.0))   // unmatched
+      purchases.addData(
+        EventIn(10, ts("2024-01-01 10:30:00"), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      // advance both watermarks far past click 2's match horizon
+      clicks.addData(EventIn(3, ts("2024-01-01 15:00:00"), 3, "click", 1.0))
+      purchases.addData(
+        EventIn(11, ts("2024-01-01 15:00:00"), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      clicks.addData(EventIn(4, ts("2024-01-01 20:00:00"), 4, "click", 1.0))
+      purchases.addData(
+        EventIn(12, ts("2024-01-01 20:00:00"), 4, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("outer_join_out").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toMap
+      assert(rows(1L) == 10L, s"click 1 should match purchase 10: $rows")
+      assert(rows(2L) == -1L, s"click 2 should emit unmatched: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static enrich joins each batch against the static dim") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
