@@ -35,5 +35,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim expects 2 arguments, got ${args.length}")
         CosineSim(args.head, args(1))
       }))
+    // zorder_key(a, b): the Morton interleave ladder from
+    // LayoutOps.zorderKey, exposed to SQL. The builder runs inside the
+    // analyzer, so it must emit RESOLVED catalyst nodes directly — a
+    // Column-API composition would wrap unresolved ColumnNodes that
+    // nothing downstream re-analyzes. Same ~30 native bitwise nodes,
+    // so it folds, prunes, and codegens exactly like the Column form
+    // (GraftExtensionsSpec pins the equality).
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(ops.LayoutOps.getClass.getName, "zorder_key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"zorder_key expects 2 arguments, got ${args.length}")
+        GraftExtensions.zorderKeyExpr(args.head, args(1))
+      }))
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr,
+    Cast, Literal, ShiftLeft}
+  import org.apache.spark.sql.types.LongType
+
+  /** Catalyst-expression form of [[ops.LayoutOps.zorderKey]]'s ladder. */
+  private[graft] def zorderKeyExpr(a: Expression, b: Expression): Expression =
+    BitwiseOr(spreadExpr(a), ShiftLeft(spreadExpr(b), Literal(1)))
+
+  private def spreadExpr(e: Expression): Expression = {
+    val masks = Seq(
+      (16, 0x0000FFFF0000FFFFL),
+      (8, 0x00FF00FF00FF00FFL),
+      (4, 0x0F0F0F0F0F0F0F0FL),
+      (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
+    masks.foldLeft[Expression](
+      BitwiseAnd(Cast(e, LongType), Literal(0xFFFFFFFFL))) {
+      case (x, (shift, mask)) =>
+        BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(shift))), Literal(mask))
+    }
   }
 }

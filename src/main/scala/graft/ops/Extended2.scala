@@ -349,6 +349,50 @@ object Extended2 {
         (sum(col("norm")).cast("double") / count(lit(1))).as("mean_norm"))
       .orderBy("label")
 
+  /** q81 — grouped Pearson correlation (quantity ↔ discount per return
+    * flag) from five exact decimal sums — the same machinery as q71:
+    * order-free exact aggregation, scale-4 round before each double
+    * cast (every rounded sum stays < 2^53·10⁻⁴ at any plausible sf for
+    * these bounded columns), then one IEEE expression tree mirrored
+    * verbatim by the oracle. Single partial+final aggregate — the
+    * covariance matrix of a 100 TB fact table costs one scan. */
+  def q81Corr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,6)")
+    val y = col("l_discount").cast("decimal(18,6)")
+    def d(c: Column) = round(c, 4).cast("double")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,12)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,12)")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+           sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("corr_qd"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q82 — mode / argmax per group: each market segment's most common
+    * nation (count desc, then smallest key — a total tiebreak, since
+    * ties are common in modes). Count-then-rank: the heavy input
+    * reduces to (segment, nation) cardinality before the window. */
+  def q82Mode(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("cnt").desc, col("c_nationkey"))
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("c_nationkey").as("modal_nation"),
+        col("cnt"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_zorder" -> (q74Zorder _),
     "q75_time_rollup" -> (q75TimeRollup _),
@@ -356,6 +400,8 @@ object Extended2 {
     "q77_cdc_apply" -> (q77CdcApply _),
     "q78_tpch_q5" -> (q78TpchQ5 _),
     "q79_embed_stats" -> (q79EmbedStats _),
+    "q81_corr" -> (q81Corr _),
+    "q82_mode" -> (q82Mode _),
     "q67_interval_merge" -> (q67IntervalMerge _),
     "q68_tfidf" -> (q68Tfidf _),
     "q69_scd2" -> (q69Scd2 _),
@@ -410,6 +456,40 @@ object Extended2 {
         |  ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
         |ORDER BY name_a, name_b""".stripMargin,
+    "q81_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+        |         sum(CAST(l_discount AS DECIMAL(18,6))) AS sy,
+        |         sum(CAST(CAST(l_quantity AS DECIMAL(18,6))
+        |                   * CAST(l_quantity AS DECIMAL(18,6))
+        |                   AS DECIMAL(38,12))) AS sxx,
+        |         sum(CAST(CAST(l_discount AS DECIMAL(18,6))
+        |                   * CAST(l_discount AS DECIMAL(18,6))
+        |                   AS DECIMAL(38,12))) AS syy,
+        |         sum(CAST(CAST(l_quantity AS DECIMAL(18,6))
+        |                   * CAST(l_discount AS DECIMAL(18,6))
+        |                   AS DECIMAL(38,12))) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |         CAST(round(sx, 4) AS DOUBLE) AS sx,
+        |         CAST(round(sy, 4) AS DOUBLE) AS sy,
+        |         CAST(round(sxx, 4) AS DOUBLE) AS sxx,
+        |         CAST(round(syy, 4) AS DOUBLE) AS syy,
+        |         CAST(round(sxy, 4) AS DOUBLE) AS sxy
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |       (n * sxy - sx * sy) /
+        |       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qd
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+    "q82_mode" ->
+      """SELECT c_mktsegment, modal_nation, cnt FROM (
+        |  SELECT c_mktsegment, c_nationkey AS modal_nation, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY count(*) DESC, c_nationkey) AS rn
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey)
+        |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
     "q78_tpch_q5" ->
       """SELECT n_name,
         |       CAST(ROUND(sum(CAST(l_extendedprice * (1.0 - l_discount)

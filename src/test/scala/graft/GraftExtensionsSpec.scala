@@ -39,6 +39,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("injectFunction: zorder_key is callable from SQL and matches the Column API") {
+    withExtensionSession { s2 =>
+      val r = s2.sql(
+        "SELECT zorder_key(12345, 54321) AS z, zorder_key(0, 1) AS lo")
+        .collect().head
+      // reference per-bit interleave (LayoutSpec's refMorton on these inputs)
+      def ref(a: Long, b: Long): Long =
+        (0 until 32).foldLeft(0L) { (z, i) =>
+          z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+        }
+      assert(r.getLong(0) == ref(12345L, 54321L))
+      assert(r.getLong(1) == 2L) // b's bit 0 lands at position 1
+    }
+  }
+
   test("literal cosine_sim constant-folds via the BinaryExpression foldable contract") {
     // no injected optimizer rule needed: CosineSim inherits foldable =
     // (left.foldable && right.foldable) from BinaryExpression, so
