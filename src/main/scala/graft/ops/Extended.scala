@@ -245,20 +245,47 @@ object Extended {
     * pack: a doc may straddle its bin boundary, matching how sequence
     * packers chunk concatenated corpora). Output is per-bin stats.
     *
-    * Scale: the running total is a global window over (doc_id,
-    * n_tokens) pairs only — text never enters the shuffle. At the point
-    * a single reducer over doc metadata saturates (~billions of docs),
-    * pack per shard: range-partition doc_id, pack within shards, offset
-    * bin ids by a per-shard exclusive prefix sum (one tiny driver-side
-    * pass over shard totals). */
-  def q60PackSequences(spark: SparkSession, dir: String): DataFrame = {
-    val cap = 2048
-    val w = Window.orderBy("doc_id")
+    * Scale: text never enters the shuffle — only (doc_id, n_tokens)
+    * pairs — and the running total runs SHARDED ([[packSequences]]):
+    * per-shard partitioned windows plus an exclusive shard-offset
+    * prefix sum, so no window ever sorts more than one shard on one
+    * reducer. */
+  def q60PackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(
+      Tables.fanout(Tables.documents(spark, dir).select("doc_id", "text"))
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens")),
+      cap = 2048, nShards = 16)
+
+  /** The SHARDED prefix-sum pack — the 100 TB formulation the q60 doc
+    * promises, used BY q60 itself. A running total is a prefix sum, and
+    * prefix sums decompose exactly: shard docs into contiguous doc_id
+    * ranges, take the running total WITHIN each shard (a partitioned
+    * window — parallel, no single-reducer sort), then add each shard's
+    * exclusive offset (a global window over ≤ nShards rows — the only
+    * unpartitioned window left, and it is O(shards), not O(docs)).
+    * Identical bins to the single-window form for every input
+    * (ExtendedSpec pins it): global_cum = shard_offset + within_cum
+    * is an identity, not an approximation. */
+  def packSequences(tok: DataFrame, cap: Int, nShards: Int): DataFrame = {
+    val bounds = tok.agg(min("doc_id").as("lo"),
+      (ceil((max("doc_id") - min("doc_id") + 1).cast("double") / nShards))
+        .cast("long").as("width"))
+    val sharded = tok.join(broadcast(bounds))
+      .withColumn("shard", floor((col("doc_id") - col("lo")) / col("width")))
+    val wIn = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.fanout(Tables.documents(spark, dir).select("doc_id", "text"))
-      .select(col("doc_id"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
+    val wOff = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+      .withColumn("offset",
+        coalesce(sum("shard_tokens").over(wOff), lit(0L)))
+      .select("shard", "offset")
+    sharded
+      .withColumn("within", sum("n_tokens").over(wIn))
+      .join(broadcast(offsets), "shard")
+      .withColumn("cum", col("offset") + col("within"))
       .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(cap)))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),

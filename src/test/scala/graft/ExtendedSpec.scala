@@ -28,6 +28,29 @@ class ExtendedSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(plan).size == 1)
   }
 
+  test("q60: sharded packing equals the single-global-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.fanout(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = tok
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(2048)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin").collect().toSeq
+    // shard counts that do and don't divide the doc count evenly
+    for (nShards <- Seq(1, 3, 16)) {
+      val sharded = Extended.packSequences(tok, 2048, nShards)
+        .collect().toSeq
+      assert(sharded == global, s"nShards=$nShards")
+    }
+  }
+
   test("q50: exists-subquery keeps no duplicates and respects both predicates") {
     val out = Extended.q50Subqueries(spark, dir).collect()
     val keys = out.map(_.getLong(0))
