@@ -60,6 +60,49 @@ object MultimodalOps {
   def frameSample(nFrames: Int, stride: Int): Seq[Int] =
     0 until nFrames by stride
 
+  /** STUB resize: binary → binary at a fixed target byte budget
+    * (truncate or zero-pad — a real impl swaps ONLY the body for a
+    * pixel resample). Shape notes that are real: binary in, binary
+    * out, narrow (no shuffle), metadata struct rewritten alongside the
+    * payload so downstream readers never see stale byte_len. */
+  def resizeStub(media: DataFrame, targetBytes: Int): DataFrame = {
+    val resize = udf { bytes: Array[Byte] =>
+      if (bytes.length >= targetBytes) bytes.take(targetBytes)
+      else bytes ++ Array.fill[Byte](targetBytes - bytes.length)(0)
+    }
+    media.select(col("media_id"),
+      resize(col("bytes")).as("bytes"),
+      struct(col("meta.mime").as("mime"),
+        lit(targetBytes.toLong).as("byte_len"),
+        col("meta.origin").as("origin")).as("meta"))
+  }
+
+  /** STUB feature extraction: binary → fixed-dimension Array[Float]
+    * (deterministic byte-fold — a real impl swaps the body for a model
+    * forward pass). The output column is schema-compatible with the
+    * `embeddings.embedding` column, so everything downstream of it —
+    * cosine top-k (q26), ANN (q38/q45), embedding near-dup (q39) —
+    * composes unchanged. mapPartitions batch shape: per-partition init
+    * is where a real extractor loads its model once per task. */
+  def featureExtractStub(media: DataFrame, dim: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init (model load in a real extractor) goes here
+        it.map { case (id, bytes) =>
+          val v = new Array[Float](dim)
+          var i = 0
+          while (i < bytes.length) {
+            v(i % dim) += (bytes(i) & 0xFF) / 255.0f
+            i += 1
+          }
+          (id, v)
+        }
+      }
+      .toDF("media_id", "embedding")
+  }
+
   /** q40 — the multimodal pipeline shape, expressed with codegen'd
     * column arithmetic (so the DuckDB oracle can mirror it — the
     * mapPartitions variant above is behavior-identical, tested in

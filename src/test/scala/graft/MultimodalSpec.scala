@@ -19,6 +19,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.fieldNames.toSeq == Seq("mime", "byte_len", "origin"))
   }
 
+  test("resizeStub: every payload hits the byte budget, metadata follows") {
+    val media = MultimodalOps.mediaTable(spark, dir)
+    val out = MultimodalOps.resizeStub(media, 256).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Array[Byte]]("bytes").length == 256)
+      assert(r.getStruct(2).getLong(1) == 256L)
+    }
+  }
+
+  test("featureExtractStub: fixed-dim vectors that feed the similarity ops") {
+    val media = MultimodalOps.mediaTable(spark, dir)
+    val feats = MultimodalOps.featureExtractStub(media, 16)
+    val schema = feats.schema
+    assert(schema("embedding").dataType.typeName == "array")
+    val rows = feats.collect()
+    assert(rows.forall(_.getSeq[Float](1).length == 16))
+    // deterministic across evaluations
+    val again = MultimodalOps.featureExtractStub(media, 16).collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+      == again.map(r => (r.getLong(0), r.getSeq[Float](1))).toMap)
+    // composes with the cosine expression downstream of extraction
+    import org.apache.spark.sql.functions.{col, expr}
+    org.apache.spark.sql.GraftShims.registerBinaryFunction(spark,
+      "cosine_sim", graft.functions.CosineSim(_, _))
+    val sims = feats.limit(5)
+      .select(expr("cosine_sim(cast(embedding as array<double>), " +
+        "cast(embedding as array<double>))").as("self"))
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
   test("decodeStub matches q40 column arithmetic row-for-row") {
     val decoded = MultimodalOps.decodeStub(MultimodalOps.mediaTable(spark, dir))
       .collect().map(d => d.media_id ->
