@@ -393,6 +393,48 @@ object Extended2 {
       .orderBy("c_mktsegment")
   }
 
+  /** q83 — Pareto cut: the smallest set of customers covering ≥ 80% of
+    * total revenue. Exact decimal cumulative sum over customers ordered
+    * by revenue (desc, key tiebreak); a row is kept while the EXCLUSIVE
+    * prefix is below the threshold — so the row crossing the line is
+    * included and the set is minimal. The per-customer rollup shrinks
+    * orders to customer cardinality before any window; the cumsum
+    * window is global but O(customers) — shard it like q60's
+    * [[Extended.packSequences]] when customers stop fitting a reducer. */
+  def q83ParetoCut(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perCust
+      .join(broadcast(perCust.agg(sum("rev").as("total"))))
+      .withColumn("cum", sum("rev").over(w))
+      // exclusive prefix < 80% of total ⇔ this row is needed to reach it
+      .filter((col("cum") - col("rev")) * 100 < col("total") * 80)
+      .select(col("o_custkey"), col("rev").cast("double").as("rev"),
+        ((col("cum") * 100).cast("double") / col("total").cast("double"))
+          .as("cum_share_pct"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+  }
+
+  /** q84 — corpus duplicate-ratio report: per source, document count,
+    * how many docs are surplus copies (beyond the first of each exact
+    * sha2(text) group), and the surplus ratio. The profiling number a
+    * dedup stage reports before and after running; one aggregate over
+    * (source, hash) then one over source. */
+  def q84DupReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), sha2(col("text"), 256).as("h"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("copies"))
+      .groupBy("source")
+      .agg(sum("copies").as("n_docs"),
+        sum(col("copies") - 1).as("n_surplus"))
+      .withColumn("dup_ratio",
+        col("n_surplus").cast("double") / col("n_docs"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_zorder" -> (q74Zorder _),
     "q75_time_rollup" -> (q75TimeRollup _),
@@ -402,6 +444,8 @@ object Extended2 {
     "q79_embed_stats" -> (q79EmbedStats _),
     "q81_corr" -> (q81Corr _),
     "q82_mode" -> (q82Mode _),
+    "q83_pareto_cut" -> (q83ParetoCut _),
+    "q84_dup_report" -> (q84DupReport _),
     "q67_interval_merge" -> (q67IntervalMerge _),
     "q68_tfidf" -> (q68Tfidf _),
     "q69_scd2" -> (q69Scd2 _),
@@ -456,6 +500,30 @@ object Extended2 {
         |  ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
         |ORDER BY name_a, name_b""".stripMargin,
+    "q83_pareto_cut" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total FROM pc),
+        |c AS (
+        |  SELECT o_custkey, rev,
+        |         sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pc)
+        |SELECT o_custkey, CAST(rev AS DOUBLE) AS rev,
+        |       CAST(cum * 100 AS DOUBLE) / CAST(total AS DOUBLE)
+        |         AS cum_share_pct
+        |FROM c, t
+        |WHERE (cum - rev) * 100 < total * 80
+        |ORDER BY rev DESC, o_custkey""".stripMargin,
+    "q84_dup_report" ->
+      """WITH g AS (
+        |  SELECT source, sha256(text) AS h, count(*) AS copies
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+        |       CAST(sum(copies - 1) AS BIGINT) AS n_surplus,
+        |       CAST(sum(copies - 1) AS DOUBLE) / sum(copies) AS dup_ratio
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q81_corr" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

@@ -190,6 +190,33 @@ class Extended2Spec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) > 0))
   }
 
+  test("q83: the cut is minimal and crosses 80% exactly once") {
+    val rows = Extended2.q83ParetoCut(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every row except the last is below the threshold cumulatively;
+    // the last row is the first to reach or pass it
+    val shares = rows.map(_.getDouble(2))
+    assert(shares.dropRight(1).forall(_ < 80.0))
+    assert(shares.last >= 80.0)
+    // ordered by revenue descending
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.sliding(2).forall {
+      case Array(a, b) => a >= b
+      case _ => true
+    })
+  }
+
+  test("q84: surplus counts agree with the exact-dedup query") {
+    val report = Extended2.q84DupReport(spark, dir).collect()
+    val totalDocs = report.map(_.getLong(1)).sum
+    val totalSurplus = report.map(_.getLong(2)).sum
+    assert(totalDocs == Tables.documents(spark, dir).count())
+    // distinct (source, text) pairs = docs - surplus
+    val distinctPairs = Tables.documents(spark, dir)
+      .select("source", "text").distinct().count()
+    assert(totalDocs - totalSurplus == distinctPairs)
+  }
+
   test("q73: bigram counts and conditionals match a hand-built fixture") {
     import spark.implicits._
     val docs = Seq("the cat sat", "the cat ran", "a cat").toDF("text")
