@@ -51,4 +51,37 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS state_bucketed")
     }
   }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // the runtime half of the skew story (saltedEquiJoin is the manual
+    // half): one hot key dominating the fact side; with skew thresholds
+    // scaled to test size, AQE must mark the sort-merge join skew=true
+    // and split the hot partition — no user-side rewrite.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of rows on one key: the hot partition dwarfs the median
+      // by far more than skewedPartitionFactor
+      val fact = (1 to 60000).map(i =>
+        (if (i % 10 != 0) 999L else (i % 50).toLong,
+          s"payload_$i" * 4)).toDF("k", "payload")
+      val dim = (0L to 999L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // materialize THIS DataFrame's own QueryExecution (count() would
+      // plan a separate aggregate query), then read its final adaptive plan
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split join in the adaptive plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
