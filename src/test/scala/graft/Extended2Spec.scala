@@ -168,6 +168,24 @@ class Extended2Spec extends AnyFunSuite {
     last.foreach { case (u, kept) => assert(snap.contains(u) == kept, s"user $u") }
   }
 
+  test("q78: date and region filters push down to the parquet scans") {
+    val plan = Extended2.q78TpchQ5(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the orders year filter must reach the orders scan, not sit in a
+    // post-scan Filter only; same for the region name filter
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"orders date filter not pushed:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed:\n$plan")
+    // lineitem scan reads only the 3 columns the query needs
+    val liSchema = plan.linesIterator
+      .filter(_.contains("lineitem.parquet"))
+      .mkString("\n")
+    assert(liSchema.contains("l_orderkey") && !liSchema.contains("l_comment")
+      && !liSchema.contains("l_shipdate"),
+      s"lineitem scan not pruned:\n$liSchema")
+  }
+
   test("q78: plan broadcasts the dim sides and aggregates once") {
     val plan = Extended2.q78TpchQ5(spark, dir)
       .queryExecution.executedPlan.toString
