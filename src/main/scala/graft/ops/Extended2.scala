@@ -435,6 +435,37 @@ object Extended2 {
         col("n_surplus").cast("double") / col("n_docs"))
       .orderBy("source")
 
+  /** q85 — NULL-preserving unnest (`explode_outer`): rows with a null
+    * array survive with a null element instead of vanishing. This is
+    * the documented R5 divergence's other half (SURVEY.md §2.1 R5:
+    * plain `explode` ≡ the reference's forEach, which DROPS
+    * empty/null lists) — the outer variant is what an auditable
+    * pipeline uses when row loss is not acceptable. Nulls injected on
+    * p_size % 7 == 0 so the fixture exercises the preserved path. */
+  def q85ExplodeOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        when(pmod(col("p_size"), lit(7)) === 0, lit(null))
+          .otherwise(split(col("p_name"), " ")).as("toks"))
+      .select(col("p_partkey"), explode_outer(col("toks")).as("tok"))
+      .orderBy("p_partkey", "tok")
+
+  /** q86 — higher-order-function bundle over in-row arrays:
+    * transform + aggregate (sum of squares), filter + size (even
+    * count), exists (membership) — all evaluated INSIDE the row with
+    * zero explode and zero shuffle. Integer arithmetic end-to-end, so
+    * the oracle matches bit-for-bit with no rounding convention. */
+  def q86HofBundle(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        expr("""aggregate(transform(sequence(1, p_size % 10 + 1),
+                                    x -> CAST(x * x AS BIGINT)),
+                          0L, (acc, x) -> acc + x)""").as("sum_sq"),
+        expr("size(filter(sequence(1, p_size % 10 + 1), x -> x % 2 = 0))")
+          .cast("long").as("n_even"),
+        expr("exists(sequence(1, p_size % 10 + 1), x -> x = 5)").as("has5"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_zorder" -> (q74Zorder _),
     "q75_time_rollup" -> (q75TimeRollup _),
@@ -446,6 +477,8 @@ object Extended2 {
     "q82_mode" -> (q82Mode _),
     "q83_pareto_cut" -> (q83ParetoCut _),
     "q84_dup_report" -> (q84DupReport _),
+    "q85_explode_outer" -> (q85ExplodeOuter _),
+    "q86_hof_bundle" -> (q86HofBundle _),
     "q67_interval_merge" -> (q67IntervalMerge _),
     "q68_tfidf" -> (q68Tfidf _),
     "q69_scd2" -> (q69Scd2 _),
@@ -500,6 +533,25 @@ object Extended2 {
         |  ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
         |ORDER BY name_a, name_b""".stripMargin,
+    "q85_explode_outer" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |         CASE WHEN p_size % 7 = 0 THEN NULL
+        |              ELSE string_split(p_name, ' ') END AS toks
+        |  FROM part)
+        |SELECT p.p_partkey, u.tok
+        |FROM p LEFT JOIN (SELECT p_partkey AS pk, unnest(toks) AS tok
+        |                  FROM p) u
+        |  ON p.p_partkey = u.pk
+        |ORDER BY p_partkey, tok NULLS FIRST""".stripMargin,
+    "q86_hof_bundle" ->
+      """SELECT p_partkey,
+        |  CAST(list_sum(list_transform(range(1, p_size % 10 + 2),
+        |                               x -> x * x)) AS BIGINT) AS sum_sq,
+        |  len(list_filter(range(1, p_size % 10 + 2),
+        |                  x -> x % 2 = 0)) AS n_even,
+        |  list_has_any(range(1, p_size % 10 + 2), [5]) AS has5
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q83_pareto_cut" ->
       """WITH pc AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
