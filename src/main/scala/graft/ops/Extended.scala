@@ -267,25 +267,8 @@ object Extended {
     * Identical bins to the single-window form for every input
     * (ExtendedSpec pins it): global_cum = shard_offset + within_cum
     * is an identity, not an approximation. */
-  def packSequences(tok: DataFrame, cap: Int, nShards: Int): DataFrame = {
-    val bounds = tok.agg(min("doc_id").as("lo"),
-      (ceil((max("doc_id") - min("doc_id") + 1).cast("double") / nShards))
-        .cast("long").as("width"))
-    val sharded = tok.join(broadcast(bounds))
-      .withColumn("shard", floor((col("doc_id") - col("lo")) / col("width")))
-    val wIn = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wOff = Window.orderBy("shard")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy("shard")
-      .agg(sum("n_tokens").as("shard_tokens"))
-      .withColumn("offset",
-        coalesce(sum("shard_tokens").over(wOff), lit(0L)))
-      .select("shard", "offset")
-    sharded
-      .withColumn("within", sum("n_tokens").over(wIn))
-      .join(broadcast(offsets), "shard")
-      .withColumn("cum", col("offset") + col("within"))
+  def packSequences(tok: DataFrame, cap: Int, nShards: Int): DataFrame =
+    ScaleOps.shardedCumSum(tok, "doc_id", "n_tokens", "cum", nShards)
       .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(cap)))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
@@ -293,7 +276,6 @@ object Extended {
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
       .orderBy("bin")
-  }
 
   /** q61 — top-3 orders per customer via [[TopKAgg]]: partial top-k on
     * the map side (≤3 rows per customer per task cross the wire), final

@@ -42,6 +42,40 @@ object ScaleOps {
     salted.join(dimExp, Seq(key, saltCol)).drop(saltCol)
   }
 
+  /** Sharded running sum over `orderCol` (numeric, e.g. an id): the
+    * scalable form of `sum(value) OVER (ORDER BY orderCol)`. A prefix
+    * sum decomposes exactly — cum = shard_offset + within_shard_cum —
+    * so the O(rows) unpartitioned window becomes per-shard partitioned
+    * windows (parallel) plus one window over ≤ nShards offset rows.
+    * Output value per row is IDENTICAL to the global window's
+    * (spec-proven for the q60 packing; the identity is exact, not
+    * approximate). Shards are contiguous `orderCol` ranges of equal
+    * width; sparse ids skew shard sizes but never correctness. */
+  def shardedCumSum(df: DataFrame, orderCol: String, valueCol: String,
+      cumName: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(min(orderCol).as("__lo"),
+      ceil((max(orderCol) - min(orderCol) + 1).cast("double") / nShards)
+        .cast("long").as("__width"))
+    val sharded = df.join(broadcast(bounds))
+      .withColumn("__shard",
+        floor((col(orderCol) - col("__lo")) / col("__width")))
+    val wIn = Window.partitionBy("__shard").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("__shard")
+      .agg(sum(valueCol).as("__shard_total"))
+      .withColumn("__offset",
+        coalesce(sum("__shard_total").over(wOff), lit(0L)))
+      .select("__shard", "__offset")
+    sharded
+      .withColumn("__within", sum(valueCol).over(wIn))
+      .join(broadcast(offsets), "__shard")
+      .withColumn(cumName, col("__offset") + col("__within"))
+      .drop("__shard", "__lo", "__width", "__within", "__offset")
+  }
+
   /** Write `state` as a bucketed, sort-within-buckets table so that
     * every future merge (the reference's R10 read-modify-write) joins
     * against it WITHOUT shuffling the state side: only the (much

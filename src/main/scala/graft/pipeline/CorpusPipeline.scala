@@ -57,11 +57,12 @@ object CorpusPipeline {
       .withColumn("n_tokens",
         regexp_count(col("text"), lit("\\S+")).cast("long"))
       .filter(col("quality_score") >= minQuality)
-    // 4 — token budget in doc_id priority order
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    // 4 — token budget in doc_id priority order; the running total is
+    // the SHARDED prefix sum (ScaleOps.shardedCumSum) — identical
+    // values to a global `sum OVER (ORDER BY doc_id)` window without
+    // funnelling every surviving doc through one reducer
+    graft.ops.ScaleOps.shardedCumSum(scored, "doc_id", "n_tokens",
+        "cum_tokens", 16)
       .filter(col("cum_tokens") <= tokenBudget)
       .select("doc_id", "lang", "n_chars", "n_tokens", "quality_score",
         "cum_tokens")
