@@ -1,0 +1,331 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q87–q92: the fourth wave — null-aware anti joins (NOT IN), LLM
+  * training-data chunking with overlap, benchmark decontamination,
+  * LATERAL correlated top-k, multiset (ALL) set operations, and
+  * per-source upsampling for training-mix construction. Same
+  * determinism contract as [[Extended]]: total ORDER BY on a unique
+  * key, integer/exact arithmetic wherever the oracle must agree
+  * bit-for-bit, and the Java∩RE2 regex dialect subset shared with
+  * DuckDB.
+  *
+  * The reference (SURVEY.md §2.1) has none of these: it is a fixed
+  * ETL with no subqueries, no set ops, and no text tooling. These are
+  * north-star extensions (BASELINE.json) for the 100 TB corpus-prep
+  * posture.
+  */
+object Extended3 {
+
+  /** q87 — NOT IN as a null-aware anti join. `x NOT IN (subquery)` has
+    * three-valued semantics: if the subquery produces ANY null the
+    * result is empty, and a null outer key never qualifies — a plain
+    * left-anti join gets both wrong. Spark plans this as a broadcast
+    * null-aware anti join (NAAJ); the outer side here carries injected
+    * nulls (every custkey ≡ 7 mod 50) that must be dropped.
+    *
+    * Scale: the subquery is an aggregated key set — tiny — so it
+    * broadcasts; the fact side streams through one codegen stage with
+    * zero shuffles.
+    */
+  def q87NullAwareAnti(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("g87_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("g87_customer")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey
+        |FROM g87_orders
+        |WHERE nullif(pmod(o_custkey, 50), 7) NOT IN
+        |  (SELECT pmod(c_custkey, 50) FROM g87_customer
+        |   WHERE pmod(c_custkey, 50) BETWEEN 25 AND 40)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q88 — fixed-size token chunking with overlap (context-window
+    * preprocessing): split each document into 64-token chunks on a
+    * 48-token stride (16-token overlap), the standard shape for
+    * packing long documents into bounded training windows. Chunk
+    * starts come from an in-row `sequence`, sliced in-row — the text
+    * is tokenized exactly once and never shuffles (the only exchange
+    * is the final presentation sort).
+    *
+    * Scale: per-row work only; a 100 TB corpus chunks embarrassingly
+    * parallel with output ~n_tokens/stride rows per doc.
+    */
+  def q88ChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"),
+      x => x =!= "")
+    Tables.fanout(Tables.documents(spark, dir).select(col("doc_id"), toks.as("toks")))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 1L)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n") - 1L, lit(48L))).as("start"))
+      .select(col("doc_id"), col("start"),
+        size(slice(col("toks"), col("start") + 1L, lit(64))).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1L, lit(64)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "start")
+  }
+
+  /** q89 — benchmark decontamination: flag documents whose normalized
+    * text contains any phrase from a (small, broadcast) contamination
+    * set — here the first 8 tokens of every 97th document, standing in
+    * for benchmark/eval strings. The phrase table broadcasts; matching
+    * is a broadcast nested-loop semi-ish join whose inner loop is a
+    * codegen'd `contains`, and only (doc_id, phrase-hit) pairs survive
+    * to the aggregate.
+    *
+    * Scale: contamination sets are KBs–MBs (eval suites), so the
+    * broadcast never grows with the corpus; the scan side is one pass.
+    * For huge phrase sets the same query swaps `contains` for an
+    * n-gram-hash equi-join (the q25 LSH shape).
+    */
+  def q89Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"),
+      x => x =!= "")
+    val norm = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("toks")).as("norm"), size(col("toks")).as("nt"))
+    val phrases = norm
+      .filter(pmod(col("doc_id"), lit(97L)) === 0L && col("nt") >= 8)
+      .select(concat_ws(" ",
+        slice(split(col("norm"), " "), 1, 8)).as("phrase"))
+    norm.join(broadcast(phrases), contains(col("norm"), col("phrase")))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("phrase")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** q90 — LATERAL correlated top-k: for every customer, the top-2
+    * orders by price via a correlated LATERAL subquery with
+    * ORDER BY + LIMIT. Catalyst decorrelates this into a windowed
+    * rank over a single equi-join — i.e. the same physical plan a
+    * hand-written window query gets, with the per-group LIMIT pushed
+    * below the join; declared here to pin the SQL surface.
+    *
+    * Scale: one shuffle on the correlation key; no per-group
+    * re-execution ever happens (the lateral is a rewrite, not a loop).
+    */
+  def q90LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("g90_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("g90_customer")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM g90_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM g90_orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+  }
+
+  /** q91 — multiset set operations: INTERSECT ALL / EXCEPT ALL between
+    * the order-priority bags of two market segments. Unlike q21's
+    * DISTINCT set ops these respect multiplicity — INTERSECT ALL keeps
+    * min(countA, countB) copies, EXCEPT ALL keeps countA − countB —
+    * which Spark plans as one aggregate computing both counts per key
+    * and a generator re-emitting the right number of copies (no join,
+    * no explode of raw rows across the exchange).
+    */
+  def q91SetopsAll(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    def bag(seg: String) = orders
+      .join(cust.filter(col("c_mktsegment") === seg)
+        .select("c_custkey"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority").as("p"))
+    val a = bag("AUTOMOBILE")
+    val b = bag("BUILDING")
+    val ia = a.intersectAll(b).groupBy("p")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val ea = a.exceptAll(b).groupBy("p")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    ia.unionByName(ea).select("op", "p", "n").orderBy("op", "p")
+  }
+
+  /** q92 — training-mix upsampling: per-source repeat factors (a data
+    * mixture: factor = 1 + suffix(source) mod 3) materialized by
+    * exploding an in-row `sequence(1, factor)` — the standard way to
+    * oversample high-quality sources when assembling a training epoch.
+    * Emits the per-source mix audit: docs, factor, and row count after
+    * upsampling.
+    *
+    * Scale: the explode multiplies rows BEFORE the aggregate but the
+    * aggregate is partial+final, so only per-source partial counts
+    * shuffle. In a real epoch build the exploded frame streams
+    * straight to the shuffle-free pack/write stage (q60's packer).
+    */
+  def q92UpsampleMix(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (lit(1) + pmod(substring(col("source"), 4, 10).cast("int"), lit(3)))
+          .as("factor"))
+      .select(col("doc_id"), col("source"), col("factor"),
+        explode(sequence(lit(1), col("factor"))).as("copy_idx"))
+      .groupBy("source", "factor")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_after"))
+      .orderBy("source")
+  }
+
+  /** q93 — repetition-ratio quality signal: distinct-3-gram share per
+    * document (duplicated n-grams are the classic synthetic/spam text
+    * tell; Gopher/C4-style filters threshold on exactly this). 3-grams
+    * form in-row via `transform(sequence(...))` over the token array —
+    * no explode, no shuffle; the ratio is an IEEE division of two
+    * exactly-representable ints, bit-identical in any engine.
+    */
+  def q93Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"),
+      x => x =!= "")
+    Tables.fanout(Tables.documents(spark, dir).select(col("doc_id"), toks.as("t")))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") >= 3L)
+      .withColumn("grams", transform(
+        sequence(lit(1L), col("n") - 2L),
+        i => concat_ws(" ", element_at(col("t"), i.cast("int")),
+          element_at(col("t"), i.cast("int") + 1),
+          element_at(col("t"), i.cast("int") + 2))))
+      .select(col("doc_id"),
+        (col("n") - 2L).as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+        (size(array_distinct(col("grams"))).cast("double") /
+          (col("n") - 2L).cast("double")).as("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** q94 — deterministic train/val/test split: every document lands in
+    * exactly one split by the lexicographic position of
+    * `md5(doc_id)`'s prefix (≈80/10/10) — reproducible by ANY engine
+    * with an md5 (same portability rationale as q72), stable under
+    * re-runs, resharding, and corpus growth (a doc's split never
+    * changes when other docs arrive). Emits the per-source × split
+    * audit counts.
+    */
+  def q94TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(h < "cccd", "train")
+          .when(h < "e666", "val")
+          .otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_null_aware_anti" -> (q87NullAwareAnti _),
+    "q88_chunk_docs" -> (q88ChunkDocs _),
+    "q89_decontaminate" -> (q89Decontaminate _),
+    "q90_lateral_topk" -> (q90LateralTopk _),
+    "q91_setops_all" -> (q91SetopsAll _),
+    "q92_upsample_mix" -> (q92UpsampleMix _),
+    "q93_repetition" -> (q93Repetition _),
+    "q94_train_split" -> (q94TrainSplit _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q87_null_aware_anti" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE nullif(o_custkey % 50, 7) NOT IN
+        |  (SELECT c_custkey % 50 FROM customer
+        |   WHERE c_custkey % 50 BETWEEN 25 AND 40)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q88_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+        |c AS (SELECT doc_id, toks,
+        |             unnest(range(0, n, 48)) AS start FROM s)
+        |SELECT doc_id, start,
+        |       len(list_slice(toks, start + 1, start + 64)) AS n_chunk_tokens,
+        |       array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+        |         AS chunk_text
+        |FROM c ORDER BY doc_id, start""".stripMargin,
+    "q89_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id, array_to_string(toks, ' ') AS norm,
+        |         len(toks) AS nt FROM t),
+        |phrases AS (
+        |  SELECT array_to_string(list_slice(string_split(norm, ' '), 1, 8), ' ')
+        |           AS phrase
+        |  FROM norm WHERE doc_id % 97 = 0 AND nt >= 8)
+        |SELECT d.doc_id, count(DISTINCT p.phrase) AS n_hits
+        |FROM norm d JOIN phrases p ON contains(d.norm, p.phrase)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q90_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
+    "q91_setops_all" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority AS p FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'AUTOMOBILE'),
+        |b AS (
+        |  SELECT o_orderpriority AS p FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |ia AS (SELECT 'intersect_all' AS op, p, count(*) AS n
+        |       FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+        |       GROUP BY 2),
+        |ea AS (SELECT 'except_all' AS op, p, count(*) AS n
+        |       FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+        |       GROUP BY 2)
+        |SELECT op, p, n FROM ia
+        |UNION ALL SELECT op, p, n FROM ea
+        |ORDER BY op, p""".stripMargin,
+    "q92_upsample_mix" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |         1 + (CAST(substr(source, 4) AS INT) % 3) AS factor
+        |  FROM documents),
+        |x AS (SELECT doc_id, source, factor,
+        |             unnest(generate_series(1, factor)) AS copy_idx FROM f)
+        |SELECT source, factor, count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_after
+        |FROM x GROUP BY source, factor ORDER BY source""".stripMargin,
+    "q93_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+        |  FROM documents),
+        |s AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 3),
+        |g AS (SELECT doc_id, n,
+        |        list_transform(generate_series(1, CAST(n AS INT) - 2),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS grams
+        |      FROM s)
+        |SELECT doc_id, n - 2 AS n_grams,
+        |       len(list_distinct(grams)) AS n_distinct,
+        |       CAST(len(list_distinct(grams)) AS DOUBLE)
+        |         / CAST(n - 2 AS DOUBLE) AS distinct_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q94_train_split" ->
+      """SELECT source,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |              THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |              THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs
+        |FROM documents
+        |GROUP BY source, split ORDER BY source, split""".stripMargin)
+}
