@@ -34,6 +34,20 @@ class SourcesSpec extends AnyFunSuite {
       sup.orderBy("s_suppkey").collect().map(_.toSeq).toSeq)
   }
 
+  test("xml source: explicit-schema roundtrip preserves every row") {
+    // Spark 4.x ships the XML source natively (SPARK-44265). Same
+    // explicit-schema rule as CSV: inference is a second full scan.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    val nat = Tables.nation(spark, dir)
+    nat.write.mode("overwrite").option("rootTag", "nations")
+      .option("rowTag", "nation").format("xml").save(tmp)
+    val back = spark.read.schema(nat.schema)
+      .option("rowTag", "nation").format("xml").load(tmp)
+    assert(back.schema == nat.schema)
+    assert(back.orderBy("n_nationkey").collect().map(_.toSeq).toSeq ==
+      nat.orderBy("n_nationkey").collect().map(_.toSeq).toSeq)
+  }
+
   test("partitioned parquet write: a partition filter prunes the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.orders(spark, dir)
