@@ -190,22 +190,28 @@ object Relational {
 
   /** q21 — set operations: distinct custkeys with open ('O') vs finished
     * ('F') orders — union / intersect / except, tagged into one output.
-    * Each set op plans as an aggregate or semi/anti join (no sort). The
-    * two key sets are persisted: three set ops reference each side, and
-    * without the cache Spark re-scans and re-distincts orders per branch
-    * (6 scans; with it: 2) — the key sets are bounded by customer
-    * cardinality, far below the fact table they summarize. */
-  def q21SetOps(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    def keys(status: String): DataFrame =
-      o.filter(col("o_orderstatus") === status)
-        .select(col("o_custkey").as("custkey")).distinct().persist()
-    val f = keys("F"); val op = keys("O")
-    f.union(op).distinct().withColumn("op", lit("union"))
-      .unionByName(f.intersect(op).withColumn("op", lit("intersect")))
-      .unionByName(f.except(op).withColumn("op", lit("except")))
+    * Set-op OPERATORS would re-scan orders per branch (three ops × two
+    * sides); instead ONE aggregate computes per-custkey membership
+    * flags (max-of-indicator — partial+final, so only flags shuffle)
+    * and an in-row explode emits the op labels each key belongs to.
+    * One scan, one shuffle, no persist — the algebra moves into the
+    * row, the data moves once. */
+  def q21SetOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("in_f"),
+        max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("in_o"))
+      .select(col("custkey"), explode(concat(
+        array(lit("union")),
+        when(col("in_f") === 1 && col("in_o") === 1,
+          array(lit("intersect"))).otherwise(array().cast("array<string>")),
+        when(col("in_f") === 1 && col("in_o") === 0,
+          array(lit("except"))).otherwise(array().cast("array<string>"))))
+        .as("op"))
+      .select("custkey", "op")
       .orderBy("op", "custkey")
-  }
 
   /** q22 — scalar bundle (string + math) over documents. Regexes limited
     * to portable character-class syntax (identical under Java regex and

@@ -50,10 +50,22 @@ object ScaleOps {
     * Output value per row is IDENTICAL to the global window's
     * (spec-proven for the q60 packing; the identity is exact, not
     * approximate). Shards are contiguous `orderCol` ranges of equal
-    * width; sparse ids skew shard sizes but never correctness. */
-  def shardedCumSum(df: DataFrame, orderCol: String, valueCol: String,
+    * width; sparse ids skew shard sizes but never correctness.
+    *
+    * The input feeds THREE consumers (bounds, per-shard offsets, the
+    * main path), so it is persisted here — without the cache Spark
+    * re-evaluates the upstream lineage per branch, and callers hand
+    * this function expensively-derived pairs (q60 tokenizes text
+    * upstream; 3 evaluations tripled its cost, measured). The cached
+    * frame is only (orderCol, valueCol) pairs — bytes per row, far
+    * below the data they summarize. Same cache lifecycle contract as
+    * [[graft.ops.Similarity]]: the persist belongs to the returned
+    * plan; callers composing repeated runs clearCache between them
+    * (Bench does). */
+  def shardedCumSum(df0: DataFrame, orderCol: String, valueCol: String,
       cumName: String, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val df = df0.persist()
     val bounds = df.agg(min(orderCol).as("__lo"),
       ceil((max(orderCol) - min(orderCol) + 1).cast("double") / nShards)
         .cast("long").as("__width"))
