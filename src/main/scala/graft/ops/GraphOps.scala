@@ -18,21 +18,40 @@ object GraphOps {
   /** Minimum-label propagation to a fixpoint: every vertex repeatedly
     * takes the min label over itself and its neighbors. Converges in
     * O(component diameter) rounds; each round is one shuffle (edges ⋈
-    * labels, groupBy min). The driver only checks the per-round change
-    * COUNT — all real work is distributed. At 100 TB-scale graphs the
-    * round count is the limiter; the standard fix is the
-    * alternating large/small-star algorithm (pointer doubling, O(log n)
-    * rounds) — same dataflow per round, so this method is the honest
-    * small-diameter version of it.
+    * labels, groupBy min). At 100 TB-scale graphs the round count is
+    * the limiter; the standard fix is the alternating large/small-star
+    * algorithm (pointer doubling, O(log n) rounds) — same dataflow per
+    * round, so this method is the honest small-diameter version of it.
     *
-    * `edges` must have columns (src, dst); treated as undirected. */
+    * Two scale properties of the loop itself:
+    *  - Only EDGE-TOUCHING vertices iterate. In a near-dup graph almost
+    *    every document is isolated (its own component); carrying them
+    *    through every round would shuffle the whole vertex set per
+    *    round for rows that cannot change. Isolated vertices rejoin as
+    *    label = own id after the fixpoint, by construction correct.
+    *  - Convergence is a single aggregate, not a join: labels only
+    *    ever DECREASE, so the label sum (exact decimal — no overflow
+    *    at any scale) is strictly monotone until the fixpoint; equal
+    *    consecutive sums ⟺ no label changed.
+    *
+    * `edges` must have columns (src, dst), endpoints ⊆ `vertices.id`;
+    * treated as undirected. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIters: Int = 50): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = vertices.select(col("id"), col("id").as("label")).persist()
-    var converged = false
+    // both directions are present, so src alone covers every endpoint
+    val connected = und.select(col("src").as("id")).distinct().persist()
+    var labels = connected.select(col("id"), col("id").as("label")).persist()
+    // null sum ⟺ empty label set (sum over zero rows) — doubles as the
+    // emptiness probe, so initialization costs ONE action, not two
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) None else Some(r.getDecimal(0))
+    }
+    var prevSum = labelSum(labels)
+    var converged = prevSum.isEmpty
     var i = 0
     while (!converged && i < maxIters) {
       // neighbor labels: for each edge (src,dst), dst receives src's label
@@ -40,15 +59,18 @@ object GraphOps {
         .select(col("dst").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(nbr)
         .groupBy("id").agg(min("label").as("label")).persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     und.unpersist()
-    labels
+    val isolated = vertices.select(col("id"))
+      .join(connected, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.union(isolated)
   }
 
   /** q63 — correlated aggregate subquery: orders priced above THEIR
