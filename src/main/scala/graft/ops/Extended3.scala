@@ -219,6 +219,50 @@ object Extended3 {
       .orderBy("source", "split")
   }
 
+  /** q95 — cohort retention: users grouped by first-active day, counted
+    * per days-since-cohort offset — the standard product-analytics
+    * retention triangle. Two shuffles: the per-user min (partial+final)
+    * and the (cohort, offset) distinct count; the fact→cohort join
+    * rides the user_id partitioning already established.
+    */
+  def q95Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+    val cohort = ev.groupBy("user_id").agg(min("d").as("c"))
+    ev.join(cohort, "user_id")
+      .groupBy(date_format(col("c"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("c")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  /** q96 — time-weighted average: each event's value holds until the
+    * user's next event; the mean weighted by holding duration (the
+    * correct average for irregularly-sampled gauges — an unweighted avg
+    * over-counts bursts). One window (lead) on the same (user, time)
+    * shuffle, then exact decimal value×duration sums per user with the
+    * q71 scale-4 rounding rule; durations in whole seconds keep the
+    * scaled sums far below 2^53 where decimal→double conversion is
+    * correctly rounded in both engines.
+    */
+  def q96TimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast("decimal(18,6)").as("vdec"))
+      .withColumn("dur_s",
+        expr("(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us) DIV 1000000"))
+      .filter(col("dur_s").isNotNull && col("dur_s") > 0L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dur_s").as("total_dur_s"),
+        sum((col("vdec") * col("dur_s")).cast("decimal(38,6)")).as("wsum"))
+      .select(col("user_id"), col("n_intervals"), col("total_dur_s"),
+        (round(col("wsum"), 4).cast("double") /
+          col("total_dur_s").cast("double")).as("twa"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_null_aware_anti" -> (q87NullAwareAnti _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
@@ -227,7 +271,9 @@ object Extended3 {
     "q91_setops_all" -> (q91SetopsAll _),
     "q92_upsample_mix" -> (q92UpsampleMix _),
     "q93_repetition" -> (q93Repetition _),
-    "q94_train_split" -> (q94TrainSplit _))
+    "q94_train_split" -> (q94TrainSplit _),
+    "q95_retention" -> (q95Retention _),
+    "q96_time_weighted_avg" -> (q96TimeWeightedAvg _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_null_aware_anti" ->
@@ -327,5 +373,31 @@ object Extended3 {
         |            ELSE 'test' END AS split,
         |       count(*) AS n_docs
         |FROM documents
-        |GROUP BY source, split ORDER BY source, split""".stripMargin)
+        |GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "q95_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohort AS (SELECT user_id, min(d) AS c FROM ev GROUP BY 1)
+        |SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+        |       CAST(date_diff('day', c, d) AS INT) AS offset_days,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q96_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(value AS DECIMAL(18,6)) AS vdec
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, vdec,
+        |         (lead(us) OVER (PARTITION BY user_id
+        |                         ORDER BY us, event_id) - us) // 1000000
+        |           AS dur_s
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_intervals,
+        |       CAST(sum(dur_s) AS BIGINT) AS total_dur_s,
+        |       CAST(round(sum(CAST(vdec * dur_s AS DECIMAL(38,6))), 4)
+        |            AS DOUBLE)
+        |         / CAST(sum(dur_s) AS DOUBLE) AS twa
+        |FROM d WHERE dur_s IS NOT NULL AND dur_s > 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

