@@ -263,6 +263,44 @@ object Extended3 {
       .orderBy("user_id")
   }
 
+  /** q97 — recursive CTE (Spark 4.x `WITH RECURSIVE`): walk every
+    * nation up a synthetic heap-parent hierarchy (parent(k) =
+    * (k−1) div 2) to the root, emitting each node's depth — the
+    * BOM-explosion / org-chart traversal shape as declarative SQL.
+    * Each recursion step is one self-join round planned by Spark; the
+    * fixpoint machinery (q64's hand loop) moves into the engine.
+    */
+  def q97RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("g97_nation")
+    spark.sql(
+      """WITH RECURSIVE walk(id, cur, depth) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+        |         CAST(0 AS BIGINT)
+        |  FROM g97_nation
+        |  UNION ALL
+        |  SELECT id, (cur - 1) DIV 2, depth + 1 FROM walk WHERE cur > 0)
+        |SELECT id, max(depth) AS depth
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin)
+  }
+
+  /** q98 — VARIANT semi-structured path (Spark 4.x): `parse_json` the
+    * event props into a variant, extract typed fields with
+    * `variant_get`, aggregate. Variant keeps the binary-encoded value
+    * — repeated extraction never re-parses text, the 100 TB reason to
+    * prefer it over per-query `get_json_object` string parsing.
+    */
+  def q98VariantJson(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("g98_events")
+    spark.sql(
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       sum(variant_get(parse_json(props), '$.k', 'long')) AS sum_k,
+        |       count(CASE WHEN variant_get(parse_json(props), '$.k', 'long')
+        |                        > 50 THEN 1 END) AS n_big
+        |FROM g98_events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_null_aware_anti" -> (q87NullAwareAnti _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
@@ -273,7 +311,9 @@ object Extended3 {
     "q93_repetition" -> (q93Repetition _),
     "q94_train_split" -> (q94TrainSplit _),
     "q95_retention" -> (q95Retention _),
-    "q96_time_weighted_avg" -> (q96TimeWeightedAvg _))
+    "q96_time_weighted_avg" -> (q96TimeWeightedAvg _),
+    "q97_recursive_cte" -> (q97RecursiveCte _),
+    "q98_variant_json" -> (q98VariantJson _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_null_aware_anti" ->
@@ -399,5 +439,22 @@ object Extended3 {
         |            AS DOUBLE)
         |         / CAST(sum(dur_s) AS DOUBLE) AS twa
         |FROM d WHERE dur_s IS NOT NULL AND dur_s > 0
-        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q97_recursive_cte" ->
+      """WITH RECURSIVE walk(id, cur, depth) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+        |         CAST(0 AS BIGINT)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT id, (cur - 1) // 2, depth + 1 FROM walk WHERE cur > 0)
+        |SELECT id, CAST(max(depth) AS BIGINT) AS depth
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+    "q98_variant_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS sum_k,
+        |       count(CASE WHEN CAST(json_extract_string(props, '$.k')
+        |                            AS BIGINT) > 50 THEN 1 END) AS n_big
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

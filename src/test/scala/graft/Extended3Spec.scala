@@ -199,6 +199,31 @@ class Extended3Spec extends AnyFunSuite {
     full.foreach { r => assert(!r.getDouble(3).isNaN) }
   }
 
+  test("q97: recursive walk depth equals the heap-depth closed form") {
+    val out = graft.ops.Extended3.q97RecursiveCte(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, depth) =>
+      // heap parent(k) = (k-1)/2 → depth(k) = floor(log2(k+1))
+      val expected = (63 - java.lang.Long.numberOfLeadingZeros(id + 1)).toLong
+      assert(depth == expected, s"id=$id depth=$depth expected=$expected")
+    }
+  }
+
+  test("q98: variant extraction agrees with get_json_object") {
+    val ev = Tables.events(spark, dir)
+    val viaVariant = graft.ops.Extended3.q98VariantJson(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val viaString = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(when(get_json_object(col("props"), "$.k").cast("long") > 50, 1))
+          .as("n_big"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaVariant.toSeq == viaString.toSeq)
+  }
+
   test("q92: upsampled row count is exactly docs × factor") {
     val rows = Extended3.q92UpsampleMix(spark, dir).collect()
     assert(rows.nonEmpty)
