@@ -54,6 +54,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL scalar UDF: CREATE FUNCTION ... RETURN participates in queries") {
+    // Spark 4.x SQL-defined UDFs: declarative, catalog-registered, and
+    // inlined into the plan as expressions (unlike JVM closures, the
+    // optimizer sees through them — they fold and push down).
+    val s = SparkTest.session
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_clamp01(x DOUBLE)
+            |RETURNS DOUBLE RETURN greatest(0.0D, least(1.0D, x))
+            |""".stripMargin)
+    val out = s.sql(
+      "SELECT graft_clamp01(1.7) AS hi, graft_clamp01(-0.2) AS lo, " +
+        "graft_clamp01(0.5) AS mid").head()
+    assert(out.getDouble(0) == 1.0 && out.getDouble(1) == 0.0 &&
+      out.getDouble(2) == 0.5)
+    // literal arguments constant-fold: no udf/invoke node survives
+    val plan = s.sql("SELECT graft_clamp01(1.7)")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("1.0"), s"expected folded literal in:\n$plan")
+  }
+
   test("literal cosine_sim constant-folds via the BinaryExpression foldable contract") {
     // no injected optimizer rule needed: CosineSim inherits foldable =
     // (left.foldable && right.foldable) from BinaryExpression, so
