@@ -301,6 +301,40 @@ object Extended3 {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** q99 — decontamination at scale: when the benchmark set is too big
+    * to broadcast-`contains` (q89), match on hashed 8-gram shingles
+    * with an EQUI-join — documents and benchmark phrases each reduce to
+    * md5(8-gram) keys, the join shuffles only 16-byte hashes, and any
+    * shared shingle flags the document. Same contamination definition
+    * as q89 restricted to aligned 8-grams; md5 keeps the oracle
+    * engine-portable (the q72/q94 rationale).
+    *
+    * Scale: no broadcast, no substring scans — two shingle streams
+    * hash-partitioned on the digest; benchmark-side shingles are
+    * distinct-ified before the join (bounded by the eval-suite size).
+    */
+  def q99DecontaminateNgram(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"),
+      x => x =!= "")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    def shingles(df: DataFrame): DataFrame = df
+      .filter(col("n") >= 8L)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1L), col("n") - 7L),
+          i => md5(concat_ws(" ",
+            slice(col("t"), i.cast("int"), lit(8)))))).as("g"))
+    val docGrams = shingles(base)
+    val benchGrams = shingles(
+      base.filter(pmod(col("doc_id"), lit(97L)) === 0L))
+      .select(col("g")).distinct()
+    docGrams.join(benchGrams, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_null_aware_anti" -> (q87NullAwareAnti _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
@@ -313,7 +347,8 @@ object Extended3 {
     "q95_retention" -> (q95Retention _),
     "q96_time_weighted_avg" -> (q96TimeWeightedAvg _),
     "q97_recursive_cte" -> (q97RecursiveCte _),
-    "q98_variant_json" -> (q98VariantJson _))
+    "q98_variant_json" -> (q98VariantJson _),
+    "q99_decontaminate_ngram" -> (q99DecontaminateNgram _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_null_aware_anti" ->
@@ -456,5 +491,22 @@ object Extended3 {
         |       count(CASE WHEN CAST(json_extract_string(props, '$.k')
         |                            AS BIGINT) > 50 THEN 1 END) AS n_big
         |FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q99_decontaminate_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                     x -> x <> '') AS l
+        |  FROM documents),
+        |s AS (SELECT doc_id, l, len(l) AS n FROM t),
+        |dg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, CAST(n AS INT) - 7),
+        |           i -> md5(array_to_string(list_slice(l, i, i + 7), ' '))))
+        |           AS g
+        |  FROM s WHERE n >= 8),
+        |bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0)
+        |SELECT d.doc_id, count(DISTINCT d.g) AS n_hits
+        |FROM dg d JOIN bg USING (g)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
 }

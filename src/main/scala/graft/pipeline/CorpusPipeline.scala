@@ -77,8 +77,88 @@ object CorpusPipeline {
         .select("doc_id", "text", "n_chars", "lang")),
       minQuality = 0.3, tokenBudget = 10000L)
 
+  /** Hashed-8-gram contamination ids: documents sharing any aligned
+    * 8-gram with the benchmark set (the q99 equi-join shape — only
+    * md5 digests shuffle, never text). */
+  private def contaminatedIds(docs: DataFrame,
+      benchmark: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"),
+      x => x =!= "")
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") >= 8L)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1L), col("n") - 7L),
+          i => md5(concat_ws(" ",
+            slice(col("t"), i.cast("int"), lit(8)))))).as("g"))
+    grams(docs)
+      .join(grams(benchmark).select("g").distinct(), "g")
+      .select("doc_id").distinct()
+  }
+
+  /** The FULL epoch build — every training-data stage this library
+    * implements, composed in production order over an input corpus and
+    * a benchmark (eval) set:
+    *
+    *  1. [[prepare]]: exact dedup → MinHash-LSH near-dup removal →
+    *     quality gate → token budget
+    *  2. decontamination: drop survivors sharing any hashed 8-gram
+    *     with the benchmark set (equi-join on digests — q99's shape)
+    *  3. train/val/test split: md5-prefix bands (q94's shape —
+    *     engine-portable, stable under corpus growth)
+    *  4. sequence packing: per split, bin documents into `binCap`-token
+    *     training windows with the SHARDED prefix sum (q60's shape)
+    *
+    * Returns the per-split audit (docs, tokens, bins, removal counts)
+    * — the frame a data team reviews before launching a run. Text
+    * never shuffles in any stage; every exchanged row is a digest,
+    * sketch, or (id, count) pair.
+    */
+  def epoch(docs: DataFrame, benchmark: DataFrame, minQuality: Double,
+      tokenBudget: Long, binCap: Int): DataFrame = {
+    val kept = prepare(docs, minQuality, tokenBudget)
+      .select("doc_id", "n_tokens").persist()
+    // persisted: feeds the anti-join AND the audit count
+    val dirty = contaminatedIds(
+      docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
+      benchmark).persist()
+    val clean = kept.join(dirty, Seq("doc_id"), "left_anti")
+    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val tagged = clean.withColumn("split",
+      when(h < "cccd", "train").when(h < "e666", "val")
+        .otherwise("test")).persist()
+    val splits = Seq("train", "val", "test")
+    val packed = splits.map { s =>
+      graft.ops.Extended.packSequences(
+        tagged.filter(col("split") === s).select("doc_id", "n_tokens"),
+        cap = binCap, nShards = 4)
+        .agg(count(lit(1)).as("n_bins"),
+          coalesce(sum("bin_tokens"), lit(0L)).as("total_tokens"),
+          coalesce(sum("n_docs"), lit(0L)).as("n_docs"))
+        .withColumn("split", lit(s))
+    }.reduce(_ unionByName _)
+    val nDirty = dirty.count()
+    packed
+      .withColumn("n_contaminated_removed", lit(nDirty))
+      .select("split", "n_docs", "total_tokens", "n_bins",
+        "n_contaminated_removed")
+      .orderBy("split")
+  }
+
+  /** q100 — the epoch build declared over `documents`, benchmark =
+    * every 97th document (the q89/q99 convention). Rows-only check
+    * (LSH stage ⇒ no SQL oracle); CorpusPipelineSpec pins the laws. */
+  def q100EpochBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanout(Tables.documents(spark, dir)
+      .select("doc_id", "text", "n_chars", "lang"))
+    epoch(docs, docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+      minQuality = 0.3, tokenBudget = 100000L, binCap = 2048)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q46_corpus_prep" -> (q46CorpusPrep _))
+    "q46_corpus_prep" -> (q46CorpusPrep _),
+    "q100_epoch_build" -> (q100EpochBuild _))
 
   val oracleSql: Map[String, String] = Map.empty
 }

@@ -49,4 +49,29 @@ class CorpusPipelineSpec extends AnyFunSuite {
       assert(r.getLong(3) > 0 && r.getLong(5) <= 10000L)
     }
   }
+
+  test("q100 epoch audit: three disjoint splits, bins bounded by docs") {
+    spark.catalog.clearCache()
+    val rows = CorpusPipeline.q100EpochBuild(spark, SparkTest.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq("test", "train", "val"))
+    val totalDocs = rows.map(_._2).sum
+    assert(totalDocs > 0)
+    // train dominates the md5 banding
+    val bySplit = rows.map(r => r._1 -> r._2).toMap
+    assert(bySplit("train") > bySplit("val") &&
+      bySplit("train") > bySplit("test"))
+    rows.foreach { case (_, nDocs, tokens, nBins, nDirty) =>
+      assert(nDirty >= 0)
+      if (nDocs > 0) {
+        assert(nBins >= 1 && nBins <= nDocs)
+        assert(tokens > 0)
+        // a bin never holds more than cap + one straddling doc's tokens;
+        // conservatively, bins * cap must cover tokens minus one doc
+        assert(nBins * 2048L + 2048L >= tokens)
+      }
+    }
+  }
 }
