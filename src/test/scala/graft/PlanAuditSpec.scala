@@ -28,6 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "shardedCumSum offset window is O(nShards) rows, not O(docs)",
     "q46_corpus_prep" ->
       "shardedCumSum offset window is O(nShards) rows, not O(docs)",
+    "q100_epoch_build" ->
+      "shardedCumSum offset window is O(nShards) rows, not O(docs)",
     "q83_pareto_cut" ->
       ("cumsum over the per-customer rollup, O(customers) not O(orders); " +
         "shard by rev range when customers outgrow a reducer"))
