@@ -117,8 +117,17 @@ object CorpusPipeline {
     */
   def epoch(docs: DataFrame, benchmark: DataFrame, minQuality: Double,
       tokenBudget: Long, binCap: Int): DataFrame = {
+    // localCheckpoint (not persist): the survivors' METADATA is tiny,
+    // but its LINEAGE is the whole LSH pipeline. Downstream every pack
+    // branch embeds this frame inside broadcast subqueries (bounds,
+    // offsets) whose planning/evaluation re-traverses the full analyzed
+    // plan — measured 20–75 s PER BRANCH at sf0.1 with persist alone
+    // (cache hits don't shrink the plan), 0.6–1.1 s once checkpointing
+    // truncates the plan to the materialized blocks. At cluster scale
+    // the same move is `checkpoint()` to reliable storage — the classic
+    // stage boundary of a multi-stage data pipeline.
     val kept = prepare(docs, minQuality, tokenBudget)
-      .select("doc_id", "n_tokens").persist()
+      .select("doc_id", "n_tokens").localCheckpoint(true)
     // persisted: feeds the anti-join AND the audit count
     val dirty = contaminatedIds(
       docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
@@ -127,7 +136,7 @@ object CorpusPipeline {
     val h = substring(md5(col("doc_id").cast("string")), 1, 4)
     val tagged = clean.withColumn("split",
       when(h < "cccd", "train").when(h < "e666", "val")
-        .otherwise("test")).persist()
+        .otherwise("test")).localCheckpoint(true)
     val splits = Seq("train", "val", "test")
     val packed = splits.map { s =>
       graft.ops.Extended.packSequences(
