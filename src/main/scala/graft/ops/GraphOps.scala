@@ -73,6 +73,90 @@ object GraphOps {
     labels.union(isolated)
   }
 
+  /** Connected components by ALTERNATING large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the O(log n)-round algorithm the
+    * [[connectedComponents]] doc promises for big-diameter graphs,
+    * where min-label propagation's O(diameter) rounds are the limiter
+    * (a 10^6-long near-dup chain is 10^6 propagation rounds but ~20
+    * star rounds; GraphOpsSpec pins the round-count gap on a chain).
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    min(N(u) ∪ u)
+    *  - small-star(u): every neighbor v < u (and u itself) attaches to
+    *    the minimum such neighbor
+    *
+    * Each round is two aggregate+join passes over the edge list — no
+    * neighborhood ever materializes as a list (hub-safe: the min is an
+    * aggregate, re-attachment a join). Edges are localCheckpoint'ed
+    * per round: iterative plans otherwise nest O(rounds) deep and
+    * planning cost explodes (measured on the epoch pipeline — see
+    * CorpusPipeline.epoch).
+    *
+    * Converges to star graphs: every vertex points at its component's
+    * minimum id. Same contract as [[connectedComponents]]; returns
+    * (id, label). */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 30): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    def swap(e: DataFrame) = e.select(col("dst").as("src"),
+      col("src").as("dst"))
+    def canon(e: DataFrame) = e.filter(col("src") =!= col("dst")).distinct()
+    // (count, hash-sum) fixpoint probe in one action
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    val connected = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var e = canon(edges.select("src", "dst")).localCheckpoint(true)
+    var prev = sig(e)
+    var converged = prev._1 == 0L
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star: und = both directions; v > u re-attaches to
+      // m = min(min-neighbor(u), u)
+      val und = e.union(swap(e))
+      // m(u) = min(N(u) ∪ {u}) — an aggregate + in-row least, never a
+      // materialized neighbor list (hub-safe)
+      val mnL = und.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("mnb"))
+        .select(col("u"), least(col("mnb"), col("u")).as("m"))
+      val large = canon(und.filter(col("dst") > col("src"))
+        .join(mnL, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+        .localCheckpoint(true)
+      // small-star over the large-star output: strictly-smaller
+      // neighbors S(u); u and every v ∈ S attach to min(S)
+      val undS = large.union(swap(large))
+      val sml = undS.filter(col("dst") < col("src"))
+      val mnS = sml.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      val next = canon(
+        sml.join(mnS, col("src") === col("u"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(mnS.select(col("u").as("src"), col("m").as("dst"))))
+        .localCheckpoint(true)
+      val nextSig = sig(next)
+      converged = nextSig == prev
+      prev = nextSig
+      e = next
+      i += 1
+    }
+    // converged: e is a star set (child → root). Roots and isolated
+    // vertices label themselves.
+    val children = e.select(col("src").as("id"), col("dst").as("label"))
+    val roots = connected.join(children.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    val isolated = vertices.select(col("id"))
+      .join(connected, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    children.union(roots).union(isolated)
+  }
+
   /** q63 — correlated aggregate subquery: orders priced above THEIR
     * customer's average order price. Expressed decorrelated (per-key
     * aggregate joined back on the key) — exactly the rewrite Catalyst

@@ -35,6 +35,41 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows.length == Tables.events(spark, dir).count())
   }
 
+  test("star CC: identical labels to min-label propagation on the burst graph") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val a = ev.select(col("user_id"), col("event_id").as("src"),
+      col("us").as("a_us"))
+    val b = ev.select(col("user_id"), col("event_id").as("dst"),
+      col("us").as("b_us"))
+    val edges = a.join(b, "user_id")
+      .filter(col("src") < col("dst") && col("b_us") >= col("a_us") &&
+        col("b_us") - col("a_us") <= 300000000L)
+      .select("src", "dst")
+    val verts = ev.select(col("event_id").as("id"))
+    val prop = GraphOps.connectedComponents(verts, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = GraphOps.connectedComponentsStar(verts, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("star CC: a 500-vertex chain converges within 12 rounds") {
+    import spark.implicits._
+    // min-label propagation needs O(diameter) = 499 rounds here; the
+    // alternating-star algorithm is O(log n) — capping maxIters at 12
+    // IS the round-count pin (it fails loudly if convergence is slow)
+    val n = 500L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val verts = (0L until n).toDF("id")
+    val labels = GraphOps.connectedComponentsStar(verts, edges,
+      maxIters = 12).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L), "every chain vertex joins component 0")
+  }
+
   test("q63: kept orders strictly exceed their customer's average") {
     val out = GraphOps.q63CorrelatedSubquery(spark, dir)
     val perCust = Tables.orders(spark, dir)
