@@ -205,7 +205,10 @@ object GraphOps {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
     val edges = burstEdges(spark, dir)
     val verts = ev.select(col("event_id").as("id"))
-    val labels = connectedComponents(verts, edges)
+    // the O(log n)-round star algorithm IS the declared implementation
+    // (oracle-checked); propagation remains for small-diameter graphs
+    // and as the spec's independent cross-check
+    val labels = connectedComponentsStar(verts, edges)
     labels.groupBy("label").agg(count(lit(1)).as("component_size"))
       .join(labels, "label")
       .select(col("id").as("event_id"), col("label").as("component_id"),
