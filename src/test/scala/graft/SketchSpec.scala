@@ -77,4 +77,34 @@ class SketchSpec extends AnyFunSuite {
       assert(math.abs(row.getDouble(2) - expected) < 1e-12)
     }
   }
+
+  test("heavy hitters: stat.freqItems finds every true >10% item") {
+    // Spark's built-in one-pass heavy-hitter sketch — the streaming-safe
+    // alternative to an exact groupBy count at 100 TB. Guarantee: every
+    // item above the support threshold IS returned (with possible false
+    // positives — callers verify with one exact pass over candidates).
+    val orders = Tables.orders(spark, SparkTest.sfDir)
+    val frequent = orders.stat.freqItems(Array("o_orderpriority"), 0.1)
+      .head().getSeq[String](0).toSet
+    val truth = orders.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum.toDouble
+    truth.filter(_._2 / n > 0.1).keys
+      .foreach(p => assert(frequent.contains(p), s"missing true HH $p"))
+  }
+
+  test("count-min sketch: estimates upper-bound true counts within eps·n") {
+    val orders = Tables.orders(spark, SparkTest.sfDir)
+    val cms = orders.stat.countMinSketch(
+      org.apache.spark.sql.functions.col("o_orderpriority"),
+      eps = 0.01, confidence = 0.99, seed = 42)
+    val truth = orders.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    truth.foreach { case (k, exact) =>
+      val est = cms.estimateCount(k)
+      assert(est >= exact, "CMS never underestimates")
+      assert(est <= exact + (0.01 * n).toLong + 1, s"$k est=$est exact=$exact")
+    }
+  }
 }
