@@ -187,4 +187,37 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getString(1).split(",").length <= 5)
     }
   }
+
+  test("nested-struct surgery: withField/dropFields rewrite in place") {
+    // Nested ETL without explode/rebuild: Column.withField updates one
+    // leaf inside a struct (any depth), dropFields removes one — the
+    // plan stays a single projection (no shuffle, codegen'd), which is
+    // the right shape for restructuring deeply nested 100 TB records.
+    import spark.implicits._
+    val df = Seq((1L, ("a", 10, 0.5)), (2L, ("b", 20, 1.5)))
+      .toDF("id", "rec")
+    val out = df.withColumn("rec",
+        col("rec").withField("_2", col("rec._2") * 100)
+          .withField("flag", col("rec._3") > 1.0)
+          .dropFields("_3"))
+      .select("id", "rec._1", "rec._2", "rec.flag")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+      r.getBoolean(3))).toSeq ==
+      Seq((1L, "a", 1000, false), (2L, "b", 2000, true)))
+    // single-stage: no exchange in the plan
+    val plan = df.withColumn("rec", col("rec").withField("_2", lit(0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("parameterized SQL: named args bind without string interpolation") {
+    Tables.orders(spark, dir).createOrReplaceTempView("psql_orders")
+    val out = spark.sql(
+      "SELECT count(*) AS n FROM psql_orders WHERE o_orderpriority = :p",
+      Map("p" -> "1-URGENT")).head().getLong(0)
+    val exact = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(out == exact && exact > 0)
+  }
 }

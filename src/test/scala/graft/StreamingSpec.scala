@@ -263,6 +263,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts == Seq(1L), s"got $counts")
   }
 
+  test("Trigger.AvailableNow: drains everything queued, then stops itself") {
+    // The production catch-up mode: process ALL available data in
+    // rate-limited micro-batches, then terminate — a cron-scheduled
+    // incremental job with streaming exactly-once semantics, no
+    // always-on cluster.
+    val out = java.nio.file.Files.createTempDirectory("graft_an").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_an_ck").toString
+    val input = MemoryStream[EventIn](spark)
+    input.addData(Seq(
+      EventIn(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      EventIn(2, ts("2024-01-01 10:20:00"), 2, "view", 2.0)))
+    val q = input.toDF().select(col("event_id"), col("user_id"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    assert(q.awaitTermination(60000), "AvailableNow must self-terminate")
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("stream-stream interval join matches the batch evaluation") {
     val clicks = MemoryStream[EventIn](spark)
     val purchases = MemoryStream[EventIn](spark)
