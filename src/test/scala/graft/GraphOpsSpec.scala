@@ -70,6 +70,43 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(labels.forall(_._2 == 0L), "every chain vertex joins component 0")
   }
 
+  test("star CC ≡ union-find on seeded random graphs") {
+    // propagation ≡ star is separately pinned on the burst graph; here
+    // the DISTRIBUTED star labeling is checked against a driver-side
+    // union-find ground truth on adversarially random topologies.
+    // Two trials: each CC run is ~8 rounds of blocking Spark jobs, so
+    // trial count is wall-clock, not coverage — the topology varies
+    // plenty within a 100-vertex random multigraph.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 2).foreach { trial =>
+      val n = 40 + trial * 30
+      val m = n + rnd.nextInt(n)
+      val edgeSeq = (1 to m).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      // reference labeling: driver-side union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edgeSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n)
+        .map(i => i.toLong -> find(i).toLong).toMap
+      val verts = (0L until n.toLong).toDF("id")
+      val edges = edgeSeq.toDF("src", "dst")
+      val star = GraphOps.connectedComponentsStar(verts, edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == expected, s"star labels diverge on trial $trial")
+    }
+  }
+
   test("q63: kept orders strictly exceed their customer's average") {
     val out = GraphOps.q63CorrelatedSubquery(spark, dir)
     val perCust = Tables.orders(spark, dir)
