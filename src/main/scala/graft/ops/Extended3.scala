@@ -335,6 +335,48 @@ object Extended3 {
       .orderBy("doc_id")
   }
 
+  /** q101 — TPC-H Q13 (customer distribution): two-level aggregation
+    * over a filtered LEFT OUTER join — per-customer order counts, then
+    * the histogram of those counts (zero-order customers kept by the
+    * outer join). The join condition carries the priority filter so
+    * non-matching orders null out instead of dropping customers.
+    *
+    * Scale: both aggregates are partial+final; the second groups on
+    * the tiny c_count domain. The join shuffles once on custkey.
+    */
+  def q101TpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q102 — TPC-H Q16 (parts/supplier relationship): distinct supplier
+    * counts per (brand, type, size) with a brand exclusion, a size IN
+    * list, and a NOT IN subquery removing deficit suppliers. The NOT IN
+    * set is tiny → broadcast NAAJ (q87's plan); the distinct count is
+    * the only wide aggregate.
+    */
+  def q102TpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g102_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("g102_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("g102_supplier")
+    spark.sql(
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM g102_lineitem JOIN g102_part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM g102_supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_null_aware_anti" -> (q87NullAwareAnti _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
@@ -348,7 +390,9 @@ object Extended3 {
     "q96_time_weighted_avg" -> (q96TimeWeightedAvg _),
     "q97_recursive_cte" -> (q97RecursiveCte _),
     "q98_variant_json" -> (q98VariantJson _),
-    "q99_decontaminate_ngram" -> (q99DecontaminateNgram _))
+    "q99_decontaminate_ngram" -> (q99DecontaminateNgram _),
+    "q101_tpch_q13" -> (q101TpchQ13 _),
+    "q102_tpch_q16" -> (q102TpchQ16 _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_null_aware_anti" ->
@@ -508,5 +552,22 @@ object Extended3 {
         |bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0)
         |SELECT d.doc_id, count(DISTINCT d.g) AS n_hits
         |FROM dg d JOIN bg USING (g)
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q101_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q102_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
 }

