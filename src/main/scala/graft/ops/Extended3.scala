@@ -377,6 +377,77 @@ object Extended3 {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
   }
 
+  /** q103 — TPC-H Q18 (large-volume orders): orders whose total line
+    * quantity clears a threshold, found via a HAVING aggregate used as
+    * a semi-join filter, then re-joined for customer detail. Quantity
+    * sums stay exact decimals end-to-end.
+    *
+    * Scale: the qualifying-key set (HAVING output) is tiny → broadcast
+    * semi join; the detail join shuffles once on orderkey.
+    */
+  def q103TpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      .filter(col("qty") > 120)
+      .select(col("l_orderkey").as("k"),
+        col("qty").cast("double").as("total_qty"))
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("k"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  /** q104 — TPC-H Q15 (top supplier): per-supplier revenue compared
+    * against the global maximum via a scalar-aggregate equality join —
+    * the classic "rows equal to the max of a derived view" pattern.
+    * Revenue is an exact decimal sum; the max comparison happens in
+    * decimals (no double boundary ambiguity), doubles emitted only at
+    * the end.
+    *
+    * Scale: revenue is one partial+final aggregate; the scalar max is
+    * a broadcast single row, not a second scan of lineitem.
+    */
+  def q104TpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(38,4)")).as("revenue"))
+    val maxRev = rev.agg(max("revenue").as("mr"))
+    rev.join(broadcast(maxRev), col("revenue") === col("mr"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("revenue"), 4).cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q105 — TPC-H Q22 (prospective customers): above-average-balance
+    * customers with no URGENT orders — a scalar AVG subquery
+    * (broadcast one row) composed with NOT EXISTS (left-anti join).
+    * The average compares in exact decimal cross-multiplication
+    * (bal·n > sum) to keep the boundary deterministic.
+    */
+  def q105TpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    cust.join(broadcast(stats))
+      .filter(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("s"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_null_aware_anti" -> (q87NullAwareAnti _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
@@ -392,7 +463,10 @@ object Extended3 {
     "q98_variant_json" -> (q98VariantJson _),
     "q99_decontaminate_ngram" -> (q99DecontaminateNgram _),
     "q101_tpch_q13" -> (q101TpchQ13 _),
-    "q102_tpch_q16" -> (q102TpchQ16 _))
+    "q102_tpch_q16" -> (q102TpchQ16 _),
+    "q103_tpch_q18" -> (q103TpchQ18 _),
+    "q104_tpch_q15" -> (q104TpchQ15 _),
+    "q105_tpch_q22" -> (q105TpchQ22 _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_null_aware_anti" ->
@@ -569,5 +643,41 @@ object Extended3 {
         |  AND l_suppkey NOT IN
         |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p_brand, p_type, p_size
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q103_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120)
+        |SELECT c_name, o_orderkey, o_totalprice,
+        |       CAST(qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q104_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  (CAST(1 AS DECIMAL(18,2)) -
+        |                   CAST(l_discount AS DECIMAL(18,2)))
+        |             AS DECIMAL(38,4))) AS revenue
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |       CAST(round(revenue, 4) AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue = (SELECT max(revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q105_tpch_q22" ->
+      """WITH stats AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+        |         count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer, stats
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
 }
