@@ -448,6 +448,60 @@ object Extended3 {
       .orderBy("c_custkey")
   }
 
+  /** q106 — TPC-H Q4 (order priority checking): orders with at least
+    * one line shipped after the order date, counted by priority — the
+    * EXISTS-correlated-subquery shape planned as a left-semi join
+    * (lineitem deduplicates into the semi join, never multiplies
+    * order rows).
+    */
+  def q106TpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").cast("date") > col("o_orderdate").cast("date"))
+      .select(col("l_orderkey").as("k"))
+    Tables.orders(spark, dir)
+      .join(late, col("o_orderkey") === col("k"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q107 — TPC-H Q7 (volume shipping): revenue flowing between two
+    * nations where supplier and customer sit on opposite sides, split
+    * by ship year. Five joins: the nation dims broadcast twice (two
+    * roles), the fact side shuffles on its join keys once each hop;
+    * revenue is the exact decimal discount product.
+    */
+  def q107TpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_1" &&
+        col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(38,4)")).as("rev"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        round(col("rev"), 4).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_null_aware_anti" -> (q87NullAwareAnti _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
@@ -466,7 +520,9 @@ object Extended3 {
     "q102_tpch_q16" -> (q102TpchQ16 _),
     "q103_tpch_q18" -> (q103TpchQ18 _),
     "q104_tpch_q15" -> (q104TpchQ15 _),
-    "q105_tpch_q22" -> (q105TpchQ22 _))
+    "q105_tpch_q22" -> (q105TpchQ22 _),
+    "q106_tpch_q4" -> (q106TpchQ4 _),
+    "q107_tpch_q7" -> (q107TpchQ7 _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_null_aware_anti" ->
@@ -679,5 +735,31 @@ object Extended3 {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    "q106_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q107_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(round(sum(CAST(
+        |           CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) -
+        |            CAST(l_discount AS DECIMAL(18,2)))
+        |         AS DECIMAL(38,4))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
 }
