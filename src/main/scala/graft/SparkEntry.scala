@@ -25,7 +25,8 @@ object SparkEntry {
       ops.TextOps.queries ++ ops.Similarity.queries ++
       ops.StreamingOps.queries ++ ops.MultimodalOps.queries ++
       pipeline.CorpusPipeline.queries ++ ops.Extended.queries ++
-      ops.Extended2.queries ++ ops.Extended3.queries ++ ops.GraphOps.queries
+      ops.Extended2.queries ++ ops.Extended3.queries ++
+      ops.GraphOps.queries ++ ops.Clustering.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -35,5 +36,5 @@ object SparkEntry {
       ops.StreamingOps.oracleSql ++ ops.MultimodalOps.oracleSql ++
       pipeline.CorpusPipeline.oracleSql ++ ops.Extended.oracleSql ++
       ops.Extended2.oracleSql ++ ops.Extended3.oracleSql ++
-      ops.GraphOps.oracleSql
+      ops.GraphOps.oracleSql ++ ops.Clustering.oracleSql
 }

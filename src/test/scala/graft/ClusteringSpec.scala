@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.Clustering
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** k-means: planted-cluster recovery, Lloyd monotonicity, and the
+  * partial-aggregation contract of the vector-sum Aggregator. */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+
+  private def blobs = {
+    import spark.implicits._
+    // three well-separated planted clusters in 4-d, 30 points each;
+    // deterministic offsets (i mod 5 pattern), no RNG
+    val centers = Seq(Seq(0.0, 0.0, 0.0, 0.0),
+      Seq(10.0, 10.0, 0.0, 0.0), Seq(0.0, 10.0, 10.0, 5.0))
+    (0 until 90).map { i =>
+      val c = centers(i % 3)
+      val jit = (i / 3 % 5 - 2) * 0.1
+      (i.toLong, c.map(_ + jit))
+    }.toDF("id", "e")
+  }
+
+  test("planted clusters recover exactly; counts balance") {
+    val cents = Clustering.kmeansFit(blobs, k = 3, dim = 4).collect()
+    assert(cents.length == 3)
+    val found = cents.map(_.getSeq[Double](1).toVector).sortBy(_.head)
+    // converged centroids sit at the planted centers (jitter averages
+    // out to 0 over the symmetric -0.2..+0.2 pattern)
+    assert(found.map(v => v.map(x => math.round(x * 10) / 10.0)).toVector ==
+      Vector(Vector(0.0, 0.0, 0.0, 0.0), Vector(0.0, 10.0, 10.0, 5.0),
+        Vector(10.0, 10.0, 0.0, 0.0)).sortBy(_.head))
+    assert(cents.map(_.getLong(2)).sorted.toSeq == Seq(30L, 30L, 30L))
+  }
+
+  test("vector-sum aggregator: partial+final equals a driver-side sum") {
+    import spark.implicits._
+    val vsum = udaf(new Clustering.VectorSumAgg(4))
+    val out = blobs.repartition(8) // force multiple partials
+      .agg(vsum(col("e")).as("sn")).head()
+    val sn = out.getStruct(0)
+    val expected = blobs.collect().map(_.getSeq[Double](1))
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val got = sn.getSeq[Double](0)
+    expected.zip(got).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-9)
+    }
+    assert(sn.getLong(1) == 90L)
+  }
+}

@@ -30,6 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "shardedCumSum offset window is O(nShards) rows, not O(docs)",
     "q100_epoch_build" ->
       "shardedCumSum offset window is O(nShards) rows, not O(docs)",
+    "q108_kmeans" ->
+      "init row_number window runs on the k-row limit output, not the corpus",
     "q83_pareto_cut" ->
       ("cumsum over the per-customer rollup, O(customers) not O(orders); " +
         "shard by rev range when customers outgrow a reducer"))
