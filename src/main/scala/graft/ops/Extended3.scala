@@ -502,6 +502,45 @@ object Extended3 {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** q109 — TPC-H Q6 (forecasting revenue change): the pure
+    * scan-predicate aggregate — quantity/discount band filters feeding
+    * one exact decimal sum, no join, no group. The whole query is one
+    * codegen stage over the pushed-down scan; at 100 TB it IS the scan.
+    */
+  def q109TpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") < 24 &&
+        col("l_discount").cast("decimal(18,2)").between(
+          java.math.BigDecimal.valueOf(5, 2),
+          java.math.BigDecimal.valueOf(7, 2)))
+      .agg(round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_discount").cast("decimal(18,2)")).cast("decimal(38,4)")), 4)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** q110 — TPC-H Q14 (promotion effect): the share of revenue from
+    * one part category — two conditional exact decimal sums in ONE
+    * pass over the part join, the percentage derived as a single IEEE
+    * division of the scale-4-rounded sums (cross-engine deterministic,
+    * q71's rule).
+    */
+  def q110TpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+        col("l_discount").cast("decimal(18,2)"))).cast("decimal(38,4)")
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "ECONOMY", rev)
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(38,4)"))), 4)
+          .cast("double").as("promo_revenue"),
+        round(sum(rev), 4).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (col("promo_revenue") * lit(100.0) / col("total_revenue"))
+          .as("promo_pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_null_aware_anti" -> (q87NullAwareAnti _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
@@ -522,7 +561,9 @@ object Extended3 {
     "q104_tpch_q15" -> (q104TpchQ15 _),
     "q105_tpch_q22" -> (q105TpchQ22 _),
     "q106_tpch_q4" -> (q106TpchQ4 _),
-    "q107_tpch_q7" -> (q107TpchQ7 _))
+    "q107_tpch_q7" -> (q107TpchQ7 _),
+    "q109_tpch_q6" -> (q109TpchQ6 _),
+    "q110_tpch_q14" -> (q110TpchQ14 _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_null_aware_anti" ->
@@ -761,5 +802,33 @@ object Extended3 {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q109_tpch_q6" ->
+      """SELECT CAST(round(sum(CAST(
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))), 4)
+        |       AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_quantity < 24
+        |  AND CAST(l_discount AS DECIMAL(18,2))
+        |      BETWEEN CAST(0.05 AS DECIMAL(18,2))
+        |          AND CAST(0.07 AS DECIMAL(18,2))""".stripMargin,
+    "q110_tpch_q14" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |              (CAST(1 AS DECIMAL(18,2)) -
+        |               CAST(l_discount AS DECIMAL(18,2)))
+        |           AS DECIMAL(38,4)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |s AS (
+        |  SELECT CAST(round(sum(CASE WHEN p_type = 'ECONOMY' THEN rev
+        |                             ELSE CAST(0 AS DECIMAL(38,4)) END), 4)
+        |         AS DOUBLE) AS promo_revenue,
+        |       CAST(round(sum(rev), 4) AS DOUBLE) AS total_revenue
+        |  FROM j)
+        |SELECT promo_revenue, total_revenue,
+        |       promo_revenue * 100.0 / total_revenue AS promo_pct
+        |FROM s""".stripMargin)
 }
