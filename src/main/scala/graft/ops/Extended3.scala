@@ -541,6 +541,27 @@ object Extended3 {
           .as("promo_pct"))
   }
 
+  /** q111 — prompt/completion splitting (SFT data prep): each document
+    * becomes a training pair — prompt = first 32 tokens, completion =
+    * the next ≤96 — dropping documents too short to yield a
+    * non-trivial completion (< 40 tokens). Pure in-row slicing after
+    * one tokenization; the standard final formatting step before
+    * packing (q60) and splitting (q94).
+    */
+  def q111PromptCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"),
+      x => x =!= "")
+    Tables.fanout(Tables.documents(spark, dir).select(col("doc_id"), toks.as("t")))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") >= 40L)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("t"), 1, 32)).as("prompt"),
+        concat_ws(" ", slice(col("t"), 33, 96)).as("completion"),
+        lit(32L).as("n_prompt_tokens"),
+        least(col("n") - 32L, lit(96L)).as("n_completion_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_null_aware_anti" -> (q87NullAwareAnti _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
@@ -563,7 +584,8 @@ object Extended3 {
     "q106_tpch_q4" -> (q106TpchQ4 _),
     "q107_tpch_q7" -> (q107TpchQ7 _),
     "q109_tpch_q6" -> (q109TpchQ6 _),
-    "q110_tpch_q14" -> (q110TpchQ14 _))
+    "q110_tpch_q14" -> (q110TpchQ14 _),
+    "q111_prompt_completion" -> (q111PromptCompletion _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_null_aware_anti" ->
@@ -830,5 +852,18 @@ object Extended3 {
         |  FROM j)
         |SELECT promo_revenue, total_revenue,
         |       promo_revenue * 100.0 / total_revenue AS promo_pct
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+    "q111_prompt_completion" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                     x -> x <> '') AS l
+        |  FROM documents),
+        |s AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 40)
+        |SELECT doc_id,
+        |       array_to_string(list_slice(l, 1, 32), ' ') AS prompt,
+        |       array_to_string(list_slice(l, 33, 128), ' ') AS completion,
+        |       CAST(32 AS BIGINT) AS n_prompt_tokens,
+        |       least(n - 32, 96) AS n_completion_tokens
+        |FROM s ORDER BY doc_id""".stripMargin)
 }
