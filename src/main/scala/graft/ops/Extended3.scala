@@ -562,6 +562,47 @@ object Extended3 {
       .orderBy("doc_id")
   }
 
+  /** q112 — share-of-total (ratio-to-report): each nation's share of
+    * total customer account balance — a window sum over the ALREADY
+    * AGGREGATED per-nation frame (25 rows; the raw table never sees a
+    * global window). Shares derive from scale-4-rounded exact sums via
+    * one IEEE division (q71's rule).
+    */
+  def q112ShareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"))
+      .withColumn("total", sum(col("bal")).over(w))
+      .select(col("nationkey"),
+        round(col("bal"), 4).cast("double").as("balance"),
+        (round(col("bal"), 4).cast("double") * lit(100.0) /
+          round(col("total"), 4).cast("double")).as("share_pct"))
+      .orderBy("nationkey")
+  }
+
+  /** q113 — year-over-year growth: revenue per order year with the
+    * previous year's revenue and the YoY delta percent — `lag` over
+    * the aggregated year series (a handful of rows). First year's
+    * delta is null by construction.
+    */
+  def q113YoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy("yr")
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("yr"),
+        round(col("rev"), 4).cast("double").as("revenue"),
+        when(col("prev").isNotNull,
+          (round(col("rev"), 4).cast("double") -
+            round(col("prev"), 4).cast("double")) * lit(100.0) /
+            round(col("prev"), 4).cast("double")).as("yoy_pct"))
+      .orderBy("yr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_null_aware_anti" -> (q87NullAwareAnti _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
@@ -585,7 +626,9 @@ object Extended3 {
     "q107_tpch_q7" -> (q107TpchQ7 _),
     "q109_tpch_q6" -> (q109TpchQ6 _),
     "q110_tpch_q14" -> (q110TpchQ14 _),
-    "q111_prompt_completion" -> (q111PromptCompletion _))
+    "q111_prompt_completion" -> (q111PromptCompletion _),
+    "q112_share_of_total" -> (q112ShareOfTotal _),
+    "q113_yoy_growth" -> (q113YoyGrowth _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_null_aware_anti" ->
@@ -865,5 +908,28 @@ object Extended3 {
         |       array_to_string(list_slice(l, 33, 128), ' ') AS completion,
         |       CAST(32 AS BIGINT) AS n_prompt_tokens,
         |       least(n - 32, 96) AS n_completion_tokens
-        |FROM s ORDER BY doc_id""".stripMargin)
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q112_share_of_total" ->
+      """WITH a AS (
+        |  SELECT c_nationkey AS nationkey,
+        |         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        |  FROM customer GROUP BY 1),
+        |t AS (SELECT sum(bal) AS total FROM a)
+        |SELECT nationkey, CAST(round(bal, 4) AS DOUBLE) AS balance,
+        |       CAST(round(bal, 4) AS DOUBLE) * 100.0
+        |         / CAST(round(total, 4) AS DOUBLE) AS share_pct
+        |FROM a, t ORDER BY nationkey""".stripMargin,
+    "q113_yoy_growth" ->
+      """WITH a AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT yr, rev, lag(rev) OVER (ORDER BY yr) AS prev FROM a)
+        |SELECT yr, CAST(round(rev, 4) AS DOUBLE) AS revenue,
+        |       CASE WHEN prev IS NOT NULL THEN
+        |         (CAST(round(rev, 4) AS DOUBLE)
+        |          - CAST(round(prev, 4) AS DOUBLE)) * 100.0
+        |           / CAST(round(prev, 4) AS DOUBLE)
+        |       END AS yoy_pct
+        |FROM b ORDER BY yr""".stripMargin)
 }

@@ -32,6 +32,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "shardedCumSum offset window is O(nShards) rows, not O(docs)",
     "q108_kmeans" ->
       "init row_number window runs on the k-row limit output, not the corpus",
+    "q112_share_of_total" ->
+      "total window runs on the per-nation AGGREGATE (25 rows), not customers",
+    "q113_yoy_growth" ->
+      "lag window runs on the per-year AGGREGATE (~7 rows), not orders",
     "q83_pareto_cut" ->
       ("cumsum over the per-customer rollup, O(customers) not O(orders); " +
         "shard by rev range when customers outgrow a reducer"))
