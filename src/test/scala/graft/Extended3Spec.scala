@@ -257,6 +257,28 @@ class Extended3Spec extends AnyFunSuite {
     assert(li.exists(s => !deficit.contains(s)))
   }
 
+  test("q112: shares are positive and sum to 100 within float tolerance") {
+    val rows = graft.ops.Extended3.q112ShareOfTotal(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getDouble(2)).sum
+    assert(math.abs(total - 100.0) < 1e-9, s"shares sum to $total")
+    rows.foreach { r => assert(r.getDouble(2) > 0.0) }
+  }
+
+  test("q113: YoY deltas reproduce from consecutive revenues; first is null") {
+    val rows = graft.ops.Extended3.q113YoyGrowth(spark, dir).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length >= 2)
+    assert(rows.head.isNullAt(2), "first year has no prior → null delta")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val expect = (b.getDouble(1) - a.getDouble(1)) * 100.0 /
+          a.getDouble(1)
+        assert(math.abs(b.getDouble(2) - expect) < 1e-9)
+      case _ =>
+    }
+  }
+
   test("q92: upsampled row count is exactly docs × factor") {
     val rows = Extended3.q92UpsampleMix(spark, dir).collect()
     assert(rows.nonEmpty)
