@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 case class EventIn(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
@@ -283,6 +284,42 @@ class StreamingSpec extends AnyFunSuite {
     val ids = spark.read.parquet(out).select("event_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L))
+  }
+
+  test("StreamingQueryListener reports per-batch input rows and state size") {
+    // the production monitoring surface: progress events carry input
+    // rates and per-operator state metrics without touching the query
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        seen.add(e.progress.numInputRows)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val input = MemoryStream[EventIn](spark)
+    val q = StreamingOps.streamingTumbling(input.toDF())
+      .writeStream.format("memory").queryName("g_listener")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq(
+        EventIn(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        EventIn(2, ts("2024-01-01 10:20:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      input.addData(EventIn(3, ts("2024-01-01 11:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // listener events are delivered asynchronously
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (seen.asScala.sum < 3 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(seen.asScala.sum == 3,
+        s"listener saw ${seen.asScala.toList} (want total 3 input rows)")
+    } finally {
+      q.stop(); spark.streams.removeListener(listener)
+    }
   }
 
   test("stream-stream interval join matches the batch evaluation") {
