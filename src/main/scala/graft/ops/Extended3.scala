@@ -603,6 +603,29 @@ object Extended3 {
       .orderBy("yr")
   }
 
+  /** q114 — int8 scalar quantization of embeddings: per-vector min/max
+    * affine map to 0..255 codes — the 4× storage cut for 100 TB vector
+    * stores (IVF cells + int8 codes is the standard layout). All
+    * in-row HOFs; the audit emits EXACT integer facts (code sum,
+    * distinct codes) — code values are identical cross-engine because
+    * the affine map is one IEEE tree over float→double-exact inputs
+    * and round-half-away ties agree for non-negative values.
+    */
+  def q114Int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val codes = transform(col("e0"), x =>
+      round((x - array_min(col("e0"))) * lit(255.0) /
+        (array_max(col("e0")) - array_min(col("e0")))).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
+      .filter(array_max(col("e0")) > array_min(col("e0")))
+      .select(col("vec_id"),
+        aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"),
+        size(array_distinct(codes)).cast("long").as("n_distinct_codes"),
+        round(array_min(col("e0")), 6).as("qmin"),
+        round(array_max(col("e0")), 6).as("qmax"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_null_aware_anti" -> (q87NullAwareAnti _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
@@ -628,7 +651,8 @@ object Extended3 {
     "q110_tpch_q14" -> (q110TpchQ14 _),
     "q111_prompt_completion" -> (q111PromptCompletion _),
     "q112_share_of_total" -> (q112ShareOfTotal _),
-    "q113_yoy_growth" -> (q113YoyGrowth _))
+    "q113_yoy_growth" -> (q113YoyGrowth _),
+    "q114_int8_quantize" -> (q114Int8Quantize _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_null_aware_anti" ->
@@ -931,5 +955,24 @@ object Extended3 {
         |          - CAST(round(prev, 4) AS DOUBLE)) * 100.0
         |           / CAST(round(prev, 4) AS DOUBLE)
         |       END AS yoy_pct
-        |FROM b ORDER BY yr""".stripMargin)
+        |FROM b ORDER BY yr""".stripMargin,
+    "q114_int8_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0
+        |  FROM embeddings),
+        |f AS (
+        |  SELECT vec_id, e0, list_min(e0) AS lo, list_max(e0) AS hi
+        |  FROM e WHERE list_max(e0) > list_min(e0)),
+        |c AS (
+        |  SELECT vec_id, lo, hi,
+        |         list_transform(e0, x ->
+        |           CAST(round((x - lo) * 255.0 / (hi - lo)) AS BIGINT))
+        |           AS codes
+        |  FROM f)
+        |SELECT vec_id,
+        |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |       CAST(len(list_distinct(codes)) AS BIGINT)
+        |         AS n_distinct_codes,
+        |       round(lo, 6) AS qmin, round(hi, 6) AS qmax
+        |FROM c ORDER BY vec_id""".stripMargin)
 }
