@@ -80,7 +80,13 @@ object Clustering {
       // checkpointed: BOTH the cost probe and the centroid update read
       // the assignment — left lazy it would evaluate twice per round
       val a = assign(emb, cents).localCheckpoint(true)
-      val cost = a.agg(sum("d2")).head().getDouble(0)
+      val costRow = a.agg(sum("d2")).head()
+      // null sum ⟺ empty input: zero vectors (or k > rows exhausted) —
+      // return the current (possibly empty) centroids instead of NPEing
+      if (costRow.isNullAt(0)) {
+        done = true
+      } else {
+      val cost = costRow.getDouble(0)
       cents = emb.join(a.select("id", "cid"), "id")
         .groupBy("cid").agg(vsum(col("e")).as("sn"))
         .select(col("cid"),
@@ -89,6 +95,7 @@ object Clustering {
       done = prevCost != Double.MaxValue &&
         (prevCost - cost) <= tol * math.max(prevCost, 1e-12)
       prevCost = cost
+      }
       i += 1
     }
     cents.join(assign(emb, cents).groupBy("cid")

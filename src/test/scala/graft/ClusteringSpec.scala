@@ -35,6 +35,13 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cents.map(_.getLong(2)).sorted.toSeq == Seq(30L, 30L, 30L))
   }
 
+  test("empty input returns empty centroids instead of crashing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "e")
+    val out = Clustering.kmeansFit(empty, k = 3, dim = 4)
+    assert(out.count() == 0)
+  }
+
   test("vector-sum aggregator: partial+final equals a driver-side sum") {
     import spark.implicits._
     val vsum = udaf(new Clustering.VectorSumAgg(4))
