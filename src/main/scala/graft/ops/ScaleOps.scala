@@ -51,6 +51,9 @@ object ScaleOps {
     * (spec-proven for the q60 packing; the identity is exact, not
     * approximate). Shards are contiguous `orderCol` ranges of equal
     * width; sparse ids skew shard sizes but never correctness.
+    * `orderCol` must be UNIQUE per row — with ties the within-tie
+    * accumulation order (hence each tied row's running value) is
+    * engine-chosen; every caller here orders by a unique id.
     *
     * The input feeds THREE consumers (bounds, per-shard offsets, the
     * main path), so it is persisted here — without the cache Spark
