@@ -45,9 +45,10 @@ class MinHashAgg(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   *  - Brute-force cosine (q26) broadcasts the single query vector — one
   *    narrow pass + TakeOrderedAndProject; the 100 TB path is q38's LSH,
   *    which prunes candidates by shared hyperplane-sign bands first.
-  *  - q39 buckets by the full 16-bit signature, so near-identical vectors
-  *    (sign-stable under any hyperplane) always collide; candidate pairs
-  *    per bucket ~ bucket_size², kept small by signature width.
+  *  - q39 bands a WIDE 128-bit sign signature into 4×32-bit sub-keys:
+  *    near-identical vectors (sign-stable under any hyperplane) match
+  *    ≥1 band w.p. ≈0.9997, while merely-similar cone-mates fail every
+  *    32-bit band — candidates stay O(n·bands), not bucket_size².
   *
   * q25/q38/q39 have no DuckDB oracle (sketches aren't SQL-portable);
   * SimilaritySpec carries correctness via planted duplicates and a
@@ -389,25 +390,73 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- q39
-  /** q39 — embedding near-duplicate pairs: bucket by the FULL 16-bit sign
-    * signature (near-identical vectors never split across buckets), pair
-    * within buckets, verify cosine ≥ 0.9999. Positives planted as scaled
-    * copies (same direction ⇒ cosine 1). */
+  val SignPlanes = 128 // wide near-dup signature → 4 bands × 32 sign bits
+
+  /** 128 deterministic Gaussian hyperplanes — a separate, WIDER family
+    * than q38's 16 ANN planes. Near-dup candidate generation needs a
+    * sharp per-band filter, not a recall-oriented coarse one. */
+  private lazy val widePlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(4242)
+    Array.fill(SignPlanes, 64)(rnd.nextGaussian())
+  }
+
+  /** 4 band sub-keys of 32 sign bits each (the q25 band pattern applied
+    * to hyperplane signs). One compiled pass per row, ~8k flops. */
+  private val wideSignBandsUdf = udf { (e: Seq[Double]) =>
+    val bands = new Array[Long](4)
+    var p = 0
+    while (p < SignPlanes) {
+      val plane = widePlanes(p)
+      var d = 0.0
+      var i = 0
+      val n = math.min(plane.length, e.length)
+      while (i < n) { d += e(i) * plane(i); i += 1 }
+      if (d > 0) bands(p >> 5) |= 1L << (p & 31)
+      p += 1
+    }
+    bands
+  }
+
+  /** Near-dup candidate pairs of (vec_id, e) rows: pairs sharing ≥1 of
+    * the 4 wide sign bands, WITH per-band multiplicity (the true join
+    * workload — SimilaritySpec's hot-bucket test counts these rows).
+    *
+    * Why banded sub-keys and not one full-signature bucket (the round-3
+    * design): a full 16-bit signature has only 65 536 buckets, so any
+    * corpus region that agrees on those 16 coarse signs — anisotropic
+    * embedding cones do — funnels into a handful of buckets and pairs
+    * quadratically long before the cosine verify can prune. A 32-bit
+    * band must agree on 32 of 128 much finer signs: at pairwise cosine
+    * 0.75 the per-band collision odds are (1−θ/π)^32 ≈ 2·10⁻⁴, so
+    * candidates stay O(n·bands), while true near-dups (cosine ≥ 0.9999,
+    * θ ≈ 0.0045π) still match a given band with (1−0.0045)^32 ≈ 0.87 —
+    * ≥1 of 4 bands with probability ≈ 0.9997. */
+  private[graft] def embedCandidates(corpus: DataFrame): DataFrame = {
+    // persisted: the banded-signature table feeds both join sides; the
+    // 128 dot products per row are the expensive part, not the join
+    val sig = corpus.select(col("vec_id"), col("e"),
+      posexplode(wideSignBandsUdf(col("e"))).as(Seq("band_idx", "band_val")))
+      .persist()
+    val a = sig.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("a_id"), col("e").as("ea"))
+    val b = sig.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("b_id"), col("e").as("eb"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ea"), col("eb"))
+  }
+
+  /** q39 — embedding near-duplicate pairs: banded wide-signature
+    * candidates ([[embedCandidates]]), verify cosine ≥ 0.9999. Positives
+    * planted as scaled copies (same direction ⇒ identical signs on every
+    * plane ⇒ all 4 bands match ⇒ always a candidate). */
   def q39EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.fanout(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
     val corpus = base.unionByName(base.select(
       (col("vec_id") + 1000000L).as("vec_id"),
       transform(col("e"), x => x * 1.01).as("e")))
-    // persisted: feeds both sides of the bucket self-join (16 sign-dot
-    // products per row are the expensive part, not the join)
-    val sig = corpus.withColumn("bucket",
-      aggregate(signBands(col("e")), lit(0),
-        (acc, b) => acc * 16 + b)).persist()
-    val a = sig.select(col("bucket"), col("vec_id").as("a_id"), col("e").as("ea"))
-    val b = sig.select(col("bucket"), col("vec_id").as("b_id"), col("e").as("eb"))
-    a.join(b, "bucket")
-      .filter(col("a_id") < col("b_id"))
+    embedCandidates(corpus)
       .select(col("a_id"), col("b_id"),
         round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.9999)
@@ -491,33 +540,41 @@ object Similarity {
     * partitions the corpus into cells; a query probes only its nProbe
     * nearest cells and computes exact cosine there.
     *
-    * The quantizer here is deterministic IVF-flat with data-sampled
-    * centroids (vec_id 1..16 — no k-means iteration; documented
-    * simplification, the dataflow is the real thing). Everything is
-    * DataFrame ops: centroids are a broadcast dimension table, cell
-    * assignment is a broadcast join + max_by argmax (narrow, no corpus
-    * shuffle), and the probe is a broadcast semi-join on cell id. At
-    * 100 TB the cell id becomes the partition key, so a query touches
-    * nProbe/nCells of the data. */
+    * The coarse quantizer is TRAINED: [[Clustering.kmeansFit]] (the
+    * q108 distributed Lloyd's) fits 16 centroids on the corpus itself,
+    * so cells track the data's actual density instead of whichever
+    * vectors happened to carry ids 1..16. Everything stays DataFrame
+    * ops: the fitted centroids are a broadcast dimension table, cell
+    * assignment is a broadcast join + min_by argmin on L2 (the metric
+    * k-means optimized — assignment and training must agree or cell
+    * boundaries are inconsistent), and the probe is a broadcast
+    * semi-join on cell id. At 100 TB the cell id becomes the partition
+    * key, so a query touches nProbe/nCells of the data. */
   def q45AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val nProbe = 4
     val emb = Tables.fanout(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
-    val cents = emb.filter(col("vec_id").between(1, 16))
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
-    // nearest centroid per vector: 16-way broadcast expand + argmax —
-    // max_by on (cosine, -cid) keeps the tie deterministic
+    // localCheckpoint: the fitted centroids (16 rows) feed THREE
+    // consumers (cell assignment, probe selection, and kmeansFit's own
+    // closing audit join) — truncate the iterative lineage once instead
+    // of re-running Lloyd's rounds per consumer
+    val cents = Clustering.kmeansFit(
+        emb.select(col("vec_id").as("id"), col("e")),
+        k = 16, dim = 64, maxIters = 4)
+      .select(col("cid"), col("ce")).localCheckpoint(true)
+    // nearest centroid per vector: 16-way broadcast expand + argmin —
+    // min_by on (l2sq, cid) keeps the tie deterministic
     val cells = emb.crossJoin(broadcast(cents))
       .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(cosine(col("e"), col("ce")), -col("cid")))
-        .as("cell"))
+      .agg(min_by(col("cid"),
+        struct(Clustering.l2sq(col("e"), col("ce")), col("cid"))).as("cell"))
     val withCell = emb.join(cells, "vec_id")
-    // the query probes its nProbe nearest cells
+    // the query probes its nProbe nearest cells (same L2 metric)
     val q = emb.filter(col("vec_id") === 0)
     val probeCells = q.crossJoin(broadcast(cents))
       .select(col("cid").as("cell"),
-        cosine(col("e"), col("ce")).as("qc"))
-      .orderBy(col("qc").desc, col("cell")).limit(nProbe)
+        Clustering.l2sq(col("e"), col("ce")).as("qd"))
+      .orderBy(col("qd").asc, col("cell")).limit(nProbe)
       .select("cell")
     val qe = q.select(col("e").as("qe"))
     withCell.join(broadcast(probeCells), "cell")
