@@ -39,7 +39,17 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // also write the line to a dedicated file: the driver tail-captures
+    // sbt stdout and has truncated the (long) JSON mid-line (BENCH_r03
+    // parsed: null). SPARK_GRAFT_BENCH_OUT overrides the default path.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Distributed k-means (Lloyd's algorithm) over an embedding column —
   * the training half of the IVF index (q45 probes cells; this fits
@@ -64,14 +65,25 @@ object Clustering {
         min(l2sq(col("e"), col("ce"))).as("d2"))
 
   /** Fit k centroids on `emb` (columns: id: long, e: array<double>).
-    * Returns one row per surviving centroid: (cid, ce, n). */
+    * Returns one row per surviving centroid: (cid, ce, n).
+    *
+    * `n` is the cell population under a FINAL assignment against the
+    * returned centroids (audit semantics: "how many vectors would each
+    * returned cell hold"). `ce` is the mean of the LAST UPDATE round's
+    * assignment — at convergence the two assignments coincide, but when
+    * the loop exits on maxIters (e.g. q108's maxIters = 6) a vector may
+    * have crossed cells in the final half-step, so (ce, n) can be
+    * mutually inconsistent by those boundary vectors (ADVICE r3,
+    * documented rather than recomputed: folding the count into the
+    * update aggregate would report the PREVIOUS round's populations —
+    * inconsistent with the returned ce in exactly the same way). */
   def kmeansFit(emb: DataFrame, k: Int, dim: Int, maxIters: Int = 20,
       tol: Double = 1e-6): DataFrame = {
     var cents = emb.orderBy("id").limit(k)
       .select((row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("id")) - 1)
         .as("cid"), col("e").as("ce"))
-      .localCheckpoint(true)
+      .pipe(graft.ops.ScaleOps.stageCheckpoint)
     val vsum = udaf(new VectorSumAgg(dim))
     var prevCost = Double.MaxValue
     var i = 0
@@ -79,7 +91,7 @@ object Clustering {
     while (i < maxIters && !done) {
       // checkpointed: BOTH the cost probe and the centroid update read
       // the assignment — left lazy it would evaluate twice per round
-      val a = assign(emb, cents).localCheckpoint(true)
+      val a = assign(emb, cents).pipe(graft.ops.ScaleOps.stageCheckpoint)
       val costRow = a.agg(sum("d2")).head()
       // null sum ⟺ empty input: zero vectors (or k > rows exhausted) —
       // return the current (possibly empty) centroids instead of NPEing
@@ -91,7 +103,7 @@ object Clustering {
         .groupBy("cid").agg(vsum(col("e")).as("sn"))
         .select(col("cid"),
           transform(col("sn.s"), x => x / col("sn.n")).as("ce"))
-        .localCheckpoint(true)
+        .pipe(graft.ops.ScaleOps.stageCheckpoint)
       done = prevCost != Double.MaxValue &&
         (prevCost - cost) <= tol * math.max(prevCost, 1e-12)
       prevCost = cost

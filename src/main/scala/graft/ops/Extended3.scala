@@ -163,7 +163,10 @@ object Extended3 {
   def q92UpsampleMix(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        (lit(1) + pmod(substring(col("source"), 4, 10).cast("int"), lit(3)))
+        // 2-arg substring (pos → end of string), matching the oracle's
+        // substr(source, 4) exactly — a length cap would silently
+        // diverge on a numeric suffix longer than the cap (ADVICE r3)
+        (lit(1) + pmod(expr("substring(source, 4)").cast("int"), lit(3)))
           .as("factor"))
       .select(col("doc_id"), col("source"), col("factor"),
         explode(sequence(lit(1), col("factor"))).as("copy_idx"))

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** q63–q64: correlated subqueries and connected components.
   *
@@ -14,6 +15,19 @@ import org.apache.spark.sql.functions._
   * choice.
   */
 object GraphOps {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Both CC fixpoints exit silently when maxIters is exhausted —
+    * partially-merged labels with no signal otherwise (ADVICE r3). The
+    * convergence probe is probabilistic ((count, xxhash64-sum): a missed
+    * change needs a 2⁻⁶⁴-scale hash-sum collision on the same edge
+    * count — accepted odds); maxIters exhaustion is the loud case. */
+  private def warnIfNotConverged(converged: Boolean, algo: String,
+      iters: Int): Unit =
+    if (!converged) log.warn(
+      s"$algo exhausted maxIters=$iters before convergence — " +
+        "component labels may be partially merged; raise maxIters")
 
   /** Minimum-label propagation to a fixpoint: every vertex repeatedly
     * takes the min label over itself and its neighbors. Converges in
@@ -67,6 +81,7 @@ object GraphOps {
       i += 1
     }
     und.unpersist()
+    warnIfNotConverged(converged, "connectedComponents", maxIters)
     val isolated = vertices.select(col("id"))
       .join(connected, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
@@ -112,8 +127,8 @@ object GraphOps {
     }
     val connected = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
-    var e = canon(edges.select("src", "dst")).localCheckpoint(true)
+      .pipe(graft.ops.ScaleOps.stageCheckpoint)
+    var e = canon(edges.select("src", "dst")).pipe(graft.ops.ScaleOps.stageCheckpoint)
     var prev = sig(e)
     var converged = prev._1 == 0L
     var i = 0
@@ -129,7 +144,7 @@ object GraphOps {
       val large = canon(und.filter(col("dst") > col("src"))
         .join(mnL, col("src") === col("u"))
         .select(col("dst").as("src"), col("m").as("dst")))
-        .localCheckpoint(true)
+        .pipe(graft.ops.ScaleOps.stageCheckpoint)
       // small-star over the large-star output: strictly-smaller
       // neighbors S(u); u and every v ∈ S attach to min(S)
       val undS = large.union(swap(large))
@@ -139,13 +154,14 @@ object GraphOps {
         sml.join(mnS, col("src") === col("u"))
           .select(col("dst").as("src"), col("m").as("dst"))
           .union(mnS.select(col("u").as("src"), col("m").as("dst"))))
-        .localCheckpoint(true)
+        .pipe(graft.ops.ScaleOps.stageCheckpoint)
       val nextSig = sig(next)
       converged = nextSig == prev
       prev = nextSig
       e = next
       i += 1
     }
+    warnIfNotConverged(converged, "connectedComponentsStar", maxIters)
     // converged: e is a star set (child → root). Roots and isolated
     // vertices label themselves.
     val children = e.select(col("src").as("id"), col("dst").as("label"))
@@ -186,19 +202,38 @@ object GraphOps {
     * recursive-CTE transitive closure (small components ⇒ closure is
     * cheap for the oracle; the ENGINE never materializes a closure). */
   /** The activity-burst graph shared by q64/q80: one edge per pair of
-    * same-user events ≤ 5 minutes apart (the q14 equi-anchored range
-    * join — never a cartesian). Edges are canonical (src < dst), each
-    * pair emitted once. */
-  private def burstEdges(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-    val a = ev.select(col("user_id"), col("event_id").as("src"), col("us").as("a_us"))
-    val b = ev.select(col("user_id"), col("event_id").as("dst"), col("us").as("b_us"))
-    a.join(b, Seq("user_id"))
+    * same-user events ≤ 5 minutes apart. Edges are canonical
+    * (src < dst), each pair emitted once.
+    *
+    * The join anchor is COMPOUND — (user_id, 5-minute time bucket) —
+    * not user_id alone. Equi-anchoring only on user_id means one bot
+    * user with 10⁶ events generates 10¹² candidate rows in a single
+    * join partition before the window filter runs. Bucketing time by
+    * the window width W bounds each partition by the user's events per
+    * 5 minutes instead of per lifetime: a partner with
+    * b_us ∈ [a_us, a_us+W] lives in bucket(a) or bucket(a)+1, so the
+    * a-side emits both buckets and the b-side its own — every
+    * window-satisfying pair matches on exactly ONE compound key (the
+    * two emitted buckets are distinct), so no pair is duplicated and
+    * none is lost. Result-identical to the plain user_id anchor;
+    * GraphOpsSpec plants a 10⁴-event bot and checks the closed-form
+    * edge count. */
+  private[graft] def burstEdgesFrom(ev: DataFrame): DataFrame = {
+    val W = 300000000L // 5-minute window = bucket width, microseconds
+    val bkt = expr(s"us div $W") // integer division: exact at any epoch
+    val a = ev.select(col("user_id"), col("event_id").as("src"),
+      col("us").as("a_us"), explode(array(bkt, bkt + 1)).as("bkt"))
+    val b = ev.select(col("user_id"), col("event_id").as("dst"),
+      col("us").as("b_us"), bkt.as("bkt"))
+    a.join(b, Seq("user_id", "bkt"))
       .filter(col("src") < col("dst") &&
-        col("b_us") >= col("a_us") && col("b_us") - col("a_us") <= 300000000L)
+        col("b_us") >= col("a_us") && col("b_us") - col("a_us") <= W)
       .select("src", "dst")
   }
+
+  private def burstEdges(spark: SparkSession, dir: String): DataFrame =
+    burstEdgesFrom(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")))
 
   def q64ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

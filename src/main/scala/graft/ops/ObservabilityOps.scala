@@ -45,6 +45,7 @@ object ObservabilityOps {
     * aggregate over the frame). */
   def withMetrics(df: DataFrame, obs: Observation,
       metrics: Map[String, Column]): DataFrame = {
+    require(metrics.nonEmpty, "withMetrics needs at least one metric")
     val cols = metrics.toSeq.sortBy(_._1)
       .map { case (n, c) => c.as(n) }
     df.observe(obs, cols.head, cols.tail: _*)

@@ -64,11 +64,16 @@ object ScaleOps {
     * below the data they summarize. Same cache lifecycle contract as
     * [[graft.ops.Similarity]]: the persist belongs to the returned
     * plan; callers composing repeated runs clearCache between them
-    * (Bench does). */
+    * (Bench does). A caller that wants to OWN the cache lifecycle
+    * passes an already-persisted frame — an input with a storage level
+    * is used as-is, never re-persisted, and stays the caller's to
+    * unpersist (ADVICE r3: composed pipelines like epoch's 3×
+    * packSequences otherwise accumulate one orphan cache per call). */
   def shardedCumSum(df0: DataFrame, orderCol: String, valueCol: String,
       cumName: String, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val df = df0.persist()
+    val df = if (df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df0.persist() else df0
     val bounds = df.agg(min(orderCol).as("__lo"),
       ceil((max(orderCol) - min(orderCol) + 1).cast("double") / nShards)
         .cast("long").as("__width"))
@@ -90,6 +95,23 @@ object ScaleOps {
       .withColumn(cumName, col("__offset") + col("__within"))
       .drop("__shard", "__lo", "__width", "__within", "__offset")
   }
+
+  /** Stage-boundary materialization for iterative/deep-lineage
+    * pipelines (epoch stages, Lloyd's rounds, star-CC rounds).
+    *
+    * Default: `localCheckpoint` — blocks on the executors, right for
+    * local mode and cheap on a healthy cluster. With the session conf
+    * `graft.checkpoint.reliable=true` (and a
+    * `sparkContext.setCheckpointDir` pointing at shared storage) it
+    * becomes a reliable `checkpoint()`: the cluster posture, where a
+    * stage boundary must survive executor loss — localCheckpoint blocks
+    * die with their executor and a 1000-node epoch build would restart
+    * from scratch. Same eager semantics either way; output identical
+    * (CorpusPipelineSpec proves it on the epoch build). */
+  def stageCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("graft.checkpoint.reliable", "false").toBoolean)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** Write `state` as a bucketed, sort-within-buckets table so that
     * every future merge (the reference's R10 read-modify-write) joins

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Elementwise-min merge of per-shingle hash vectors → a MinHash
   * signature. The one custom aggregate in the engine (SURVEY.md §7.3):
@@ -561,7 +562,7 @@ object Similarity {
     val cents = Clustering.kmeansFit(
         emb.select(col("vec_id").as("id"), col("e")),
         k = 16, dim = 64, maxIters = 4)
-      .select(col("cid"), col("ce")).localCheckpoint(true)
+      .select(col("cid"), col("ce")).pipe(graft.ops.ScaleOps.stageCheckpoint)
     // nearest centroid per vector: 16-way broadcast expand + argmin —
     // min_by on (l2sq, cid) keeps the tie deterministic
     val cells = emb.crossJoin(broadcast(cents))

@@ -5,6 +5,7 @@ import graft.ops.{Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** End-to-end training-corpus preparation — the library's operators
   * composed the way a real LLM-data pipeline runs them:
@@ -127,7 +128,7 @@ object CorpusPipeline {
     // the same move is `checkpoint()` to reliable storage — the classic
     // stage boundary of a multi-stage data pipeline.
     val kept = prepare(docs, minQuality, tokenBudget)
-      .select("doc_id", "n_tokens").localCheckpoint(true)
+      .select("doc_id", "n_tokens").pipe(graft.ops.ScaleOps.stageCheckpoint)
     // persisted: feeds the anti-join AND the audit count
     val dirty = contaminatedIds(
       docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
@@ -136,7 +137,7 @@ object CorpusPipeline {
     val h = substring(md5(col("doc_id").cast("string")), 1, 4)
     val tagged = clean.withColumn("split",
       when(h < "cccd", "train").when(h < "e666", "val")
-        .otherwise("test")).localCheckpoint(true)
+        .otherwise("test")).pipe(graft.ops.ScaleOps.stageCheckpoint)
     val splits = Seq("train", "val", "test")
     val packed = splits.map { s =>
       graft.ops.Extended.packSequences(

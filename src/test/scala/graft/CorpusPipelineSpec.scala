@@ -74,4 +74,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("epoch with reliable checkpoints (cluster posture) matches local output") {
+    // graft.checkpoint.reliable=true swaps every stage boundary
+    // (epoch stages, Lloyd's rounds, star-CC rounds) from
+    // localCheckpoint to reliable checkpoint() — the posture a real
+    // cluster needs so a stage survives executor loss. Output must be
+    // bit-identical to the default path.
+    spark.catalog.clearCache()
+    val defaultOut = CorpusPipeline.q100EpochBuild(spark, SparkTest.sfDir)
+      .collect().toSeq
+    spark.catalog.clearCache()
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set("graft.checkpoint.reliable", "true")
+    try {
+      val reliableOut = CorpusPipeline.q100EpochBuild(spark, SparkTest.sfDir)
+        .collect().toSeq
+      assert(reliableOut == defaultOut)
+    } finally {
+      spark.conf.unset("graft.checkpoint.reliable")
+      spark.catalog.clearCache()
+    }
+  }
 }

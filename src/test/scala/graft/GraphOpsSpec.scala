@@ -107,6 +107,38 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("burstEdges: planted 10^4-event bot user, exact closed-form edge count") {
+    import spark.implicits._
+    // one bot user, 10^4 events at 1/second: the plain user_id anchor
+    // would materialize C(10^4, 2) ≈ 5·10^7 candidate rows in ONE join
+    // partition; the compound (user_id, 5-min bucket) anchor bounds
+    // candidates by events-per-bucket (~300). Closed form: event i pairs
+    // with the next min(300, n-1-i) events (delta <= 300 s inclusive).
+    val n = 10000
+    val ev = spark.range(n).select(lit(7L).as("user_id"),
+      col("id").as("event_id"), (col("id") * 1000000L).as("us"))
+    val edges = GraphOps.burstEdgesFrom(ev)
+    val expected = (0 until n).map(i => math.min(300, n - 1 - i).toLong).sum
+    assert(edges.count() == expected, s"expected $expected edges")
+    // and the compound anchor is result-identical to the plain one on a
+    // window-straddling mixed corpus (bucket-boundary pairs included)
+    val mixed = spark.range(2000).select((col("id") % 5).as("user_id"),
+      col("id").as("event_id"),
+      (col("id") * 77777777L % 3000000000L).as("us"))
+    val plainA = mixed.select(col("user_id"), col("event_id").as("src"),
+      col("us").as("a_us"))
+    val plainB = mixed.select(col("user_id"), col("event_id").as("dst"),
+      col("us").as("b_us"))
+    val plain = plainA.join(plainB, "user_id")
+      .filter(col("src") < col("dst") && col("b_us") >= col("a_us") &&
+        col("b_us") - col("a_us") <= 300000000L)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = GraphOps.burstEdgesFrom(mixed).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == plain, "compound anchor changed the edge set")
+  }
+
   test("q63: kept orders strictly exceed their customer's average") {
     val out = GraphOps.q63CorrelatedSubquery(spark, dir)
     val perCust = Tables.orders(spark, dir)
