@@ -171,9 +171,9 @@ object Extended2 {
 
   /** q72 — portable deterministic sampling: 2 customers per market
     * segment chosen by the smallest md5 of the key's decimal string.
-    * Unlike q47's xxhash64 buckets (Spark-specific, rows-only check),
     * md5-of-UTF-8 is engine-independent — any system can reproduce the
-    * exact sample, which is what a training-data lineage audit needs.
+    * exact sample, which is what a training-data lineage audit needs
+    * (q47's stratified sampler adopted the same pattern in round 4).
     * Shuffle carries only (segment, key, name). */
   def q72Md5Sample(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment").orderBy("h", "c_custkey")

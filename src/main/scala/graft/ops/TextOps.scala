@@ -137,20 +137,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** q47 — deterministic stratified sampling: xxhash64(doc_id) mod 100
-    * buckets each row reproducibly (no rand() state, stable across
-    * runs, retries, and cluster sizes — the property a training-data
-    * sampler must have); per-language rates via a literal map. At
-    * 100 TB this is a pure narrow filter on the scan — no shuffle, no
-    * sampling pass. No DuckDB oracle (xxhash64 is Spark-specific);
-    * RelationalSpec checks determinism and per-stratum rates. */
+  /** q47 — deterministic stratified sampling: the first 4 hex chars of
+    * md5(doc_id-as-string) mod 100 bucket each row reproducibly (no
+    * rand() state, stable across runs, retries, cluster sizes AND
+    * engines — md5-of-UTF-8 is the q72/q94 portable-hash pattern, so
+    * this query is DuckDB-oracle-checked; the round-3 xxhash64 bucket
+    * was Spark-specific and rows-only). Per-language rates via a
+    * literal map. At 100 TB this is a pure narrow filter on the scan —
+    * no shuffle, no sampling pass. */
   def q47HashSample(spark: SparkSession, dir: String): DataFrame = {
     val rates = map(
       lit("en"), lit(50), lit("es"), lit(30),
       lit("fr"), lit(30), lit("de"), lit(30))
+    val h = md5(col("doc_id").cast("string").cast("binary"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        pmod(xxhash64(col("doc_id")), lit(100)).cast("int").as("bucket"))
+        pmod(conv(substring(h, 1, 4), 16, 10).cast("int"), lit(100))
+          .as("bucket"))
       .filter(col("bucket") < coalesce(element_at(rates, col("lang")), lit(10)))
       .orderBy("doc_id")
   }
@@ -165,6 +168,16 @@ object TextOps {
     "q37_fingerprint" -> (q37Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "q47_hash_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |         AS INTEGER) % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 30
+        |                         WHEN 'fr' THEN 30 WHEN 'de' THEN 30
+        |                         ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
     "q24_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, sha256(text) AS text_hash,
         |       count(*) AS n_copies

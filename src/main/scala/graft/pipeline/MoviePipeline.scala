@@ -57,6 +57,26 @@ object MoviePipeline {
       .option("mode", "PERMISSIVE")
       .json(path)
 
+  /** R11 fidelity surface — the reference retries a failing file 3× and
+    * then DROPS it entirely, continuing the batch
+    * (DataTransformationService.java:112–129: silent per-file data
+    * loss, by design). Spark's split of the same concern: TRANSIENT
+    * read errors are retried by the scheduler (`spark.task.maxFailures`,
+    * default 4 — the same "3 retries" posture, but per task and
+    * cluster-wide), while a PERSISTENTLY unreadable file either fails
+    * the job loudly (default — the engine's deliberate divergence) or,
+    * with `dropCorruptFiles = true`, is skipped wholesale and the scan
+    * continues: the reference's exact drop-and-continue semantics.
+    * The glob admits `.json.gz` shards too — codec inference needs the
+    * suffix, and compressed JSONL is the common corpus shape. */
+  def readMoviesFidelity(spark: SparkSession, path: String,
+      dropCorruptFiles: Boolean): DataFrame =
+    spark.read.schema(inputSchema)
+      .option("pathGlobFilter", "*.json*")
+      .option("ignoreCorruptFiles", dropCorruptFiles.toString)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
   /** R4 malformed-line surface: PERMISSIVE parse keeps the raw line in a
     * corrupt-record column instead of failing the file. The reference
     * retries a failing file 3× and then DROPS it entirely

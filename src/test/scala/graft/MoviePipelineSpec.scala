@@ -34,6 +34,41 @@ class MoviePipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  private def mixedCorpusDir(): java.nio.file.Path = {
+    // one healthy shard + one unreadable one (gzip magic, garbage body:
+    // codec inference accepts it, decompression fails mid-scan)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r11")
+    java.nio.file.Files.writeString(tmp.resolve("good.json"),
+      """{"movieId":"m1","title":"T","yearOfRelease":2020,"watchedBy":[{"customer-id":"c1","rating":5,"date":"2024-01-01"}]}
+        |{"movieId":"m2","title":"U","yearOfRelease":2021,"watchedBy":[]}
+        |""".stripMargin)
+    java.nio.file.Files.write(tmp.resolve("bad.json.gz"),
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0,
+        42, 77, 13, 99, 11, 17, 19, 23))
+    tmp
+  }
+
+  test("R11 fidelity: drop-and-continue skips the unreadable file wholesale") {
+    val tmp = mixedCorpusDir()
+    val rows = MoviePipeline.readMoviesFidelity(spark, tmp.toString,
+      dropCorruptFiles = true).collect()
+    // the reference's exact semantics after 3 failed retries: the bad
+    // file vanishes, every healthy file still lands
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("m1", "m2"))
+  }
+
+  test("R11 default: a persistently unreadable file fails the job loudly") {
+    val tmp = mixedCorpusDir()
+    val ex = intercept[org.apache.spark.SparkException] {
+      MoviePipeline.readMoviesFidelity(spark, tmp.toString,
+        dropCorruptFiles = false).collect()
+    }
+    // the failure names the file — operators must see WHICH shard died
+    assert(ex.getMessage.contains("bad.json.gz") ||
+      Option(ex.getCause).exists(_.getMessage.contains("bad.json.gz")))
+  }
+
   test("g1: parent movieId wins over nested movie-id") {
     val df = MoviePipeline.explodeEvents(movies(
       """{"movieId":"m1","title":"Inception","yearOfRelease":2010,

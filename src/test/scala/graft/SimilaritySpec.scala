@@ -120,6 +120,20 @@ class SimilaritySpec extends AnyFunSuite {
     planted.foreach(r => assert(r.getDouble(2) > 0.5 && r.getDouble(2) <= 1.0))
   }
 
+  test("q25 recall law: every exact-Jaccard pair q42 confirms appears in q25") {
+    // q42 computes TRUE Jaccard ≥ 0.5 on the shared band candidates;
+    // q25 keeps the signature ESTIMATE ≥ 0.5 on the same candidates.
+    // This is the cross-validated recall floor (VERDICT r3 item 5): a
+    // law over the full output, not a planted sample.
+    val est = Similarity.q25NearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.q42NgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- est
+    assert(missed.isEmpty,
+      s"q25 missed ${missed.size} true-Jaccard pairs, e.g. ${missed.take(5)}")
+  }
+
   test("winnowing: doc shares fingerprints with its extended copy, not with others") {
     import spark.implicits._
     val docs = Seq(
