@@ -26,7 +26,8 @@ object SparkEntry {
       ops.StreamingOps.queries ++ ops.MultimodalOps.queries ++
       pipeline.CorpusPipeline.queries ++ ops.Extended.queries ++
       ops.Extended2.queries ++ ops.Extended3.queries ++
-      ops.GraphOps.queries ++ ops.Clustering.queries
+      ops.GraphOps.queries ++ ops.Clustering.queries ++
+      ops.TpchExtra.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       ops.StreamingOps.oracleSql ++ ops.MultimodalOps.oracleSql ++
       pipeline.CorpusPipeline.oracleSql ++ ops.Extended.oracleSql ++
       ops.Extended2.oracleSql ++ ops.Extended3.oracleSql ++
-      ops.GraphOps.oracleSql ++ ops.Clustering.oracleSql
+      ops.GraphOps.oracleSql ++ ops.Clustering.oracleSql ++
+      ops.TpchExtra.oracleSql
 }
