@@ -555,12 +555,19 @@ object Similarity {
     val nProbe = 4
     val emb = Tables.fanout(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
-    // localCheckpoint: the fitted centroids (16 rows) feed THREE
+    // The quantizer trains on a DETERMINISTIC ~25% hash-sample — the
+    // standard IVF practice (a coarse quantizer needs the density
+    // shape, not every vector; Faiss trains on a bounded sample for
+    // the same reason). At 100 TB this is the difference between
+    // Lloyd rounds over the corpus and Lloyd rounds over a bounded
+    // training set; the FULL corpus is still assigned to cells below.
+    // stageCheckpoint: the fitted centroids (16 rows) feed THREE
     // consumers (cell assignment, probe selection, and kmeansFit's own
     // closing audit join) — truncate the iterative lineage once instead
     // of re-running Lloyd's rounds per consumer
     val cents = Clustering.kmeansFit(
-        emb.select(col("vec_id").as("id"), col("e")),
+        emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+          .select(col("vec_id").as("id"), col("e")),
         k = 16, dim = 64, maxIters = 4)
       .select(col("cid"), col("ce")).pipe(graft.ops.ScaleOps.stageCheckpoint)
     // nearest centroid per vector: 16-way broadcast expand + argmin —
