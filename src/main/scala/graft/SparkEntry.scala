@@ -27,7 +27,7 @@ object SparkEntry {
       pipeline.CorpusPipeline.queries ++ ops.Extended.queries ++
       ops.Extended2.queries ++ ops.Extended3.queries ++
       ops.GraphOps.queries ++ ops.Clustering.queries ++
-      ops.TpchExtra.queries
+      ops.TpchExtra.queries ++ ops.Extended4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -38,5 +38,5 @@ object SparkEntry {
       pipeline.CorpusPipeline.oracleSql ++ ops.Extended.oracleSql ++
       ops.Extended2.oracleSql ++ ops.Extended3.oracleSql ++
       ops.GraphOps.oracleSql ++ ops.Clustering.oracleSql ++
-      ops.TpchExtra.oracleSql
+      ops.TpchExtra.oracleSql ++ ops.Extended4.oracleSql
 }

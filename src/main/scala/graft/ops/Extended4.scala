@@ -1,0 +1,284 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q121–q125 — round-4 analytics/pipeline additions, all DuckDB-oracle
+  * checked:
+  *
+  *  - q121 robust outliers (median/MAD — the rank-based cousin of q71's
+  *    z-score, immune to the outliers it hunts)
+  *  - q122 PPS systematic sampling (integer-exact weighted sampling —
+  *    the deterministic replacement for weighted reservoir sampling)
+  *  - q123 group-wise least-squares trend (slope from exact decimal
+  *    sums, one IEEE division at the end)
+  *  - q124 per-group equi-depth histogram (ntile deciles)
+  *  - q125 EXACT set-similarity join via prefix filtering (PPJoin-style
+  *    candidate pruning with a brute-force SQL oracle — the exact
+  *    measure the q25/q42 sketches approximate, now oracle-checked)
+  */
+object Extended4 {
+
+  // ---------------------------------------------------------------- q121
+  /** q121 — median/MAD robust outliers per brand: flag lineitems whose
+    * |price − median| exceeds 2× the median absolute deviation (the driver corpus is bounded-uniform, so 3× is empty). Mean/
+    * stddev (q71) move WITH contamination; median/MAD don't — this is
+    * the filter a data-quality gate actually wants. Two grouped exact
+    * medians (Spark `median` ≡ DuckDB `median`: both interpolate the
+    * even-count midpoint identically on doubles); deviations compare in
+    * IEEE doubles on both engines bit-identically. Shuffles only
+    * (brand, price) pairs and the 25-row per-brand stats. */
+  def q121MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val med = li.groupBy("p_brand")
+      .agg(median(col("l_extendedprice")).as("med"))
+    val mad = li.join(broadcast(med), "p_brand")
+      .groupBy("p_brand")
+      .agg(first("med").as("med"),
+        median(abs(col("l_extendedprice") - col("med"))).as("mad"))
+    li.join(broadcast(mad), "p_brand")
+      .filter(abs(col("l_extendedprice") - col("med")) > col("mad") * 2.0)
+      .select(col("p_brand"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .orderBy("p_brand", "l_orderkey", "l_linenumber")
+  }
+
+  // ---------------------------------------------------------------- q122
+  /** q122 — probability-proportional-to-size systematic sampling: k=20
+    * documents drawn with probability ∝ n_chars, INTEGER-EXACT. The
+    * running weight sum (sharded prefix sum — never a global window
+    * over the corpus) lays documents on a number line; a stride of
+    * total/k selects every document whose interval contains a stride
+    * boundary. No floats anywhere, so any engine reproduces the exact
+    * sample — the deterministic, shuffle-light replacement for weighted
+    * reservoir sampling (whose u^(1/w) keys are float-ordering-fragile
+    * across engines). A doc with w ≥ stride can contain several
+    * boundaries; n_hits records multiplicity (upweighting, like any
+    * PPS estimator). */
+  def q122PpsSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+    val cum = ScaleOps.shardedCumSum(docs, "doc_id", "w", "cum_w", 16)
+    // stride boundaries at s, 2s, ..., ks with s = total div k (integer);
+    // doc owns (cum_w - w, cum_w] — it is sampled once per boundary inside
+    val total = docs.agg(sum("w")).head().getLong(0)
+    val stride = total / k
+    cum
+      // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
+      // boundary decided by a float is a boundary that drifts at scale
+      .withColumn("n_hits",
+        expr(s"cum_w div $stride") - expr(s"(cum_w - w) div $stride"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("w"), col("cum_w"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q123
+  /** q123 — group-wise least-squares trend: the revenue slope per order
+    * priority over monthly buckets. Slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    * where x = month index (exact int) and y = order totalprice (exact
+    * decimal) — every sum is exact, so the slope is ONE IEEE division
+    * of two exactly-agreed numerators (the q71/SCALING determinism
+    * rule: never let float accumulation order near a comparison or a
+    * published number). One partial+final aggregate pass; no window. */
+  def q123RegrTrend(spark: SparkSession, dir: String): DataFrame = {
+    val x = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      .cast("long")
+    val y = col("o_totalprice").cast("decimal(18,2)")
+    // every sum lands in decimals WIDE ENOUGH that the n·Σxy − ΣxΣy
+    // cross terms stay exact: DuckDB computes them in hugeint (128-bit)
+    // and a silent long overflow on the Spark side would diverge
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), x.as("x"), y.as("y"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("decimal(20,0)").as("n"),
+        sum(col("x")).cast("decimal(20,0)").as("sx"),
+        sum(col("x") * col("x")).cast("decimal(30,0)").as("sxx"),
+        sum(col("y")).cast("decimal(30,2)").as("sy"),
+        sum(col("y") * col("x").cast("decimal(18,0)"))
+          .cast("decimal(32,2)").as("sxy"))
+      .select(col("o_orderpriority"), col("n").cast("long").as("n"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("slope"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q124
+  /** q124 — per-group equi-depth histogram: order-value deciles within
+    * each order priority (ntile(10) on the (value, key) total order —
+    * the unique key makes tiling deterministic), then per-tile count /
+    * min / max. Equi-WIDTH (q66) answers "how many per range";
+    * equi-DEPTH answers "what range per quantile" — the form optimizers
+    * and data-drift monitors keep. The window partitions by priority:
+    * never a global window. */
+  def q124EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
+  // ---------------------------------------------------------------- q125
+  /** q125 — EXACT set-similarity self-join (Jaccard ≥ 0.6 on distinct
+    * word-3-gram STRING sets) via prefix filtering — PPJoin's candidate
+    * rule (Xiao et al., WWW'08): order every doc's grams by global
+    * rarity; two sets with Jaccard ≥ t MUST share a gram within their
+    * first |s| − ⌈t·|s|⌉ + 1 rarest grams, so only prefix grams enter
+    * the equi-join. No sketch, no false negatives — the exact measure
+    * q25/q42 approximate, checked here against a brute-force all-pairs
+    * DuckDB oracle (the oracle can afford n² at sf; the engine path is
+    * the one that scales).
+    *
+    * Scale: the join key is a SINGLE rare gram string; candidates ≈
+    * Σ_prefix-gram df² stays near-linear because prefixes hold the
+    * RAREST grams by construction. Gram sets travel once to rank and
+    * once into the verify — at 100 TB you'd hash grams to longs first
+    * (q42's trick) and keep rank tables bucketed. */
+  def q125SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.6
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = base.unionByName(base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" planted near duplicate suffix")).as("text")))
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+    val grams3 = corpus.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(sequence(lit(1), size(col("t")) - 2), i =>
+          concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
+        .as("grams"))
+      .persist() // feeds rank build, prefix build, and BOTH verify sides
+    // global rarity ORDER (document frequency asc, gram asc) — the
+    // prefix rule needs a consistent total order, NOT dense ranks, so
+    // no global row_number window ever materializes: the per-doc
+    // window sorts by (df, g) directly
+    val dfreq = grams3.select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    // prefix grams: the |s| − ceil(t·|s|) + 1 rarest grams of each doc
+    val wDoc = Window.partitionBy("doc_id").orderBy("df", "g")
+    val prefix = grams3
+      .select(col("doc_id"), size(col("grams")).as("sz"),
+        explode(col("grams")).as("g"))
+      .join(dfreq, "g")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select("doc_id", "g")
+    val cand = prefix.select(col("g"), col("doc_id").as("a_id"))
+      .join(prefix.select(col("g"), col("doc_id").as("b_id")), "g")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    cand
+      .join(grams3.select(col("doc_id").as("a_id"), col("grams").as("ga")),
+        "a_id")
+      .join(grams3.select(col("doc_id").as("b_id"), col("grams").as("gb")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(inter / (size(col("ga")) + size(col("gb")) - inter), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy("a_id", "b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_mad_outliers" -> (q121MadOutliers _),
+    "q122_pps_sample" -> (q122PpsSample _),
+    "q123_regr_trend" -> (q123RegrTrend _),
+    "q124_equidepth_hist" -> (q124EquidepthHist _),
+    "q125_set_sim_join" -> (q125SetSimJoin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q121_mad_outliers" ->
+      """WITH li AS (
+        |  SELECT p_brand, l_orderkey, l_linenumber, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |med AS (
+        |  SELECT p_brand, median(l_extendedprice) AS med
+        |  FROM li GROUP BY 1),
+        |mad AS (
+        |  SELECT li.p_brand, any_value(med) AS med,
+        |         median(abs(l_extendedprice - med)) AS mad
+        |  FROM li JOIN med USING (p_brand) GROUP BY 1)
+        |SELECT li.p_brand, l_orderkey, l_linenumber, l_extendedprice
+        |FROM li JOIN mad USING (p_brand)
+        |WHERE abs(l_extendedprice - med) > mad * 2.0
+        |ORDER BY p_brand, l_orderkey, l_linenumber""".stripMargin,
+    "q122_pps_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |         sum(CAST(n_chars AS BIGINT))
+        |           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_w
+        |  FROM documents),
+        |s AS (SELECT sum(CAST(n_chars AS BIGINT)) // 20 AS stride
+        |      FROM documents)
+        |SELECT doc_id, w, CAST(cum_w AS BIGINT) AS cum_w,
+        |       CAST(cum_w // stride - (cum_w - w) // stride AS BIGINT) AS n_hits
+        |FROM d, s
+        |WHERE cum_w // stride - (cum_w - w) // stride > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q123_regr_trend" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate)
+        |              AS BIGINT) AS x,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(
+        |    CAST(count(*) * sum(y * CAST(x AS DECIMAL(18,0)))
+        |         - sum(x) * sum(y) AS DOUBLE) /
+        |    CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE),
+        |  6) AS slope
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q124_equidepth_hist" ->
+      """SELECT o_orderpriority, CAST(decile AS INT) AS decile,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         ntile(10) OVER (PARTITION BY o_orderpriority
+        |                         ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q125_set_sim_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS grams
+        |  FROM (
+        |    SELECT doc_id,
+        |           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '') AS t
+        |    FROM corpus)
+        |  WHERE len(t) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        (len(a.grams) + len(b.grams)
+        |         - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams)
+        |       - len(list_intersect(a.grams, b.grams))) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin)
+}

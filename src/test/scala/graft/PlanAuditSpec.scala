@@ -36,6 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "total window runs on the per-nation AGGREGATE (25 rows), not customers",
     "q113_yoy_growth" ->
       "lag window runs on the per-year AGGREGATE (~7 rows), not orders",
+    "q122_pps_sample" ->
+      "shardedCumSum offset window is O(nShards) rows, not O(docs)",
     "q83_pareto_cut" ->
       ("cumsum over the per-customer rollup, O(customers) not O(orders); " +
         "shard by rev range when customers outgrow a reducer"))
