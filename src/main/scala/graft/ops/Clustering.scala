@@ -89,21 +89,25 @@ object Clustering {
     var i = 0
     var done = false
     while (i < maxIters && !done) {
-      // checkpointed: BOTH the cost probe and the centroid update read
-      // the assignment — left lazy it would evaluate twice per round
-      val a = assign(emb, cents).pipe(graft.ops.ScaleOps.stageCheckpoint)
-      val costRow = a.agg(sum("d2")).head()
-      // null sum ⟺ empty input: zero vectors (or k > rows exhausted) —
-      // return the current (possibly empty) centroids instead of NPEing
+      // ONE blocking job per round: the update aggregate ALSO carries
+      // the per-cell cost sum, so the convergence probe reads the
+      // (checkpointed, k-row) update result instead of running its own
+      // pass over the assignment — round 3 paid 2 jobs/round (assignment
+      // checkpoint + cost action); the assignment now stays lazy and
+      // evaluates exactly once, inside the update
+      val a = assign(emb, cents)
+      val upd = emb.join(a, "id")
+        .groupBy("cid").agg(vsum(col("e")).as("sn"), sum("d2").as("cellCost"))
+        .pipe(graft.ops.ScaleOps.stageCheckpoint)
+      // empty input ⟺ zero update rows (k > rows exhausted, or no
+      // vectors) — return the current centroids instead of NPEing
+      val costRow = upd.agg(sum("cellCost")).head()
       if (costRow.isNullAt(0)) {
         done = true
       } else {
       val cost = costRow.getDouble(0)
-      cents = emb.join(a.select("id", "cid"), "id")
-        .groupBy("cid").agg(vsum(col("e")).as("sn"))
-        .select(col("cid"),
-          transform(col("sn.s"), x => x / col("sn.n")).as("ce"))
-        .pipe(graft.ops.ScaleOps.stageCheckpoint)
+      cents = upd.select(col("cid"),
+        transform(col("sn.s"), x => x / col("sn.n")).as("ce"))
       done = prevCost != Double.MaxValue &&
         (prevCost - cost) <= tol * math.max(prevCost, 1e-12)
       prevCost = cost
