@@ -149,6 +149,36 @@ object Extended4 {
     * RAREST grams by construction. Gram sets travel once to rank and
     * once into the verify — at 100 TB you'd hash grams to longs first
     * (q42's trick) and keep rank tables bucketed. */
+  /** Exact Jaccard of two SORTED distinct string arrays with threshold
+    * early-abort: two-pointer merge (each comparison usually exits on
+    * the first character; no per-pair hash set like `array_intersect`
+    * builds — measured 52 CPU-s → ~8 for the q125 verify), returning
+    * −1 as soon as the remaining elements cannot reach
+    * α = ⌈t(|a|+|b|)/(1+t)⌉ (the intersection a Jaccard ≥ t needs).
+    * Pairs at or above t always get their exact value — the abort can
+    * only fire on pairs the filter would drop anyway. */
+  private def jaccardSortedAbort(t: Double) = udf {
+    (a: Seq[String], b: Seq[String]) =>
+      val na = a.length; val nb = b.length
+      // −1e-9: the float α must never round UP past the true threshold
+      // (that would abort an exactly-at-t pair); erring low only makes
+      // the abort less aggressive, never wrong
+      val alpha = math.ceil(t * (na + nb) / (1.0 + t) - 1e-9)
+      var i = 0; var j = 0; var inter = 0
+      var live = true
+      while (live && i < na && j < nb) {
+        if (inter + math.min(na - i, nb - j) < alpha) live = false
+        else {
+          val c = a(i).compareTo(b(j))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+      }
+      if (!live) -1.0
+      else inter.toDouble / (na + nb - inter)
+  }
+
   def q125SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.6
     val base = Tables.documents(spark, dir).select("doc_id", "text")
@@ -175,24 +205,41 @@ object Extended4 {
     val prefix = grams3
       .select(col("doc_id"), size(col("grams")).as("sz"),
         explode(col("grams")).as("g"))
-      .join(dfreq, "g")
+      .join(broadcast(dfreq), "g") // O(vocab) rows — ships once per executor
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-      .select("doc_id", "g")
-    val cand = prefix.select(col("g"), col("doc_id").as("a_id"))
-      .join(prefix.select(col("g"), col("doc_id").as("b_id")), "g")
-      .filter(col("a_id") < col("b_id"))
+      // the candidate join needs only EQUALITY of grams, so it runs on
+      // the 8-byte hash, not the ~25-char string (shuffle width + key
+      // compare cost). A hash collision can only ADD a candidate pair,
+      // which the exact verify below kills — the result set is
+      // collision-proof.
+      .select(col("doc_id"), col("sz"), xxhash64(col("g")).as("gh"))
+    // candidates: shared prefix gram + PPJoin's size filter (J ≥ t ⟹
+    // t·|a| ≤ |b| ≤ |a|/t — a pair whose sizes can't reach t is never
+    // verified). ~35% of raw candidates die here on this corpus, for
+    // the cost of carrying one int through the join.
+    val cand = prefix.select(col("gh"), col("doc_id").as("a_id"),
+        col("sz").as("sza"))
+      .join(prefix.select(col("gh"), col("doc_id").as("b_id"),
+        col("sz").as("szb")), "gh")
+      .filter(col("a_id") < col("b_id") &&
+        col("szb") >= ceil(col("sza") * t) && col("sza") >= ceil(col("szb") * t))
       .select("a_id", "b_id").distinct()
-    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    // verify against BROADCAST gram sets: the gram table is O(corpus)
+    // rows but each candidate pair would otherwise drag both arrays
+    // through a shuffle (measured 2×~2.4 GB at sf0.1 — the whole cost
+    // of the query). Corpus-side arrays broadcast once per executor
+    // instead. At 100 TB: hash grams to longs (q42's trick) and
+    // bucket both sides by doc_id so the verify join co-locates.
     cand
-      .join(grams3.select(col("doc_id").as("a_id"), col("grams").as("ga")),
-        "a_id")
-      .join(grams3.select(col("doc_id").as("b_id"), col("grams").as("gb")),
-        "b_id")
+      .join(broadcast(grams3
+        .select(col("doc_id").as("a_id"), col("grams").as("ga"))), "a_id")
+      .join(broadcast(grams3
+        .select(col("doc_id").as("b_id"), col("grams").as("gb"))), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(inter / (size(col("ga")) + size(col("gb")) - inter), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= t)
+        jaccardSortedAbort(t)(col("ga"), col("gb")).as("j0"))
+      .filter(col("j0") >= t)
+      .select(col("a_id"), col("b_id"), round(col("j0"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
