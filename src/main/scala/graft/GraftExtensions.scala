@@ -35,6 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim expects 2 arguments, got ${args.length}")
         CosineSim(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[functions.JaccardSorted].getName,
+        "jaccard_sorted"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"jaccard_sorted expects 2 arguments, got ${args.length}")
+        functions.JaccardSorted(args.head, args(1))
+      }))
     // zorder_key(a, b): the Morton interleave ladder from
     // LayoutOps.zorderKey, exposed to SQL. The builder runs inside the
     // analyzer, so it must emit RESOLVED catalyst nodes directly — a

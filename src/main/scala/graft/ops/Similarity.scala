@@ -173,8 +173,10 @@ object Similarity {
   }
 
   /** Exact Jaccard of two sorted distinct long arrays (two-pointer
-    * merge — no per-call hash-set allocation). */
-  private val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    * merge — no per-call hash-set allocation). Kept as the independent
+    * cross-check for the native [[graft.functions.JaccardSorted]]
+    * expression that the public API and q42 now use. */
+  private[graft] val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       val x = a(i); val y = b(j)
@@ -190,7 +192,11 @@ object Similarity {
   def minhashSignature(text: Column): Column = minhashSigUdf(text)
   def simhashFingerprint(text: Column): Column = simhashUdf(text)
   def shingleSet(text: Column): Column = shingleSetUdf(text)
-  def exactJaccard(a: Column, b: Column): Column = jaccardUdf(a, b)
+  /** Exact Jaccard of sorted distinct long arrays — the native codegen
+    * expression ([[graft.functions.JaccardSorted]]); [[jaccardUdf]]
+    * remains as the spec's independent cross-check. */
+  def exactJaccard(a: Column, b: Column): Column =
+    graft.functions.JaccardSorted.jaccardSorted(a, b)
 
   /** K independent component hashes from the 64-bit shingle hash:
     * h_i = xxhash64(i, hb). NOT a Kirsch–Mitzenmacher linear family —
@@ -529,7 +535,7 @@ object Similarity {
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(jaccardUdf(col("set_a"), col("set_b")), 6).as("jaccard"))
+        round(exactJaccard(col("set_a"), col("set_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .distinct()
       .orderBy("a_id", "b_id")
