@@ -213,17 +213,26 @@ object Extended4 {
       // compare cost). A hash collision can only ADD a candidate pair,
       // which the exact verify below kills — the result set is
       // collision-proof.
-      .select(col("doc_id"), col("sz"), xxhash64(col("g")).as("gh"))
-    // candidates: shared prefix gram + PPJoin's size filter (J ≥ t ⟹
-    // t·|a| ≤ |b| ≤ |a|/t — a pair whose sizes can't reach t is never
-    // verified). ~35% of raw candidates die here on this corpus, for
-    // the cost of carrying one int through the join.
+      .select(col("doc_id"), col("sz"), col("rn"), xxhash64(col("g")).as("gh"))
+    // candidates: shared prefix gram + PPJoin's two cheap filters —
+    //  size:       J ≥ t ⟹ t·|a| ≤ |b| ≤ |a|/t
+    //  positional: a match at prefix positions (rna, rnb) bounds the
+    //              overlap by 1 + min(sza−rna, szb−rnb) (everything
+    //              before the matched gram in the rarity order is
+    //              disjoint or already counted), which must reach
+    //              α = ⌈t(sza+szb)/(1+t)⌉ — late-prefix-only matches
+    //              die before verification.
+    // A pair matching on ANY early-enough gram still survives via that
+    // occurrence, so neither filter can drop a true pair.
+    val alpha = ceil((col("sza") + col("szb")) * (t / (1.0 + t)) - 1e-9)
     val cand = prefix.select(col("gh"), col("doc_id").as("a_id"),
-        col("sz").as("sza"))
+        col("sz").as("sza"), col("rn").as("rna"))
       .join(prefix.select(col("gh"), col("doc_id").as("b_id"),
-        col("sz").as("szb")), "gh")
+        col("sz").as("szb"), col("rn").as("rnb")), "gh")
       .filter(col("a_id") < col("b_id") &&
-        col("szb") >= ceil(col("sza") * t) && col("sza") >= ceil(col("szb") * t))
+        col("szb") >= ceil(col("sza") * t) && col("sza") >= ceil(col("szb") * t) &&
+        lit(1) + least(col("sza") - col("rna"), col("szb") - col("rnb"))
+          >= alpha)
       .select("a_id", "b_id").distinct()
     // verify against BROADCAST gram sets: the gram table is O(corpus)
     // rows but each candidate pair would otherwise drag both arrays
