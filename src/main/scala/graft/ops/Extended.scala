@@ -277,6 +277,24 @@ object Extended {
         max("doc_id").as("last_doc"))
       .orderBy("bin")
 
+  /** [[packSequences]] independently per `groupCol` value in ONE pass
+    * (ScaleOps.groupedShardedCumSum) — what an epoch build wants for
+    * its train/val/test splits instead of three separate pipelines
+    * over the same frame. Bins are per group; output one row per
+    * (group, bin). Identical bins to filtering each group and calling
+    * [[packSequences]] (ExtendedSpec pins it). */
+  def packSequencesGrouped(tok: DataFrame, groupCol: String, cap: Int,
+      nShards: Int): DataFrame =
+    ScaleOps.groupedShardedCumSum(tok, groupCol, "doc_id", "n_tokens",
+        "cum", nShards)
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(cap)))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy(groupCol, "bin")
+
   /** q61 — top-3 orders per customer via [[TopKAgg]]: partial top-k on
     * the map side (≤3 rows per customer per task cross the wire), final
     * merge per key, posexplode for ranks. Same result as the

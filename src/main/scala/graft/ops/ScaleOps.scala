@@ -96,6 +96,43 @@ object ScaleOps {
       .drop("__shard", "__lo", "__width", "__within", "__offset")
   }
 
+  /** GROUPED sharded running sum: [[shardedCumSum]] independently
+    * within each `groupCol` value, in ONE pass over the data — the
+    * shape a per-split epoch pack needs (3 splits × separate pipelines
+    * collapse into one). Identical values to running shardedCumSum on
+    * each group's rows separately (ScaleSpec pins it). No global
+    * window anywhere: per-group shard bounds are a tiny broadcast
+    * aggregate, the offset window partitions by group (≤ nShards rows
+    * per group), and the within-shard window partitions by
+    * (group, shard). Same unique-`orderCol` determinism contract and
+    * cache lifecycle as [[shardedCumSum]]. */
+  def groupedShardedCumSum(df0: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, cumName: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = if (df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df0.persist() else df0
+    val bounds = df.groupBy(groupCol).agg(min(orderCol).as("__lo"),
+      ceil((max(orderCol) - min(orderCol) + 1).cast("double") / nShards)
+        .cast("long").as("__width"))
+    val sharded = df.join(broadcast(bounds), groupCol)
+      .withColumn("__shard",
+        floor((col(orderCol) - col("__lo")) / col("__width")))
+    val wIn = Window.partitionBy(groupCol, "__shard").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(groupCol).orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(groupCol, "__shard")
+      .agg(sum(valueCol).as("__shard_total"))
+      .withColumn("__offset",
+        coalesce(sum("__shard_total").over(wOff), lit(0L)))
+      .select(col(groupCol), col("__shard"), col("__offset"))
+    sharded
+      .withColumn("__within", sum(valueCol).over(wIn))
+      .join(broadcast(offsets), Seq(groupCol, "__shard"))
+      .withColumn(cumName, col("__offset") + col("__within"))
+      .drop("__shard", "__lo", "__width", "__within", "__offset")
+  }
+
   /** Stage-boundary materialization for iterative/deep-lineage
     * pipelines (epoch stages, Lloyd's rounds, star-CC rounds).
     *

@@ -138,16 +138,25 @@ object CorpusPipeline {
     val tagged = clean.withColumn("split",
       when(h < "cccd", "train").when(h < "e666", "val")
         .otherwise("test")).pipe(graft.ops.ScaleOps.stageCheckpoint)
-    val splits = Seq("train", "val", "test")
-    val packed = splits.map { s =>
-      graft.ops.Extended.packSequences(
-        tagged.filter(col("split") === s).select("doc_id", "n_tokens"),
-        cap = binCap, nShards = 4)
-        .agg(count(lit(1)).as("n_bins"),
-          coalesce(sum("bin_tokens"), lit(0L)).as("total_tokens"),
-          coalesce(sum("n_docs"), lit(0L)).as("n_docs"))
-        .withColumn("split", lit(s))
-    }.reduce(_ unionByName _)
+    // ONE grouped pack over all splits (round 3 ran three separate
+    // pack pipelines over the same frame — 3× the jobs for the same
+    // bins); a left join against the literal split list keeps the
+    // all-zero row for a split the tagging emptied out
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val audit = graft.ops.Extended.packSequencesGrouped(
+        tagged.select("split", "doc_id", "n_tokens"),
+        "split", cap = binCap, nShards = 4)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("bin_tokens").as("total_tokens"),
+        sum("n_docs").as("n_docs"))
+    val packed = Seq("train", "val", "test").toDF("split")
+      .join(audit, Seq("split"), "left")
+      .select(col("split"),
+        coalesce(col("n_bins"), lit(0L)).as("n_bins"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
     val nDirty = dirty.count()
     packed
       .withColumn("n_contaminated_removed", lit(nDirty))

@@ -26,6 +26,47 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.nonEmpty && salted == plain)
   }
 
+  test("groupedShardedCumSum equals the per-group global window exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // uneven groups (one empty after filtering, one singleton, one big)
+    // and non-contiguous order values — the shard-width math must not
+    // care about any of it
+    val rows = (1 to 500).map(i =>
+      (if (i % 7 == 0) "a" else if (i % 3 == 0) "b" else "c",
+        i.toLong * 13 % 997 * 1000 + i, (i % 50 + 1).toLong))
+    val df = rows.toDF("grp", "ord", "v")
+    val expect = df.withColumn("cum",
+      sum("v").over(Window.partitionBy("grp").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("grp", "ord", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = ScaleOps.groupedShardedCumSum(df, "grp", "ord", "v", "cum", 8)
+      .select("grp", "ord", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
+  test("packSequencesGrouped equals per-group packSequences") {
+    import org.apache.spark.sql.functions._
+    val tok = Tables.documents(spark, dir).select("doc_id", "text")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      .withColumn("grp", (pmod(col("doc_id"), lit(3))).cast("string"))
+    val grouped = graft.ops.Extended.packSequencesGrouped(
+        tok, "grp", cap = 512, nShards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val separate = Seq("0", "1", "2").flatMap { g =>
+      graft.ops.Extended.packSequences(
+        tok.filter(col("grp") === g).select("doc_id", "n_tokens"),
+        cap = 512, nShards = 4)
+        .collect().map(r => (g, r.getLong(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(grouped == separate && grouped.nonEmpty)
+  }
+
   test("bucketed state table joins without shuffling the state side") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     val state = Tables.events(spark, dir)
