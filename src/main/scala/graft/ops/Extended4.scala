@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** q121–q125 — round-4 analytics/pipeline additions, all DuckDB-oracle
   * checked:
@@ -144,11 +145,23 @@ object Extended4 {
     * DuckDB oracle (the oracle can afford n² at sf; the engine path is
     * the one that scales).
     *
-    * Scale: the join key is a SINGLE rare gram string; candidates ≈
+    * Scale: the join key is a SINGLE rare gram hash; candidates ≈
     * Σ_prefix-gram df² stays near-linear because prefixes hold the
-    * RAREST grams by construction. Gram sets travel once to rank and
-    * once into the verify — at 100 TB you'd hash grams to longs first
-    * (q42's trick) and keep rank tables bucketed. */
+    * RAREST grams by construction.
+    *
+    * The whole pipeline — ranking, candidates, verify — runs on 64-bit
+    * GRAM HASHES, never strings, which is what makes it 100 TB-shaped
+    * (8 B per gram on the wire and in the broadcast; the verify is the
+    * native codegen'd `jaccard_sorted`, no UDF boundary). Hashing stays
+    * EXACT, not approximate, via an injectivity certificate: the rarity
+    * aggregate (which already groups every corpus gram) also counts
+    * distinct gram STRINGS per hash; max = 1 proves xxhash64 is
+    * injective on this corpus, so hash-set Jaccard ≡ string-set Jaccard
+    * identically. On the ~2⁻⁶⁴-odds certificate failure the verify
+    * falls back to the string-array two-pointer path ([[jaccardSortedAbort]]
+    * — the round-3 implementation). Candidate generation needs no
+    * branch: hash-set Jaccard ≥ string-set Jaccard (collisions only
+    * merge), so hash-PPJoin candidates are complete in both worlds. */
   /** Exact Jaccard of two SORTED distinct string arrays with threshold
     * early-abort: two-pointer merge (each comparison usually exits on
     * the first character; no per-pair hash set like `array_intersect`
@@ -157,6 +170,7 @@ object Extended4 {
     * α = ⌈t(|a|+|b|)/(1+t)⌉ (the intersection a Jaccard ≥ t needs).
     * Pairs at or above t always get their exact value — the abort can
     * only fire on pairs the filter would drop anyway. */
+  private[graft] def devJaccardAbort(t: Double) = jaccardSortedAbort(t)
   private def jaccardSortedAbort(t: Double) = udf {
     (a: Seq[String], b: Seq[String]) =>
       val na = a.length; val nb = b.length
@@ -182,38 +196,74 @@ object Extended4 {
   def q125SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.6
     val base = Tables.documents(spark, dir).select("doc_id", "text")
-    val corpus = base.unionByName(base.select(
+    // fanout BEFORE the gram construction: the single-file scan yields
+    // ~2 input splits, and the per-doc gram build (tokenize + distinct
+    // + sort) is the query's heaviest map work — measured 5.9 s on 2
+    // tasks vs sub-second spread over the full parallelism
+    val corpus = Tables.fanout(base.unionByName(base.select(
       (col("doc_id") + 1000000L).as("doc_id"),
-      concat(col("text"), lit(" planted near duplicate suffix")).as("text")))
+      concat(col("text"), lit(" planted near duplicate suffix")).as("text"))))
     val toks = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
-    val grams3 = corpus.select(col("doc_id"), toks.as("t"))
+    val tokd = corpus.select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 3)
+    // hset: the doc's gram set as sorted distinct 64-bit hashes — the
+    // representation every downstream stage runs on. The hash is the
+    // MULTI-ARG xxhash64 over the token triple, so no gram string is
+    // ever concatenated, dedup'd, or sorted here (string-array
+    // construction was 15 CPU-s of the build; all-long in-row ops are
+    // ~6). The distinct is a no-op under the injectivity certificate
+    // but keeps hset a true SET even on certificate failure.
+    //
+    // EAGER stage boundary, not a lazy persist: the table feeds the
+    // rarity count, the prefix build, and BOTH verify broadcasts.
+    // Broadcast subtrees build on concurrent driver threads, so a lazy
+    // cache lets all of them race past the unpopulated cache and each
+    // re-run the full build (measured: 52 CPU-s of a 78 CPU-s query
+    // were duplicate gram builds; eager: built once).
+    val hsets = tokd
       .select(col("doc_id"), array_sort(array_distinct(
         transform(sequence(lit(1), size(col("t")) - 2), i =>
-          concat_ws(" ", element_at(col("t"), i),
-            element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
-        .as("grams"))
-      .persist() // feeds rank build, prefix build, and BOTH verify sides
-    // global rarity ORDER (document frequency asc, gram asc) — the
-    // prefix rule needs a consistent total order, NOT dense ranks, so
-    // no global row_number window ever materializes: the per-doc
-    // window sorts by (df, g) directly
-    val dfreq = grams3.select(explode(col("grams")).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("df"))
+          xxhash64(element_at(col("t"), i), element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))))
+        .as("hset"))
+      .pipe(ScaleOps.stageCheckpoint)
+    // global rarity ORDER (occurrence count asc, hash asc) — the prefix
+    // rule needs any consistent total order, NOT dense ranks, so no
+    // global row_number window ever materializes: the per-doc window
+    // sorts by (df, gh) directly. The SAME aggregate doubles as the
+    // injectivity certificate: the gram STRING is built here, once, in
+    // a streaming explode (never stored in an array), and nd counts
+    // distinct strings per hash — max(nd) = 1 PROVES hash-set Jaccard
+    // ≡ string-set Jaccard on this corpus (token text is space-free,
+    // so the space-joined string is injective in the triple, and the
+    // multi-arg hash below groups exactly by triple).
+    val dfreq = tokd
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("t")) - 2), i =>
+          struct(xxhash64(element_at(col("t"), i), element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)).as("gh"),
+            concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2))
+              .as("g")))).as(Seq("pos", "e")))
+      .groupBy(col("e.gh").as("gh"))
+      .agg(count(lit(1)).as("df"), countDistinct(col("e.g")).as("nd"))
+      .pipe(ScaleOps.stageCheckpoint) // feeds cert probe + prefix broadcast
+    // the certificate probe: one aggregate over the O(vocab) rarity
+    // table (28k rows at sf0.1) — NOT a data-sized collect
+    val injective =
+      dfreq.agg(max(col("nd"))).head().getLong(0) <= 1L
     // prefix grams: the |s| − ceil(t·|s|) + 1 rarest grams of each doc
-    val wDoc = Window.partitionBy("doc_id").orderBy("df", "g")
-    val prefix = grams3
-      .select(col("doc_id"), size(col("grams")).as("sz"),
-        explode(col("grams")).as("g"))
-      .join(broadcast(dfreq), "g") // O(vocab) rows — ships once per executor
+    val wDoc = Window.partitionBy("doc_id").orderBy("df", "gh")
+    val prefix = hsets
+      .select(col("doc_id"), size(col("hset")).as("sz"),
+        explode(col("hset")).as("gh"))
+      .join(broadcast(dfreq.select("gh", "df")), "gh") // O(vocab) — ships once
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-      // the candidate join needs only EQUALITY of grams, so it runs on
-      // the 8-byte hash, not the ~25-char string (shuffle width + key
-      // compare cost). A hash collision can only ADD a candidate pair,
-      // which the exact verify below kills — the result set is
-      // collision-proof.
-      .select(col("doc_id"), col("sz"), col("rn"), xxhash64(col("g")).as("gh"))
+      .select(col("doc_id"), col("sz"), col("rn"), col("gh"))
+      // eager too: both sides of the candidate self-join read this —
+      // tiny (4 numeric cols × prefix rows), rebuilt twice otherwise
+      .pipe(ScaleOps.stageCheckpoint)
     // candidates: shared prefix gram + PPJoin's two cheap filters —
     //  size:       J ≥ t ⟹ t·|a| ≤ |b| ≤ |a|/t
     //  positional: a match at prefix positions (rna, rnb) bounds the
@@ -234,21 +284,62 @@ object Extended4 {
         lit(1) + least(col("sza") - col("rna"), col("szb") - col("rnb"))
           >= alpha)
       .select("a_id", "b_id").distinct()
+      // re-spread AND materialize: candidate rows are tiny (16 B) so AQE
+      // coalesces the distinct to ~2 partitions, serializing the
+      // expensive two-pointer verify below onto 2 cores (measured
+      // 16.9 CPU-s on 2 tasks). A bare repartition on the distinct keys
+      // is removed as redundant by the optimizer, so the eager stage
+      // boundary is what actually pins the 32-way spread — partition
+      // count must follow the VERIFY's cost, not the rows' size.
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("a_id"), col("b_id"))
+      .pipe(ScaleOps.stageCheckpoint)
     // verify against BROADCAST gram sets: the gram table is O(corpus)
     // rows but each candidate pair would otherwise drag both arrays
     // through a shuffle (measured 2×~2.4 GB at sf0.1 — the whole cost
     // of the query). Corpus-side arrays broadcast once per executor
-    // instead. At 100 TB: hash grams to longs (q42's trick) and
-    // bucket both sides by doc_id so the verify join co-locates.
-    cand
-      .join(broadcast(grams3
-        .select(col("doc_id").as("a_id"), col("grams").as("ga"))), "a_id")
-      .join(broadcast(grams3
-        .select(col("doc_id").as("b_id"), col("grams").as("gb"))), "b_id")
-      .select(col("a_id"), col("b_id"),
-        jaccardSortedAbort(t)(col("ga"), col("gb")).as("j0"))
+    // instead; both joins broadcast the IDENTICAL subtree (the rename
+    // happens AFTER each join, outside the exchange) so ReuseExchange
+    // serializes it once. Certified-injective (always, in practice):
+    // the native codegen'd jaccard_sorted over the 8-B hash arrays —
+    // replacing the string-array UDF cut the verify from 89 CPU-s to
+    // ~2 (no per-pair UnsafeArray→Seq[String] materialization) and the
+    // broadcast from ~0.9 GB of strings to ~0.5 GB of longs.
+    val verified =
+      if (injective) {
+        cand
+          .join(broadcast(hsets), col("a_id") === col("doc_id"))
+          .withColumnRenamed("hset", "ha").drop("doc_id")
+          .join(broadcast(hsets), col("b_id") === col("doc_id"))
+          .withColumnRenamed("hset", "hb").drop("doc_id")
+          .select(col("a_id"), col("b_id"),
+            graft.functions.JaccardSorted.jaccardSorted(col("ha"), col("hb"))
+              .as("j0"))
+      } else {
+        // certificate failed (a real xxhash64 collision in the corpus
+        // vocabulary): exact STRING verify — gram-string sets are built
+        // here, in the only world that ever reads them
+        val gsets = tokd.select(col("doc_id"), array_sort(array_distinct(
+          transform(sequence(lit(1), size(col("t")) - 2), i =>
+            concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
+          .as("grams")).pipe(ScaleOps.stageCheckpoint)
+        cand
+          .join(broadcast(gsets), col("a_id") === col("doc_id"))
+          .withColumnRenamed("grams", "ga").drop("doc_id")
+          .join(broadcast(gsets), col("b_id") === col("doc_id"))
+          .withColumnRenamed("grams", "gb").drop("doc_id")
+          .select(col("a_id"), col("b_id"),
+            jaccardSortedAbort(t)(col("ga"), col("gb")).as("j0"))
+      }
+    verified
       .filter(col("j0") >= t)
       .select(col("a_id"), col("b_id"), round(col("j0"), 6).as("jaccard"))
+      // the closing orderBy range-partitions, and RangePartitioner's
+      // sampling job EVALUATES the child — without a boundary here the
+      // whole verify subtree runs twice (once to sample, once to
+      // shuffle). The surviving pairs are a few thousand rows.
+      .pipe(ScaleOps.stageCheckpoint)
       .orderBy("a_id", "b_id")
   }
 
