@@ -343,7 +343,103 @@ object Extended4 {
       .orderBy("a_id", "b_id")
   }
 
+  // ---------------------------------------------------------------- q126
+  /** q126 — per-source document cap ("domain capping", the web-corpus
+    * curation op): keep the k=10 documents per source with the smallest
+    * md5(doc_id) — a deterministic, engine-reproducible "random" draw
+    * (q72's portability rationale).
+    *
+    * NOT a window: a hot domain (at 100 TB one source can be 10⁹ docs)
+    * would serialize through its partition's sort. [[TopKAgg]] keeps
+    * the cap map-side — every task crosses the wire with ≤ k rows PER
+    * SOURCE regardless of source size, and the final merge is O(k·
+    * sources). The rank key is the first 12 hex digits of the md5 as
+    * an exact 48-bit numeric (lexicographic ≡ numeric for fixed-width
+    * lowercase hex, so the DuckDB oracle orders by the same prefix
+    * string; doc_id breaks the ~2⁻⁴⁸ prefix ties identically). */
+  def q126SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val topk = new graft.ops.TopKAgg(k).toColumn
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        // negated: TopKAgg keeps LARGEST ord, the cap wants smallest hash
+        -conv(substring(
+            md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+          .cast("double").as("ord"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => TopKEntry(r._3, r._2))
+      .agg(topk.name("top"))
+      .toDF("source", "top")
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e.id").as("doc_id"))
+      .orderBy("source", "rnk")
+  }
+
+  // ---------------------------------------------------------------- q127
+  /** q127 — vocabulary-coverage quality score: the fraction of each
+    * document's tokens outside the corpus' top-50 vocabulary (count
+    * desc, token asc — a deterministic total order, so the boundary
+    * tie is engine-stable). High OOV rate ⇒ noise/junk in a curation
+    * gate. All counts are exact integers; the single division is one
+    * IEEE op rounded to 6 places on both engines. Scale: tokens
+    * shuffle once to count the vocab (partial agg does the heavy
+    * lifting), the 50-row vocab broadcasts, and the per-doc score is
+    * one more partial+final aggregate — no window, no array state. */
+  def q127OovScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"), x => x =!= ""))
+          .as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(50)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q128
+  /** q128 — inter-document duplicate n-gram fraction (the Gopher-style
+    * corpus-redundancy metric): per document, the share of its DISTINCT
+    * word 3-grams that also occur in at least one other document.
+    * Counts are exact integers over gram STRINGS (the sf oracle is a
+    * direct DuckDB mirror); at 100 TB this runs on hashed grams under
+    * q125's injectivity certificate, with the same plan shape. Scale:
+    * grams explode once (streaming — never held as arrays), the
+    * doc-frequency aggregate is partial+final on the gram key, and the
+    * per-doc roll-up shuffles (doc_id, flag) pairs only. */
+  def q128DupGramRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+    val grams = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("t")) - 2), i =>
+          concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
+        .as("g"))
+    // per-doc-distinct explode ⇒ count(g) == number of docs carrying g
+    val docFreq = grams.groupBy("g").agg(count(lit(1)).as("ndocs"))
+    grams.join(broadcast(docFreq), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_source_cap" -> (q126SourceCap _),
+    "q127_oov_score" -> (q127OovScore _),
+    "q128_dup_gram_rate" -> (q128DupGramRate _),
     "q121_mad_outliers" -> (q121MadOutliers _),
     "q122_pps_sample" -> (q122PpsSample _),
     "q123_regr_trend" -> (q123RegrTrend _),
@@ -351,6 +447,48 @@ object Extended4 {
     "q125_set_sim_join" -> (q125SetSimJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q126_source_cap" ->
+      """SELECT source, rnk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+        |                    doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
+    "q127_oov_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM toks GROUP BY tok
+        |  ORDER BY count(*) DESC, tok LIMIT 50)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v USING (tok)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q128_dup_gram_rate" ->
+      """WITH gr AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |  FROM (
+        |    SELECT doc_id,
+        |           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '') AS t
+        |    FROM documents)
+        |  WHERE len(t) >= 3),
+        |df AS (SELECT g, count(*) AS ndocs FROM gr GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS dup_rate
+        |FROM gr JOIN df USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q121_mad_outliers" ->
       """WITH li AS (
         |  SELECT p_brand, l_orderkey, l_linenumber, l_extendedprice

@@ -50,4 +50,56 @@ class Extended4Spec extends AnyFunSuite {
       assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
     }
   }
+
+  test("q126: map-side TopKAgg cap equals the window row_number formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the window version is the obvious-but-skew-fragile formulation;
+    // the aggregator must agree with it EXACTLY (same hash order, same
+    // doc_id tiebreak) while never sorting a whole source partition
+    val w = Window.partitionBy("source")
+      .orderBy(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 12), col("doc_id"))
+    val expect = Tables.documents(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("source", "rnk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Extended4.q126SourceCap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty)
+    // the cap is a cap
+    got.groupBy(_._1).foreach { case (_, rows) => assert(rows.size <= 10) }
+  }
+
+  test("q127: OOV counts are consistent and the vocab actually covers tokens") {
+    val rows = Extended4.q127OovScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, oov, rate) =>
+      assert(oov >= 0 && oov <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the synthetic corpus draws from a small shared vocabulary, so the
+    // top-50 list must cover most tokens of most documents — a
+    // regression where the vocab join silently misses (e.g. a
+    // tokenization mismatch between the vocab and scoring passes) would
+    // push every rate to 1.0
+    val meanRate = rows.map(_._4).sum / rows.length
+    assert(meanRate < 0.5, s"mean OOV rate $meanRate — vocab join broken?")
+  }
+
+  test("q128: duplicate-gram counts bounded; shared-vocab corpus has dups") {
+    val rows = Extended4.q128DupGramRate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, dup, rate) =>
+      assert(n >= 1 && dup >= 0 && dup <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // 3-grams over a ~40-word vocabulary collide across documents with
+    // near-certainty at any sf — zero duplicate grams corpus-wide means
+    // the doc-frequency join matched nothing
+    assert(rows.map(_._3).sum > 0, "no inter-document duplicate grams found")
+  }
 }
