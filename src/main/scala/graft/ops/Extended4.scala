@@ -448,7 +448,30 @@ object Extended4 {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q129
+  /** q129 — deterministic epoch shuffle: the "global shuffle before
+    * training" step. Every document gets a pseudo-random but
+    * engine-reproducible position — shard = first md5 hex char (16
+    * shards), in-shard order by (md5, doc_id) — so any two runs (or
+    * engines) materialize the IDENTICAL epoch order, resumable
+    * mid-epoch from (shard, pos). Scale: the md5 equidistributes
+    * doc_ids, so the shard windows are balanced BY CONSTRUCTION (the one
+    * window family where per-partition sort is safe at 100 TB because
+    * the hash bounds the partition, not the data's own skew); writing
+    * shard files afterwards is a partitionBy("shard") append. */
+  def q129EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_epoch_shuffle" -> (q129EpochShuffle _),
     "q126_source_cap" -> (q126SourceCap _),
     "q127_oov_score" -> (q127OovScore _),
     "q128_dup_gram_rate" -> (q128DupGramRate _),
@@ -459,6 +482,15 @@ object Extended4 {
     "q125_set_sim_join" -> (q125SetSimJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q129_epoch_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT substr(h, 1, 1) AS shard,
+        |       row_number() OVER (PARTITION BY substr(h, 1, 1)
+        |                          ORDER BY h, doc_id) AS pos,
+        |       doc_id
+        |FROM d ORDER BY shard, pos""".stripMargin,
     "q126_source_cap" ->
       """SELECT source, rnk, doc_id FROM (
         |  SELECT source, doc_id,

@@ -102,4 +102,25 @@ class Extended4Spec extends AnyFunSuite {
     // the doc-frequency join matched nothing
     assert(rows.map(_._3).sum > 0, "no inter-document duplicate grams found")
   }
+
+  test("q129: epoch shuffle is a balanced, contiguous, deterministic order") {
+    val rows = Extended4.q129EpochShuffle(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a permutation of the corpus: every doc exactly once
+    assert(rows.map(_._3).distinct.length == rows.length)
+    // positions are 1..|shard| with no gaps (resumability contract)
+    rows.groupBy(_._1).foreach { case (s, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $s has position gaps")
+    }
+    // md5 equidistributes: no shard more than 3x the mean (16 shards
+    // over >=500 docs — a skewed shard means the hash bucketing broke)
+    val sizes = rows.groupBy(_._1).map(_._2.size)
+    assert(sizes.max <= 3 * (rows.length / 16).max(1),
+      s"shard sizes $sizes not balanced")
+    // deterministic: a second run is bit-identical
+    val again = Extended4.q129EpochShuffle(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }
