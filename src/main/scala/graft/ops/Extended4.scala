@@ -437,6 +437,9 @@ object Extended4 {
           concat_ws(" ", element_at(col("t"), i),
             element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
         .as("g"))
+      // the exploded gram table feeds both the doc-frequency aggregate
+      // and the scoring probe — materialize once (q125's diamond rule)
+      .pipe(ScaleOps.stageCheckpoint)
     // per-doc-distinct explode ⇒ count(g) == number of docs carrying g
     val docFreq = grams.groupBy("g").agg(count(lit(1)).as("ndocs"))
     grams.join(broadcast(docFreq), "g")
