@@ -12,17 +12,20 @@ import scala.util.chaining._
   * update is a map-side-combined vector-sum Aggregator.
   *
   * Scale analysis (the reason for each choice):
-  *  - Assignment: centroids broadcast (k·d doubles), each vector finds
-  *    its argmin cell in one narrow pass — the corpus never shuffles.
+  *  - Assignment: centroids ride the closure (k·d doubles — the same
+  *    audit-scale payload a broadcast would carry); each vector finds
+  *    its argmin cell in one compiled in-row pass — the corpus never
+  *    shuffles and is touched exactly once per round.
   *  - Update: [[VectorSumAgg]] partially aggregates per task, so each
   *    task ships k·(d doubles + 1 count) per round, independent of row
   *    count — the same partial/final contract as any hash aggregate.
-  *  - Rounds: each iteration localCheckpoints the (tiny) centroid
-  *    table, keeping plan depth constant across iterations (the
-  *    lineage lesson measured in CorpusPipeline.epoch).
+  *  - Rounds: the k-row update result is collected (bounded by k·d,
+  *    not data) and becomes the next round's centroids AND the
+  *    convergence cost — one job per round, no per-round checkpoint,
+  *    constant plan depth by construction.
   *  - Convergence: within-cluster cost is monotone non-increasing
-  *    under Lloyd; the loop stops on relative improvement ≤ tol using
-  *    one scalar aggregate per round.
+  *    under Lloyd; the loop stops on relative improvement ≤ tol, with
+  *    the IEEE cost total summed in cid order (deterministic).
   */
 object Clustering {
 
@@ -79,42 +82,71 @@ object Clustering {
     * inconsistent with the returned ce in exactly the same way). */
   def kmeansFit(emb: DataFrame, k: Int, dim: Int, maxIters: Int = 20,
       tol: Double = 1e-6): DataFrame = {
-    var cents = emb.orderBy("id").limit(k)
-      .select((row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("id")) - 1)
-        .as("cid"), col("e").as("ce"))
-      .pipe(graft.ops.ScaleOps.stageCheckpoint)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // centroids live ON THE DRIVER between rounds: k·d doubles (the
+    // same audit-scale payload the broadcast carried) — NOT a
+    // data-sized collect. Round 3 kept them as a checkpointed
+    // DataFrame, which forced assignment to be a 16-way crossJoin
+    // expand + a groupBy(id) shuffle + a join back to recover `e`
+    // (three data-sized exchanges per round). With local centroids the
+    // assignment is one compiled in-row argmin — the corpus is
+    // touched ONCE per round, by the k-row update aggregate.
+    var cents: Array[(Long, Array[Double])] =
+      emb.orderBy("id").limit(k).select("e").collect()
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
     val vsum = udaf(new VectorSumAgg(dim))
     var prevCost = Double.MaxValue
     var i = 0
-    var done = false
+    var done = cents.isEmpty
     while (i < maxIters && !done) {
-      // ONE blocking job per round: the update aggregate ALSO carries
-      // the per-cell cost sum, so the convergence probe reads the
-      // (checkpointed, k-row) update result instead of running its own
-      // pass over the assignment — round 3 paid 2 jobs/round (assignment
-      // checkpoint + cost action); the assignment now stays lazy and
-      // evaluates exactly once, inside the update
-      val a = assign(emb, cents)
-      val upd = emb.join(a, "id")
-        .groupBy("cid").agg(vsum(col("e")).as("sn"), sum("d2").as("cellCost"))
-        .pipe(graft.ops.ScaleOps.stageCheckpoint)
-      // empty input ⟺ zero update rows (k > rows exhausted, or no
-      // vectors) — return the current centroids instead of NPEing
-      val costRow = upd.agg(sum("cellCost")).head()
-      if (costRow.isNullAt(0)) {
-        done = true
-      } else {
-      val cost = costRow.getDouble(0)
-      cents = upd.select(col("cid"),
-        transform(col("sn.s"), x => x / col("sn.n")).as("ce"))
-      done = prevCost != Double.MaxValue &&
-        (prevCost - cost) <= tol * math.max(prevCost, 1e-12)
-      prevCost = cost
+      // in-row nearest cell: same metric (ascending-index IEEE sum)
+      // and same tie rule (lower cid) as [[assign]] — ClusteringSpec
+      // pins the agreement
+      val local = cents
+      val assignUdf = udf { (e: Seq[Double]) =>
+        var bc = local(0)._1; var bd = Double.MaxValue
+        var c = 0
+        while (c < local.length) {
+          val ce = local(c)._2
+          var d = 0.0
+          var j = 0
+          val n = math.min(ce.length, e.length)
+          while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
+          if (d < bd) { bd = d; bc = local(c)._1 }
+          c += 1
+        }
+        (bc, bd)
+      }
+      // ONE job per round, and its k-row result IS the next centroid
+      // set and the convergence cost — no per-round checkpoint, no
+      // second action
+      val upd = emb
+        .select(col("e"), assignUdf(col("e")).as("a"))
+        .groupBy(col("a._1").as("cid"))
+        .agg(vsum(col("e")).as("sn"), sum(col("a._2")).as("cellCost"))
+        .select(col("cid"), col("sn.s").as("s"), col("sn.n").as("n"),
+          col("cellCost"))
+        .as[(Long, Seq[Double], Long, Double)]
+        .collect()
+      if (upd.isEmpty) done = true
+      else {
+        // cid-ordered sum: collect order is nondeterministic and this
+        // IEEE total feeds the convergence comparison
+        val byCid = upd.sortBy(_._1)
+        val cost = byCid.map(_._4).sum
+        cents = byCid
+          .map { case (cid, s, n, _) => (cid, s.map(_ / n).toArray) }
+        done = prevCost != Double.MaxValue &&
+          (prevCost - cost) <= tol * math.max(prevCost, 1e-12)
+        prevCost = cost
       }
       i += 1
     }
-    cents.join(assign(emb, cents).groupBy("cid")
+    val centsDf = cents.toSeq.map { case (cid, ce) => (cid, ce.toSeq) }
+      .toDF("cid", "ce")
+    centsDf.join(assign(emb, centsDf).groupBy("cid")
       .agg(count(lit(1)).as("n")), Seq("cid"), "left")
       .select(col("cid"), col("ce"), coalesce(col("n"), lit(0L)).as("n"))
       .orderBy("cid")
