@@ -51,10 +51,12 @@ class MinHashAgg(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   *    ≥1 band w.p. ≈0.9997, while merely-similar cone-mates fail every
   *    32-bit band — candidates stay O(n·bands), not bucket_size².
   *
-  * q25/q38/q39 have no DuckDB oracle (sketches aren't SQL-portable);
-  * SimilaritySpec carries correctness via planted duplicates and a
-  * brute-force recall floor. q26 is oracle-checked exactly (rounded to 6
-  * decimals on both sides).
+  * q25/q42 declare the PORTABLE md5 MinHash instance and are
+  * oracle-checked bit-exactly (candidates, estimate, and exact Jaccard
+  * replicated in DuckDB SQL); q26 likewise (rounded to 6 decimals on
+  * both sides). q38/q39/q41/q45 remain rows-only (float sketches aren't
+  * SQL-portable) — SimilaritySpec carries them via planted duplicates
+  * and brute-force recall floors.
   */
 object Similarity {
 
@@ -198,6 +200,115 @@ object Similarity {
   def exactJaccard(a: Column, b: Column): Column =
     graft.functions.JaccardSorted.jaccardSorted(a, b)
 
+  // ------------------------------------------- portable (md5) sketches
+  // q25/q42 declare the ORACLE-PORTABLE MinHash instance: every step —
+  // tokenize, 3-shingle strings, per-component md5 hash family, string
+  // min, band keys — is reproducible verbatim in DuckDB SQL, so the
+  // driver's t2 hash-compare covers the near-dup path bit-exactly
+  // instead of a rows-only check. The splitmix64 fast path above stays
+  // the pipeline/default API (one compiled pass, no string shingles);
+  // the portable path pays ~2× CPU for cross-engine determinism.
+  // Hash family: component i minimizes md5(i ':' shingle) as a 32-char
+  // lowercase-hex STRING — fixed-length hex compares identically as a
+  // string in any engine, so min() needs no unsigned-integer bridging.
+  // 16 INDEPENDENT md5 draws, not a linear (Kirsch–Mitzenmacher) combo:
+  // see the hashFamily note below for the measured LSH-collapse
+  // pathology a linear family causes on low-entropy corpora.
+
+  /** Word-3-shingle STRINGS via engine-portable ops only. Tokenization
+    * is the proven portable pairing (split(lower, "[^a-z]+") + filter
+    * empty ≡ DuckDB regexp split + list_filter); docs with < 3 tokens
+    * yield one space-joined composite shingle on both engines. */
+  private def portableShingles(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .otherwise(array(array_join(col("t"), " "))).as("sh"))
+
+  /** (doc_id, sig, hset): the K-component portable MinHash signature
+    * (array of 32-hex-char component mins) and the sorted distinct
+    * md5-shingle set (exact-Jaccard ground truth). One scan, one
+    * groupBy; partial aggregation reduces map-side, so the shuffle
+    * carries K hex strings + the distinct-shingle digests per doc —
+    * never the text. */
+  private[graft] def portableSigs(corpus: DataFrame): DataFrame = {
+    val ex = portableShingles(corpus)
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+    val mins = (0 until K).map(i =>
+      min(md5(concat_ws(":", lit(i), col("s")))).as(s"m$i"))
+    val aggs = mins :+ sort_array(collect_set(md5(col("s")))).as("hset")
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until K).map(i => col(s"m$i")): _*).as("sig"),
+        col("hset"))
+  }
+
+  /** Band keys over a portable signature: band b = md5 of its 4
+    * concatenated component strings (md5(m0||m1||m2||m3) in SQL). */
+  private def portableBandKeys(sig: Column): Column =
+    array((0 until 4).map(b =>
+      md5(array_join(slice(sig, b * 4 + 1, 4), ""))): _*)
+
+  /** Shared DuckDB CTE prefix for the q25/q42 oracles: planted corpus →
+    * tokens → 3-shingles → md5 MinHash components + distinct shingle-md5
+    * set → band keys → candidate pairs. Mirrors [[portableSigs]] +
+    * [[portableBandKeys]] step for step. */
+  private def portableOracleCtes: String = {
+    val minCols = (0 until K).map(i => s"min(md5('$i:' || s)) AS m$i").mkString(", ")
+    val bandCase = (0 until 4).map(b =>
+      s"WHEN $b THEN md5(${(b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || ")})")
+      .mkString(" ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         text || ' planted near duplicate suffix' AS text FROM documents),
+       |toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+       |  FROM corpus),
+       |shing AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+       |      list_transform(generate_series(1, len(t) - 2),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [array_to_string(t, ' ')] END AS sh FROM toks),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+       |sig AS (SELECT doc_id, $minCols,
+       |    list_sort(list_distinct(list(md5(s)))) AS hset FROM ex GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b.band_idx,
+       |    CASE b.band_idx $bandCase END AS band_key
+       |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_idx) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private[ops] def q25OracleSql: String = {
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$portableOracleCtes,
+       |est AS (SELECT c.a_id, c.b_id, round(($matches) / 16.0, 6) AS est_jaccard
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+       |              JOIN sig sb ON sb.doc_id = c.b_id)
+       |SELECT a_id, b_id, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  private[ops] def q42OracleSql: String =
+    s"""$portableOracleCtes,
+       |jac AS (SELECT c.a_id, c.b_id,
+       |    round(len(list_intersect(sa.hset, sb.hset)) /
+       |      (len(sa.hset) + len(sb.hset)
+       |       - len(list_intersect(sa.hset, sb.hset)))::DOUBLE, 6) AS jaccard
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+       |              JOIN sig sb ON sb.doc_id = c.b_id)
+       |SELECT a_id, b_id, jaccard FROM jac
+       |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
+
   /** K independent component hashes from the 64-bit shingle hash:
     * h_i = xxhash64(i, hb). NOT a Kirsch–Mitzenmacher linear family —
     * on a low-entropy corpus (shared vocabulary) a linear combo of two
@@ -309,8 +420,33 @@ object Similarity {
       .distinct()
   }
 
-  def q25NearDup(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairs(plantedCorpus(spark, dir)).orderBy("a_id", "b_id")
+  /** q25 — the declared MinHash+LSH instance, on the PORTABLE md5
+    * hash family so the driver's DuckDB oracle checks it bit-exactly
+    * (band-candidate generation, signature estimate, and 0.5 threshold
+    * all replicated in [[q25OracleSql]]). Same architecture as
+    * [[nearDupPairs]]: sketch once, band the signature, equi-join on
+    * scalar band keys, estimate from component agreement. */
+  def q25NearDup(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the signature table feeds both sides of the band self-join
+    val sigs = portableSigs(plantedCorpus(spark, dir))
+      .select("doc_id", "sig").persist()
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+    val a = bands.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("a_id"), col("sig").as("sig_a"))
+    val b = bands.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / K, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
 
   // ---------------------------------------------------------------- q26
   /** Cosine similarity via the native codegen'd Catalyst expression
@@ -518,24 +654,25 @@ object Similarity {
     * only on candidates. Shingle sets travel as sorted distinct hash
     * arrays (8 B per shingle, not the text). */
   def q42NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // shingle set and MinHash signature in ONE projection over the scan —
-    // round 1 ran the shingle pipeline twice (sets + signatures) and
-    // joined the results; both sketches are local to the row
-    val sigs = plantedCorpus(spark, dir)
-      .select(col("doc_id"), shingleSetUdf(col("text")).as("hset"),
-        minhashSigUdf(col("text")).as("sig")).persist()
+    // One scan computes BOTH sketches (signature for candidates, shingle
+    // set for the exact measure) in one groupBy — round 1 ran the
+    // shingle pipeline twice and joined the results. Declared on the
+    // PORTABLE md5 family, so the DuckDB oracle replicates candidates
+    // AND the exact Jaccard verify ([[q42OracleSql]]); the shingle set
+    // travels as distinct md5 digests (16 B/shingle), never the text.
+    val sigs = portableSigs(plantedCorpus(spark, dir)).persist()
     val bands = sigs.select(col("doc_id"), col("hset"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => xxhash64(b, slice(col("sig"), b * 4 + 1, lit(4)))))
-        .as(Seq("band_idx", "band_key")))
+      posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
     val a = bands.select(col("band_idx"), col("band_key"),
       col("doc_id").as("a_id"), col("hset").as("set_a"))
     val b = bands.select(col("band_idx"), col("band_key"),
       col("doc_id").as("b_id"), col("hset").as("set_b"))
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(exactJaccard(col("set_a"), col("set_b")), 6).as("jaccard"))
+        round(inter / (size(col("set_a")) + size(col("set_b")) - inter)
+          .cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .distinct()
       .orderBy("a_id", "b_id")
@@ -623,8 +760,11 @@ object Similarity {
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
     "q45_ann_ivf" -> (q45AnnIvf _))
 
-  /** q26 only — sketch-based ops (q25/q38/q39) are not SQL-portable. */
+  /** q25/q42 via the portable md5 MinHash family; q38/q39/q41/q45 stay
+    * rows-only (float sketches aren't SQL-portable), spec-pinned. */
   val oracleSql: Map[String, String] = Map(
+    "q25_near_dup" -> q25OracleSql,
+    "q42_ngram_jaccard" -> q42OracleSql,
     "q26_cosine_topk" ->
       """WITH q AS (
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS qv,
