@@ -21,7 +21,14 @@ object Bench {
     // totals across engines; first-query startup noise would dominate)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val sc = spark.sparkContext
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // snapshot BEFORE the query: anything a query persists — including
+      // localCheckpoint blocks, which catalog.clearCache() can NOT free
+      // (they are RDD storage, not SQL cache; r4's bench showed 10-16x
+      // slowdowns on untouched queries from exactly this accumulation) —
+      // is unpersisted as a delta afterwards
+      val before = sc.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       // a crashed query reports -1, never its (near-zero) elapsed time —
       // a failure must not read as "fast" in the emitted JSON
@@ -32,6 +39,9 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that persist intermediates must not tax their successors
       spark.catalog.clearCache()
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = true)
+      }
       (name, if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -45,7 +55,7 @@ object Bench {
     // sbt stdout and has truncated the (long) JSON mid-line (BENCH_r03
     // parsed: null). SPARK_GRAFT_BENCH_OUT overrides the default path.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_out.json")
+      "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -7,9 +7,15 @@ import scala.util.chaining._
 
 /** Distributed k-means (Lloyd's algorithm) over an embedding column —
   * the training half of the IVF index (q45 probes cells; this fits
-  * them). Deterministic end-to-end: init = the k lowest-id vectors,
+  * them). Deterministic init and ties: init = the k lowest-id vectors,
   * assignment ties break toward the lower cell id, and the centroid
-  * update is a map-side-combined vector-sum Aggregator.
+  * update is a map-side-combined vector-sum Aggregator. NOT claimed:
+  * bit-reproducibility across cluster layouts — partial vector sums
+  * merge in shuffle-fetch arrival order, so per-cell IEEE accumulation
+  * can differ between runs; only the driver-side convergence total is
+  * summed in a fixed (cid) order. With a fixed partitioning the result
+  * is reproducible in practice, which is what q108's rows-only check
+  * and ClusteringSpec pin.
   *
   * Scale analysis (the reason for each choice):
   *  - Assignment: centroids ride the closure (k·d doubles — the same

@@ -72,9 +72,13 @@ object Extended4 {
       .select(col("doc_id"), col("n_chars").cast("long").as("w"))
     val cum = ScaleOps.shardedCumSum(docs, "doc_id", "w", "cum_w", 16)
     // stride boundaries at s, 2s, ..., ks with s = total div k (integer);
-    // doc owns (cum_w - w, cum_w] — it is sampled once per boundary inside
+    // doc owns (cum_w - w, cum_w] — it is sampled once per boundary inside.
+    // max(1, ·) guards total < k: stride 0 would make Spark's `div 0`
+    // yield NULL (silently empty sample) while the DuckDB oracle's `// 0`
+    // raises — divergent degenerate behavior (ADVICE r4). The oracle SQL
+    // applies the same greatest(1, ·) so both engines agree on tiny input.
     val total = docs.agg(sum("w")).head().getLong(0)
-    val stride = total / k
+    val stride = math.max(1L, total / k)
     cum
       // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
       // boundary decided by a float is a boundary that drifts at scale
@@ -97,15 +101,18 @@ object Extended4 {
     val x = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
       .cast("long")
     val y = col("o_totalprice").cast("decimal(18,2)")
-    // every sum lands in decimals WIDE ENOUGH that the n·Σxy − ΣxΣy
-    // cross terms stay exact: DuckDB computes them in hugeint (128-bit)
-    // and a silent long overflow on the Spark side would diverge
+    // every sum ACCUMULATES in decimal — the cast sits INSIDE sum(), not
+    // after it: x ≈ 24000 so x² ≈ 5.7e8, and at ~1e12 rows sum(x*x) as a
+    // long silently wraps past Long.MaxValue while DuckDB accumulates in
+    // hugeint (128-bit) — a post-aggregation cast would launder the
+    // wrapped value instead of preventing the wrap (ADVICE r4)
     Tables.orders(spark, dir)
       .select(col("o_orderpriority"), x.as("x"), y.as("y"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).cast("decimal(20,0)").as("n"),
-        sum(col("x")).cast("decimal(20,0)").as("sx"),
-        sum(col("x") * col("x")).cast("decimal(30,0)").as("sxx"),
+        sum(col("x").cast("decimal(20,0)")).cast("decimal(20,0)").as("sx"),
+        sum(col("x").cast("decimal(20,0)") * col("x"))
+          .cast("decimal(30,0)").as("sxx"),
         sum(col("y")).cast("decimal(30,2)").as("sy"),
         sum(col("y") * col("x").cast("decimal(18,0)"))
           .cast("decimal(32,2)").as("sxy"))
@@ -557,7 +564,7 @@ object Extended4 {
         |         sum(CAST(n_chars AS BIGINT))
         |           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_w
         |  FROM documents),
-        |s AS (SELECT sum(CAST(n_chars AS BIGINT)) // 20 AS stride
+        |s AS (SELECT greatest(1, sum(CAST(n_chars AS BIGINT)) // 20) AS stride
         |      FROM documents)
         |SELECT doc_id, w, CAST(cum_w AS BIGINT) AS cum_w,
         |       CAST(cum_w // stride - (cum_w - w) // stride AS BIGINT) AS n_hits

@@ -23,11 +23,20 @@ object GraphOps {
     * convergence probe is probabilistic ((count, xxhash64-sum): a missed
     * change needs a 2⁻⁶⁴-scale hash-sum collision on the same edge
     * count — accepted odds); maxIters exhaustion is the loud case. */
+  /** Spec-visible mirror of the warning: slf4j output is not assertable
+    * in-suite, so GraphOpsSpec forces maxIters=1 and checks this counter
+    * moved — proving the non-convergence exit is loud, not silent. */
+  private[graft] val nonConvergenceCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def warnIfNotConverged(converged: Boolean, algo: String,
       iters: Int): Unit =
-    if (!converged) log.warn(
-      s"$algo exhausted maxIters=$iters before convergence — " +
-        "component labels may be partially merged; raise maxIters")
+    if (!converged) {
+      nonConvergenceCount.incrementAndGet()
+      log.warn(
+        s"$algo exhausted maxIters=$iters before convergence — " +
+          "component labels may be partially merged; raise maxIters")
+    }
 
   /** Minimum-label propagation to a fixpoint: every vertex repeatedly
     * takes the min label over itself and its neighbors. Converges in

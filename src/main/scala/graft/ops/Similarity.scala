@@ -237,8 +237,14 @@ object Similarity {
     * carries K hex strings + the distinct-shingle digests per doc —
     * never the text. */
   private[graft] def portableSigs(corpus: DataFrame): DataFrame = {
+    // drop null shingles: on a null-text doc Spark's concat_ws skips the
+    // null and would still emit md5("i:") component mins, while DuckDB's
+    // '$i:' || NULL is NULL and min() ignores it — filtering after the
+    // explode keeps the two engines' shingle multisets identical
+    // (ADVICE r4; such a doc then contributes no rows, on both engines)
     val ex = portableShingles(corpus)
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
     val mins = (0 until K).map(i =>
       min(md5(concat_ws(":", lit(i), col("s")))).as(s"m$i"))
     val aggs = mins :+ sort_array(collect_set(md5(col("s")))).as("hset")

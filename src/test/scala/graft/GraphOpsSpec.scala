@@ -70,6 +70,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(labels.forall(_._2 == 0L), "every chain vertex joins component 0")
   }
 
+  test("maxIters exhaustion is loud: both CC variants signal non-convergence") {
+    // a 64-vertex chain cannot converge in one round under either
+    // algorithm; the exit must move the spec-visible warning counter
+    // (mirroring the slf4j warn) instead of returning partially-merged
+    // labels silently (VERDICT r4 item 3)
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val verts = (0L until 64L).toDF("id")
+    val before = GraphOps.nonConvergenceCount.get()
+    GraphOps.connectedComponents(verts, edges, maxIters = 1).collect()
+    GraphOps.connectedComponentsStar(verts, edges, maxIters = 1).collect()
+    assert(GraphOps.nonConvergenceCount.get() == before + 2,
+      "each variant's maxIters exit must emit exactly one signal")
+  }
+
   test("star CC ≡ union-find on seeded random graphs") {
     // propagation ≡ star is separately pinned on the burst graph; here
     // the DISTRIBUTED star labeling is checked against a driver-side

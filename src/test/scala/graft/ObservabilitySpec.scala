@@ -37,4 +37,14 @@ class ObservabilitySpec extends AnyFunSuite {
     val m = obs.get
     assert(m("n") == 3L && m("n_nan") == 1L && m("n_neg") == 1L)
   }
+
+  test("empty metric map is a contract error, not a late NoSuchElement") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0)).toDF("id", "v")
+    val obs = ObservabilityOps.qualityObservation("q_empty")
+    val e = intercept[IllegalArgumentException] {
+      ObservabilityOps.withMetrics(df, obs, Map.empty)
+    }
+    assert(e.getMessage.contains("at least one metric"))
+  }
 }
