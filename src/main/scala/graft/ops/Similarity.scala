@@ -667,20 +667,31 @@ object Similarity {
     // AND the exact Jaccard verify ([[q42OracleSql]]); the shingle set
     // travels as distinct md5 digests (16 B/shingle), never the text.
     val sigs = portableSigs(plantedCorpus(spark, dir)).persist()
-    val bands = sigs.select(col("doc_id"), col("hset"),
+    // Bands carry ONLY doc_id: the hset (every distinct shingle digest,
+    // kilobytes per doc) must not ride the 4× band explode through both
+    // exchange sides — r4 did exactly that and the band join's bytes
+    // moved, not the Jaccard math, dominated (measured ~2× the whole
+    // query). Candidates collapse to distinct (a_id, b_id) id pairs
+    // FIRST; the two hsets then join in from the persisted sig table,
+    // each shipped once per surviving pair instead of 4× per band row.
+    val bands = sigs.select(col("doc_id"),
       posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
-    val a = bands.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("a_id"), col("hset").as("set_a"))
-    val b = bands.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("b_id"), col("hset").as("set_b"))
-    val inter = size(array_intersect(col("set_a"), col("set_b")))
-    a.join(b, Seq("band_idx", "band_key"))
+    val cand = bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("a_id"))
+      .join(bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("b_id")), Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("hset").as("set_a")),
+        "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("hset").as("set_b")),
+        "b_id")
       .select(col("a_id"), col("b_id"),
         round(inter / (size(col("set_a")) + size(col("set_b")) - inter)
           .cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .distinct()
       .orderBy("a_id", "b_id")
   }
 

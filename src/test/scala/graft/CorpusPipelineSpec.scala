@@ -52,8 +52,14 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
   test("q100 epoch audit: three disjoint splits, bins bounded by docs") {
     spark.catalog.clearCache()
-    val rows = CorpusPipeline.q100EpochBuild(spark, SparkTest.sfDir)
+    // epoch owns its cache lifecycle: nothing it pins (persists OR
+    // localCheckpoint blocks) may outlive the call (VERDICT r4 item 7)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val raw = CorpusPipeline.q100EpochBuild(spark, SparkTest.sfDir)
       .collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pinnedBefore,
+      "epoch build must release every RDD it persisted or checkpointed")
+    val rows = raw
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(rows.map(_._1).toSeq == Seq("test", "train", "val"))

@@ -42,6 +42,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q25 twins: fast and portable instances agree on the planted corpus") {
+    // Two declared MinHash instances over the same architecture: the
+    // splitmix64 fast path (nearDupPairs — the pipeline default) and the
+    // portable md5 path (q25 — the oracle-checkable one). Different hash
+    // families make different banding luck on borderline pairs, so the
+    // pin is the honest law, not set identity (measured at sf0.1:
+    // |sym-diff| ≈ 3% of ~5.8k pairs; MinhashTwinBench): each instance
+    // recovers ≥90% of the planted pairs, and the two pair sets overlap
+    // on ≥90% of their union.
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = base.unionByName(base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" planted near duplicate suffix")).as("text")))
+    val fast = Similarity.nearDupPairs(corpus)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val port = Similarity.q25NearDup(spark, dir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = base.count()
+    def plantedIn(s: Set[(Long, Long)]) =
+      s.count { case (a, b) => b == a + 1000000L }
+    assert(plantedIn(fast) >= (nDocs * 9) / 10,
+      s"fast instance planted recall: ${plantedIn(fast)} of $nDocs")
+    assert(plantedIn(port) >= (nDocs * 9) / 10,
+      s"portable instance planted recall: ${plantedIn(port)} of $nDocs")
+    val overlap = (fast & port).size.toDouble / (fast | port).size
+    assert(overlap >= 0.9, s"instance pair-set overlap only $overlap")
+  }
+
   test("q26: returns 10 rows, descending, cosine in [-1,1]") {
     val rows = Similarity.q26CosineTopK(spark, dir).collect()
     assert(rows.length == 10)
