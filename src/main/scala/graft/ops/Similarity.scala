@@ -247,7 +247,15 @@ object Similarity {
       .filter(col("s").isNotNull)
     val mins = (0 until K).map(i =>
       min(md5(concat_ws(":", lit(i), col("s")))).as(s"m$i"))
-    val aggs = mins :+ sort_array(collect_set(md5(col("s")))).as("hset")
+    // hset carries xxhash64 LONGS, not md5 strings: exact Jaccard only
+    // needs |A∩B| and |A∪B|, which any injective image preserves — the
+    // oracle's md5-set Jaccard and this long-set Jaccard are the same
+    // number (collision odds ~Σ|A||B|/2⁶⁴ across candidates; the q125
+    // certificate argument). 8 B/shingle instead of a 32-char string
+    // cuts the aggregate build and the verify-side bytes ~4× — the hset
+    // build was q42's single largest cost, and column pruning means
+    // q25 never pays it at all.
+    val aggs = mins :+ sort_array(collect_set(xxhash64(col("s")))).as("hset")
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until K).map(i => col(s"m$i")): _*).as("sig"),
@@ -682,15 +690,14 @@ object Similarity {
         col("doc_id").as("b_id")), Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val inter = size(array_intersect(col("set_a"), col("set_b")))
     cand
       .join(sigs.select(col("doc_id").as("a_id"), col("hset").as("set_a")),
         "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("hset").as("set_b")),
         "b_id")
       .select(col("a_id"), col("b_id"),
-        round(inter / (size(col("set_a")) + size(col("set_b")) - inter)
-          .cast("double"), 6).as("jaccard"))
+        round(graft.functions.JaccardSorted.jaccardSorted(
+          col("set_a"), col("set_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("a_id", "b_id")
   }
