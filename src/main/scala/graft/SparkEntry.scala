@@ -27,7 +27,8 @@ object SparkEntry {
       pipeline.CorpusPipeline.queries ++ ops.Extended.queries ++
       ops.Extended2.queries ++ ops.Extended3.queries ++
       ops.GraphOps.queries ++ ops.Clustering.queries ++
-      ops.TpchExtra.queries ++ ops.Extended4.queries
+      ops.TpchExtra.queries ++ ops.Extended4.queries ++
+      ops.Extended5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       pipeline.CorpusPipeline.oracleSql ++ ops.Extended.oracleSql ++
       ops.Extended2.oracleSql ++ ops.Extended3.oracleSql ++
       ops.GraphOps.oracleSql ++ ops.Clustering.oracleSql ++
-      ops.TpchExtra.oracleSql ++ ops.Extended4.oracleSql
+      ops.TpchExtra.oracleSql ++ ops.Extended4.oracleSql ++
+      ops.Extended5.oracleSql
 }
