@@ -38,6 +38,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "lag window runs on the per-year AGGREGATE (~7 rows), not orders",
     "q122_pps_sample" ->
       "shardedCumSum offset window is O(nShards) rows, not O(docs)",
+    "q145_curriculum_stages" ->
+      ("prefix-offset window runs on the DISTINCT token-length table " +
+        "(stats-sized), not docs — the global rank itself is per-length " +
+        "rank + broadcast offset"),
     "q83_pareto_cut" ->
       ("cumsum over the per-customer rollup, O(customers) not O(orders); " +
         "shard by rev range when customers outgrow a reducer"))
