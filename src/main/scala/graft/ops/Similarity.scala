@@ -230,37 +230,65 @@ object Similarity {
               element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
           .otherwise(array(array_join(col("t"), " "))).as("sh"))
 
-  /** (doc_id, sig, hset): the K-component portable MinHash signature
-    * (array of 32-hex-char component mins) and the sorted distinct
-    * md5-shingle set (exact-Jaccard ground truth). One scan, one
-    * groupBy; partial aggregation reduces map-side, so the shuffle
-    * carries K hex strings + the distinct-shingle digests per doc —
-    * never the text. */
-  private[graft] def portableSigs(corpus: DataFrame): DataFrame = {
-    // drop null shingles: on a null-text doc Spark's concat_ws skips the
-    // null and would still emit md5("i:") component mins, while DuckDB's
-    // '$i:' || NULL is NULL and min() ignores it — filtering after the
-    // explode keeps the two engines' shingle multisets identical
-    // (ADVICE r4; such a doc then contributes no rows, on both engines)
-    val ex = portableShingles(corpus)
+  /** (doc_id, s) exploded shingle-string rows — the shared front end of
+    * the portable sketches. Drops null shingles: on a null-text doc
+    * Spark's concat_ws skips the null and would still emit md5("i:")
+    * component mins, while DuckDB's '$i:' || NULL is NULL and min()
+    * ignores it — filtering after the explode keeps the two engines'
+    * shingle multisets identical (ADVICE r4; such a doc then
+    * contributes no rows, on both engines). */
+  private def portableShingleRows(corpus: DataFrame): DataFrame =
+    portableShingles(corpus)
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-    val mins = (0 until K).map(i =>
-      min(md5(concat_ws(":", lit(i), col("s")))).as(s"m$i"))
-    // hset carries xxhash64 LONGS, not md5 strings: exact Jaccard only
-    // needs |A∩B| and |A∪B|, which any injective image preserves — the
-    // oracle's md5-set Jaccard and this long-set Jaccard are the same
-    // number (collision odds ~Σ|A||B|/2⁶⁴ across candidates; the q125
-    // certificate argument). 8 B/shingle instead of a 32-char string
-    // cuts the aggregate build and the verify-side bytes ~4× — the hset
-    // build was q42's single largest cost, and column pruning means
-    // q25 never pays it at all.
-    val aggs = mins :+ sort_array(collect_set(xxhash64(col("s")))).as("hset")
-    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+
+  /** (doc_id, sig): the K-component portable MinHash signature (array
+    * of 32-hex-char component mins). One scan, one groupBy of PURE
+    * declarative min aggregates — whole-stage-codegen HashAggregate
+    * with map-side partials; the shuffle carries K hex strings per
+    * doc, never the text. The exact-Jaccard shingle sets are NOT
+    * built here: mixing a collect_set into this aggregate demotes the
+    * whole groupBy to ObjectHashAggregate, which falls back to
+    * SORT-BASED aggregation past 128 in-memory groups
+    * (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) —
+    * measured as q42's dominant cost when every doc paid it. Sets are
+    * fetched per-candidate via [[portableHsets]] instead. */
+  private[graft] def portableSigs(corpus: DataFrame): DataFrame = {
+    val ex = portableShingleRows(corpus)
+    // 16 components from FOUR md5 calls: component (j,w) minimizes the
+    // w-th 8-hex-char word of md5(j ':' shingle). Each word is an
+    // independent uniform per shingle, so every component is a valid
+    // minhash draw and components stay mutually independent (this is
+    // word-slicing one strong hash, NOT a Kirsch–Mitzenmacher linear
+    // combo — see hashFamily for the pathology that rules out). The
+    // md5s are materialized in a projection BEFORE the aggregate so
+    // each is computed once per shingle row (measured: the 16-md5
+    // variant did 4× the hash arithmetic and dominated q25/q42).
+    val withH = ex.select((col("doc_id") +:
+      (0 until 4).map(j =>
+        md5(concat_ws(":", lit(j), col("s"))).as(s"h$j"))): _*)
+    val comps = for { j <- 0 until 4; w <- 0 until 4 } yield
+      min(substring(col(s"h$j"), w * 8 + 1, 8)).as(s"m${j * 4 + w}")
+    withH.groupBy("doc_id").agg(comps.head, comps.tail: _*)
       .select(col("doc_id"),
-        array((0 until K).map(i => col(s"m$i")): _*).as("sig"),
-        col("hset"))
+        array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
   }
+
+  /** (doc_id, hset): sorted distinct shingle-hash sets — the
+    * exact-Jaccard ground truth, computed ONLY for the docs in
+    * `corpus` (callers semi-join the corpus down to candidate ids
+    * first, so the imperative collect_set aggregate runs on the
+    * candidate subset, not the whole corpus). hset carries xxhash64
+    * LONGS, not md5 strings: exact Jaccard only needs |A∩B| and
+    * |A∪B|, which any injective image preserves — the oracle's
+    * md5-set Jaccard and this long-set Jaccard are the same number
+    * (collision odds ~Σ|A||B|/2⁶⁴ across candidates; the q125
+    * certificate argument). 8 B/shingle instead of a 32-char string
+    * cuts the aggregate and join bytes ~4×. */
+  private[graft] def portableHsets(corpus: DataFrame): DataFrame =
+    portableShingleRows(corpus)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("s")))).as("hset"))
 
   /** Band keys over a portable signature: band b = md5 of its 4
     * concatenated component strings (md5(m0||m1||m2||m3) in SQL). */
@@ -273,7 +301,11 @@ object Similarity {
     * set → band keys → candidate pairs. Mirrors [[portableSigs]] +
     * [[portableBandKeys]] step for step. */
   private def portableOracleCtes: String = {
-    val minCols = (0 until K).map(i => s"min(md5('$i:' || s)) AS m$i").mkString(", ")
+    // mirrors portableSigs' word-sliced family: component (j,w) =
+    // min over shingles of substr(md5(j ':' s), w*8+1, 8)
+    val minCols = (for { j <- 0 until 4; w <- 0 until 4 } yield
+      s"min(substr(md5('$j:' || s), ${w * 8 + 1}, 8)) AS m${j * 4 + w}")
+      .mkString(", ")
     val bandCase = (0 until 4).map(b =>
       s"WHEN $b THEN md5(${(b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || ")})")
       .mkString(" ")
@@ -442,8 +474,7 @@ object Similarity {
     * scalar band keys, estimate from component agreement. */
   def q25NearDup(spark: SparkSession, dir: String): DataFrame = {
     // persist: the signature table feeds both sides of the band self-join
-    val sigs = portableSigs(plantedCorpus(spark, dir))
-      .select("doc_id", "sig").persist()
+    val sigs = portableSigs(plantedCorpus(spark, dir)).persist()
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
     val a = bands.select(col("band_idx"), col("band_key"),
@@ -668,20 +699,18 @@ object Similarity {
     * only on candidates. Shingle sets travel as sorted distinct hash
     * arrays (8 B per shingle, not the text). */
   def q42NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // One scan computes BOTH sketches (signature for candidates, shingle
-    // set for the exact measure) in one groupBy — round 1 ran the
-    // shingle pipeline twice and joined the results. Declared on the
-    // PORTABLE md5 family, so the DuckDB oracle replicates candidates
-    // AND the exact Jaccard verify ([[q42OracleSql]]); the shingle set
-    // travels as distinct md5 digests (16 B/shingle), never the text.
-    val sigs = portableSigs(plantedCorpus(spark, dir)).persist()
+    // Declared on the PORTABLE md5 family, so the DuckDB oracle
+    // replicates candidates AND the exact Jaccard verify
+    // ([[q42OracleSql]]); shingle sets travel as 64-bit hashes, never
+    // the text.
+    val corpus = plantedCorpus(spark, dir)
+    val sigs = portableSigs(corpus).persist()
     // Bands carry ONLY doc_id: the hset (every distinct shingle digest,
     // kilobytes per doc) must not ride the 4× band explode through both
     // exchange sides — r4 did exactly that and the band join's bytes
     // moved, not the Jaccard math, dominated (measured ~2× the whole
     // query). Candidates collapse to distinct (a_id, b_id) id pairs
-    // FIRST; the two hsets then join in from the persisted sig table,
-    // each shipped once per surviving pair instead of 4× per band row.
+    // FIRST.
     val bands = sigs.select(col("doc_id"),
       posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
     val cand = bands.select(col("band_idx"), col("band_key"),
@@ -690,10 +719,23 @@ object Similarity {
         col("doc_id").as("b_id")), Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+      .persist()
+    // Exact-verify sets are built ONLY for docs that survived into a
+    // candidate pair: semi-join the corpus down to candidate ids, then
+    // run the (imperative, sort-fallback-prone) collect_set aggregate
+    // on that small subset — the all-docs version dominated q42
+    // (measured ~7 s of its 9.4 s at sf0.1; candidates are ~10² docs
+    // where the corpus is 10⁴). Same shape the PPJoin verify (q125)
+    // uses. At 100 TB the candidate set is the LSH-pruned output —
+    // orders of magnitude under the corpus by design.
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val hsets = portableHsets(
+      corpus.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
     cand
-      .join(sigs.select(col("doc_id").as("a_id"), col("hset").as("set_a")),
+      .join(hsets.select(col("doc_id").as("a_id"), col("hset").as("set_a")),
         "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("hset").as("set_b")),
+      .join(hsets.select(col("doc_id").as("b_id"), col("hset").as("set_b")),
         "b_id")
       .select(col("a_id"), col("b_id"),
         round(graft.functions.JaccardSorted.jaccardSorted(
