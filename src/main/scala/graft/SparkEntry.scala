@@ -28,7 +28,8 @@ object SparkEntry {
       ops.Extended2.queries ++ ops.Extended3.queries ++
       ops.GraphOps.queries ++ ops.Clustering.queries ++
       ops.TpchExtra.queries ++ ops.Extended4.queries ++
-      ops.Extended5.queries ++ ops.Extended6.queries
+      ops.Extended5.queries ++ ops.Extended6.queries ++
+      ops.Extended7.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       ops.Extended2.oracleSql ++ ops.Extended3.oracleSql ++
       ops.GraphOps.oracleSql ++ ops.Clustering.oracleSql ++
       ops.TpchExtra.oracleSql ++ ops.Extended4.oracleSql ++
-      ops.Extended5.oracleSql ++ ops.Extended6.oracleSql
+      ops.Extended5.oracleSql ++ ops.Extended6.oracleSql ++
+      ops.Extended7.oracleSql
 }

@@ -38,6 +38,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "lag window runs on the per-year AGGREGATE (~7 rows), not orders",
     "q122_pps_sample" ->
       "shardedCumSum offset window is O(nShards) rows, not O(docs)",
+    "q148_vocab_growth" ->
+      ("cumulative window runs on the 50-doc BLOCK table (docs/50 rows, " +
+        "stats-sized); first-seen is a plain aggregate, never windowed"),
     "q145_curriculum_stages" ->
       ("prefix-offset window runs on the DISTINCT token-length table " +
         "(stats-sized), not docs — the global rank itself is per-length " +
