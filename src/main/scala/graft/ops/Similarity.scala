@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import scala.util.chaining._
@@ -744,6 +744,65 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  // ---------------------------------------------------------------- q153
+  /** q153 — INCREMENTAL near-dedup: a new ingestion batch LSH-joined
+    * against the EXISTING corpus — the production shape (a live
+    * pipeline almost never self-joins the whole corpus; it checks the
+    * day's batch against the signature store). New docs = the planted
+    * copies (doc_id ≥ 10⁶), existing = the originals; each new doc
+    * reports its best existing match (max estimate, min doc_id tie).
+    * Scale: the band join is new×existing only — bytes moved follow
+    * the BATCH size, not the corpus (the existing side's signature
+    * store is written once and re-read; here both derive from one
+    * [[portableSigs]] pass for the oracle's benefit). The per-new-doc
+    * best-match window partitions on the new doc id. */
+  def q153IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = portableSigs(plantedCorpus(spark, dir)).persist()
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+    val newSide = bands.filter(col("doc_id") >= 1000000L)
+      .select(col("band_idx"), col("band_key"),
+        col("doc_id").as("new_id"), col("sig").as("sig_n"))
+    val oldSide = bands.filter(col("doc_id") < 1000000L)
+      .select(col("band_idx"), col("band_key"),
+        col("doc_id").as("old_id"), col("sig").as("sig_o"))
+    val w = Window.partitionBy("new_id")
+      .orderBy(col("est_jaccard").desc, col("old_id"))
+    newSide.join(oldSide, Seq("band_idx", "band_key"))
+      .select(col("new_id"), col("old_id"),
+        round(aggregate(
+          zip_with(col("sig_n"), col("sig_o"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / K, 6)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("new_id"), col("old_id").as("dup_of"), col("est_jaccard"))
+      .orderBy("new_id")
+  }
+
+  private[ops] def q153OracleSql: String = {
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$portableOracleCtes,
+       |inc AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
+       |    round(($matches) / 16.0, 6) AS est_jaccard
+       |  FROM bands n
+       |  JOIN bands o ON n.band_idx = o.band_idx
+       |              AND n.band_key = o.band_key
+       |              AND n.doc_id >= 1000000 AND o.doc_id < 1000000
+       |  JOIN sig sa ON sa.doc_id = n.doc_id
+       |  JOIN sig sb ON sb.doc_id = o.doc_id),
+       |best AS (SELECT new_id, old_id AS dup_of, est_jaccard,
+       |    row_number() OVER (PARTITION BY new_id
+       |      ORDER BY est_jaccard DESC, old_id) AS rnk
+       |  FROM inc WHERE est_jaccard >= 0.5)
+       |SELECT new_id, dup_of, est_jaccard FROM best
+       |WHERE rnk = 1 ORDER BY new_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q45
   /** q45 — ANN via IVF (inverted-file index), the classic scale path
     * next to LSH (q38): a coarse quantizer of nCells centroid vectors
@@ -824,13 +883,15 @@ object Similarity {
     "q39_embed_near_dup" -> (q39EmbedNearDup _),
     "q41_simhash" -> (q41SimHash _),
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
-    "q45_ann_ivf" -> (q45AnnIvf _))
+    "q45_ann_ivf" -> (q45AnnIvf _),
+    "q153_incremental_dedup" -> (q153IncrementalDedup _))
 
   /** q25/q42 via the portable md5 MinHash family; q38/q39/q41/q45 stay
     * rows-only (float sketches aren't SQL-portable), spec-pinned. */
   val oracleSql: Map[String, String] = Map(
     "q25_near_dup" -> q25OracleSql,
     "q42_ngram_jaccard" -> q42OracleSql,
+    "q153_incremental_dedup" -> q153OracleSql,
     "q26_cosine_topk" ->
       """WITH q AS (
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS qv,

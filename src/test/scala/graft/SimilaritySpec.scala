@@ -150,6 +150,23 @@ class SimilaritySpec extends AnyFunSuite {
     planted.foreach(r => assert(r.getDouble(2) > 0.5 && r.getDouble(2) <= 1.0))
   }
 
+  test("q153: incremental dedup routes each new doc to its true source") {
+    val rows = Similarity.q153IncrementalDedup(spark, dir).collect()
+    // every new id is ≥ 1e6, every match is an existing doc, one row per
+    // new doc (the best-match window guarantees uniqueness)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1000000L && r.getLong(1) < 1000000L)
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+    // planted truth: new doc d + 1e6 is a suffix-perturbed copy of d —
+    // the best existing match must be d itself for nearly all
+    val correct = rows.count(r => r.getLong(1) == r.getLong(0) - 1000000L)
+    assert(correct >= (rows.length * 9) / 10,
+      s"only $correct of ${rows.length} matched their true source")
+    assert(rows.length >= 400, s"batch recall too low: ${rows.length} of 500")
+  }
+
   test("q25 recall law: every exact-Jaccard pair q42 confirms appears in q25") {
     // q42 computes TRUE Jaccard ≥ 0.5 on the shared band candidates;
     // q25 keeps the signature ESTIMATE ≥ 0.5 on the same candidates.
