@@ -6,7 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.util.chaining._
 
-/** q147–q152 — round-5 batch 2, every one DuckDB-oracle checked:
+/** q147–q152, q154–q157 — round-5 batches 2–3, every one DuckDB-oracle
+  * checked:
   *
   *  - q147 event-type transition matrix (first-order Markov)
   *  - q148 vocabulary growth curve (block-cumulative first-seen)
@@ -14,6 +15,10 @@ import scala.util.chaining._
   *  - q150 data-quality rule audit (constraint violations per rule)
   *  - q151 quantile normalization (exact percent-rank feature)
   *  - q152 co-purchase lift (within-order part-pair association)
+  *  - q154 canonicalization dedup, keep-best policy
+  *  - q155 corpus snapshot diff (added/removed/changed)
+  *  - q156 salted skew join (result ≡ plain join, oracle-proven)
+  *  - q157 column profile (null/distinct/min/max per column)
   */
 object Extended7 {
 
@@ -189,7 +194,132 @@ object Extended7 {
       .orderBy("pa", "pb")
   }
 
+  // ---------------------------------------------------------------- q154
+  /** q154 — canonicalization dedup with a keep-best policy: documents
+    * whose LETTER CONTENT is identical (case, punctuation, and spacing
+    * ignored — the canonical key is md5 of the normalized token join)
+    * collapse to one representative chosen by an explicit policy:
+    * longest raw text wins, doc_id breaks ties. This is the curation
+    * dedup q24 (byte-exact) cannot do — near-identical documents that
+    * differ only in formatting — with the policy production systems
+    * actually want (keep the richest variant). Planted: every even doc
+    * gets a punctuation-suffixed copy, which the policy must PREFER
+    * (it is longer). Scale: key = 16-B md5; one groupBy on the key
+    * carrying (len, doc_id) pairs — map-side partial max_by, text
+    * never shuffles. */
+  def q154CanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = Tables.fanout(base.unionByName(
+      base.filter(col("doc_id") % 2 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" ...!!")).as("text"))))
+    corpus
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        md5(array_join(toks, " ")).as("ckey"))
+      .groupBy("ckey")
+      .agg(count(lit(1)).as("n_variants"),
+        max_by(struct(col("len"), col("doc_id")),
+          struct(col("len"), -col("doc_id"))).as("best"))
+      .select(col("ckey"), col("n_variants"),
+        col("best.doc_id").as("kept_id"), col("best.len").as("kept_len"))
+      .orderBy("ckey")
+  }
+
+  // ---------------------------------------------------------------- q155
+  /** q155 — corpus snapshot diff: the added/removed/changed/unchanged
+    * audit between two dataset versions (the data-diff every managed
+    * corpus needs before promoting a snapshot). v2 is derived: 10% of
+    * docs deleted, 10% edited, 10% new. A full-outer join on doc_id
+    * comparing content hashes classifies every id; output is the
+    * 4-row count summary. Scale: both sides reduce to (doc_id, sha2)
+    * — 40 B rows — before the join; text never crosses the wire. */
+  def q155SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.fanout(Tables.documents(spark, dir)
+      .select("doc_id", "text"))
+    val v1 = base.select(col("doc_id"), sha2(col("text"), 256).as("h1"))
+    val v2full = base.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 1, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val v2 = v2full.select(col("doc_id"), sha2(col("text"), 256).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(when(col("h1").isNull, "added")
+        .when(col("h2").isNull, "removed")
+        .when(col("h1") =!= col("h2"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  // ---------------------------------------------------------------- q156
+  /** q156 — salted skew join, DECLARED: revenue per nation through
+    * [[ScaleOps.saltedEquiJoin]] (fact side salted over 8 sub-keys,
+    * supplier dim replicated per salt) — and the ORACLE is the PLAIN
+    * join, so the driver hash-check proves the salted physical
+    * strategy is result-invisible (ScaleSpec proves it in-engine; this
+    * makes it a cross-engine t2 fact). Salting is the mitigation for
+    * the hot key AQE cannot split — a key too big for the other side
+    * to broadcast. Sums in decimal. */
+  def q156SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    val dim = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    ScaleOps.saltedEquiJoin(fact, dim, "suppkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        "s_nationkey")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("price").cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------- q157
+  /** q157 — column profile (the Deequ/dbt-docs shape): per column of
+    * `orders`, exact null count, distinct count, and min/max rendered
+    * through an explicit engine-portable formatting (doubles are
+    * profiled as DECIMAL(18,2) strings; timestamps as their canonical
+    * cast — raw double→string formatting differs across engines and
+    * is NOT part of the contract). One scan computes all metrics as
+    * ONE aggregate row; the per-column reshape explodes a map of
+    * 20 values — stats-sized. */
+  def q157ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // min/max aggregate on the RAW value (string-min of "10" < "2" is
+    // not a profile); rendering to the portable string form happens
+    // after, on the single aggregate row
+    def render(c: String): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c match {
+        case "o_totalprice" => _.cast("decimal(18,2)").cast("string")
+        case _ => _.cast("string")
+      }
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderstatus", "o_orderpriority")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_distinct"),
+      min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    val row = o.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col(s"${c}_nulls").as("n_null"),
+        col(s"${c}_distinct").as("n_distinct"),
+        render(c)(col(s"${c}_min")).as("min_s"),
+        render(c)(col(s"${c}_max")).as("max_s"))): _*)).as("p"))
+      .select("p.column", "p.n_null", "p.n_distinct", "p.min_s", "p.max_s")
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_canonical_dedup" -> (q154CanonicalDedup _),
+    "q155_snapshot_diff" -> (q155SnapshotDiff _),
+    "q156_salted_join" -> (q156SaltedJoin _),
+    "q157_column_profile" -> (q157ColumnProfile _),
     "q147_session_transitions" -> (q147SessionTransitions _),
     "q148_vocab_growth" -> (q148VocabGrowth _),
     "q149_interevent_gaps" -> (q149InterEventGaps _),
@@ -198,6 +328,82 @@ object Extended7 {
     "q152_copurchase_lift" -> (q152CopurchaseLift _))
 
   val oracleSql: Map[String, String] = Map(
+    "q154_canonical_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' ...!!' FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |k AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |    md5(array_to_string(
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  x -> x <> ''), ' ')) AS ckey
+        |  FROM corpus),
+        |r AS (
+        |  SELECT ckey, doc_id, len,
+        |    count(*) OVER (PARTITION BY ckey) AS n_variants,
+        |    row_number() OVER (PARTITION BY ckey
+        |      ORDER BY len DESC, doc_id) AS rnk
+        |  FROM k)
+        |SELECT ckey, n_variants, doc_id AS kept_id, len AS kept_len
+        |FROM r WHERE rnk = 1 ORDER BY ckey""".stripMargin,
+    "q155_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 1 THEN text || ' edited'
+        |             ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text) FROM documents
+        |  WHERE doc_id % 10 = 2)
+        |SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |            WHEN v2.doc_id IS NULL THEN 'removed'
+        |            WHEN v1.h <> v2.h THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       count(*) AS n
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q156_salted_join" ->
+      """SELECT n_name, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q157_column_profile" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS k_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS k_min,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS k_max,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS c_distinct,
+        |    CAST(min(o_custkey) AS VARCHAR) AS c_min,
+        |    CAST(max(o_custkey) AS VARCHAR) AS c_max,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+        |    CAST(count(DISTINCT o_totalprice) AS BIGINT) AS p_distinct,
+        |    CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS p_min,
+        |    CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS p_max,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_distinct,
+        |    min(o_orderstatus) AS s_min, max(o_orderstatus) AS s_max,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pr_nulls,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS pr_distinct,
+        |    min(o_orderpriority) AS pr_min, max(o_orderpriority) AS pr_max
+        |  FROM orders)
+        |SELECT 'o_custkey' AS "column", c_nulls AS n_null,
+        |       c_distinct AS n_distinct, c_min AS min_s, c_max AS max_s
+        |FROM m
+        |UNION ALL SELECT 'o_orderkey', k_nulls, k_distinct, k_min, k_max FROM m
+        |UNION ALL SELECT 'o_orderpriority', pr_nulls, pr_distinct, pr_min, pr_max FROM m
+        |UNION ALL SELECT 'o_orderstatus', s_nulls, s_distinct, s_min, s_max FROM m
+        |UNION ALL SELECT 'o_totalprice', p_nulls, p_distinct, p_min, p_max FROM m
+        |ORDER BY "column"""".stripMargin,
     "q147_session_transitions" ->
       """WITH t AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id

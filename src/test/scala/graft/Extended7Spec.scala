@@ -100,6 +100,65 @@ class Extended7Spec extends AnyFunSuite {
     assert(viol == 0)
   }
 
+  test("q154: keep-best policy prefers the longer planted variant") {
+    val rows = Extended7.q154CanonicalDedup(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    // originals are mutually distinct → one group per original doc
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (nv, kept) = (r.getLong(1), r.getLong(2))
+      assert(nv == 1 || nv == 2)
+      if (nv == 2)
+        assert(kept >= 1000000L,
+          s"group of 2 kept $kept — the longer suffixed copy must win")
+    }
+    assert(rows.count(_.getLong(1) == 2) > 0, "planted pairs must exist")
+  }
+
+  test("q155: diff counts match the planted edit schedule") {
+    val m = Extended7.q155SnapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = Tables.documents(spark, dir)
+    assert(m("removed") == d.filter(col("doc_id") % 10 === 0).count())
+    assert(m("changed") == d.filter(col("doc_id") % 10 === 1).count())
+    assert(m("added") == d.filter(col("doc_id") % 10 === 2).count())
+    assert(m.values.sum ==
+      d.count() + m("added"), "every v1 id + added ids classified once")
+  }
+
+  test("q156: salted join result is identical to the plain join") {
+    val salted = Extended7.q156SaltedJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey")),
+        "suppkey")
+      .join(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name")),
+        "s_nationkey")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("price").cast("double").as("revenue"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("q157: profile facts hold against direct queries") {
+    val rows = Extended7.q157ColumnProfile(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    val o = Tables.orders(spark, dir)
+    assert(rows.keySet.size == 5)
+    rows.values.foreach { case (nulls, _, _, _) => assert(nulls == 0L) }
+    assert(rows("o_orderkey")._2 == o.count(), "orderkey is unique")
+    assert(Set("F", "O", "P").contains(rows("o_orderstatus")._3))
+    assert(rows("o_totalprice")._3.matches("""\d+\.\d\d"""),
+      s"price renders as a scale-2 decimal, got ${rows("o_totalprice")._3}")
+  }
+
   test("q152: lift matches an independent recount for the top pair") {
     val rows = Extended7.q152CopurchaseLift(spark, dir).limit(1).collect()
     assert(rows.nonEmpty)
