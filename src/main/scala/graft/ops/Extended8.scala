@@ -1,0 +1,243 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q158–q161 — round-5 batch 4, every one DuckDB-oracle checked:
+  *
+  *  - q158 Poisson bootstrap (deterministic md5 draws)
+  *  - q159 rolling 7-day active users (explode-to-grid, equi only)
+  *  - q160 capped sessionization (gap + duration-block rule)
+  *  - q161 funnel latency percentiles (rank-exact p50/p90)
+  */
+object Extended8 {
+
+  // ---------------------------------------------------------------- q158
+  /** q158 — Poisson bootstrap: B = 20 replicate means of the order
+    * value, each row weighted by a DETERMINISTIC Poisson(1) draw
+    * derived from md5(replicate, orderkey) — the scale-native
+    * bootstrap (no replicate ever needs the global n, so it runs as a
+    * plain groupBy over a B-way explode; the classic resample-n-rows
+    * form cannot be distributed). The inverse-CDF thresholds on the
+    * md5-uniform are exact hex-string comparisons — engine-identical;
+    * sums are decimal-exact with one final division per replicate. At
+    * 100 TB: B× fanout of (weight, value) pairs, partial aggregation
+    * does the rest; the replicate-spread standard error costs nothing
+    * extra. */
+  def q158PoissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    // P(X=k), X~Poisson(1): cumulative 0.36788, 0.73576, 0.91970,
+    // 0.98101, 1 — encoded as thresholds on the first 8 hex chars of
+    // md5 (a uniform in [0, 2^32)); hex-string compare ≡ integer
+    // compare at fixed width
+    val u = substring(md5(concat_ws(":", col("b"), col("o_orderkey"))), 1, 8)
+    val w = when(u < "5e2d58d8", 0)      // floor(0.36788 * 2^32) in hex
+      .when(u < "bc5ab1b1", 1)           // 0.73576
+      .when(u < "eb715e1d", 2)           // 0.91970
+      .when(u < "fb239797", 3)           // 0.98101
+      .otherwise(4)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+      .select(col("o_orderkey"), col("v"),
+        explode(sequence(lit(0), lit(19))).as("b"))
+      .select(col("b"), col("v"), w.as("w"))
+      .groupBy("b")
+      .agg(sum("w").as("n_eff"), sum(col("v") * col("w")).as("s"))
+      .select(col("b").cast("long").as("b"), col("n_eff"),
+        round(col("s").cast("double") / col("n_eff"), 6).as("boot_mean"))
+      .orderBy("b")
+  }
+
+  // ---------------------------------------------------------------- q159
+  /** q159 — rolling 7-day active users: for every active day, the
+    * distinct-user count over the trailing week — the DAU/WAU shape.
+    * Built EQUI-ONLY: each (user, day) activity row explodes into the
+    * 7 report days it supports, then a distinct aggregate per report
+    * day — no range join, no nested loop (a day-grid range join is
+    * the naive form; the explode turns it into a hash shuffle on the
+    * day key). Report days outside the observed range are dropped by
+    * the semi-join against actual activity days. 7× fanout of
+    * (user_id, day) pairs — bytes bounded by activity, not the
+    * grid. */
+  def q159RollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.fanout(Tables.events(spark, dir)
+        .select("user_id", "ts"))
+      .select(col("user_id"),
+        to_date(col("ts")).as("day")).distinct()
+    val days = act.select(col("day")).distinct()
+    act
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("rday"))
+      .join(days.withColumnRenamed("day", "rday"), Seq("rday"), "left_semi")
+      .groupBy(col("rday").cast("string").as("rday"))
+      .agg(countDistinct("user_id").as("active_7d"))
+      .orderBy("rday")
+  }
+
+  // ---------------------------------------------------------------- q160
+  /** q160 — capped sessionization: a session break on > 30 min
+    * inactivity (the q30 rule), then long gap-sessions further split
+    * into 4-hour duration blocks — the production rule that stops a
+    * bot's week-long click stream from becoming one session. Two
+    * partitioned window passes (user; then user×gap-session), both on
+    * the user shuffle key — the second window's min() rides the first
+    * pass's partitioning. All arithmetic in integer micros. */
+  def q160CappedSessions(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val ev = Tables.fanout(Tables.events(spark, dir)
+        .select("user_id", "event_id", "ts"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(col("us") - lag("us", 1).over(wU) > 1800L * 1000000L ||
+          lag("us", 1).over(wU).isNull, 1L).otherwise(0L))
+      .withColumn("gs", sum("new_sess").over(
+        wU.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("block",
+        expr("(us - min(us) OVER (PARTITION BY user_id, gs)) " +
+          "div 14400000000"))
+    ev.groupBy("user_id", "gs", "block")
+      .agg(count(lit(1)).as("n_events"),
+        // `div`, not `/`: long / long is double division, and Spark's
+        // double→long cast truncates where DuckDB's rounds
+        expr("(max(us) - min(us)) div 1000000").as("duration_s"))
+      .orderBy("user_id", "gs", "block")
+  }
+
+  // ---------------------------------------------------------------- q161
+  /** q161 — funnel latency percentiles: for users who advanced a
+    * funnel stage within its 24 h window (the q130 rule), the exact
+    * p50/p90 of the stage latency — rank order statistics under a
+    * fully tiebroken order (the q144 idiom; interpolating percentiles
+    * are engine-divergent). Stage tables shrink monotonically; the
+    * percentile windows partition by stage label. Integer micros to
+    * integer seconds. */
+  def q161FunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.fanout(Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1b"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2.select(col("user_id"), col("t2")), "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t3"), min("t2").as("t2b"))
+    // `div`: integer seconds, never a rounded double (engines disagree
+    // on double→long casts — truncate vs round)
+    val lat = t2.select(lit("1_view_to_click").as("stage"), col("user_id"),
+        expr("(unix_micros(t2) - unix_micros(t1b)) div 1000000")
+          .as("lat_s"))
+      .unionByName(t3.select(lit("2_click_to_purchase").as("stage"),
+        col("user_id"),
+        expr("(unix_micros(t3) - unix_micros(t2b)) div 1000000")
+          .as("lat_s")))
+    val wR = Window.partitionBy("stage").orderBy("lat_s", "user_id")
+    val wN = Window.partitionBy("stage")
+    lat
+      .withColumn("rnk", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy("stage")
+      .agg(min("n").as("n_users"),
+        min(when(col("rnk") === expr("(n + 1) div 2"), col("lat_s")))
+          .as("p50_s"),
+        min(when(col("rnk") === expr("(9 * n + 9) div 10"), col("lat_s")))
+          .as("p90_s"))
+      .orderBy("stage")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_poisson_bootstrap" -> (q158PoissonBootstrap _),
+    "q159_rolling_active_users" -> (q159RollingActiveUsers _),
+    "q160_capped_sessions" -> (q160CappedSessions _),
+    "q161_funnel_latency" -> (q161FunnelLatency _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q158_poisson_bootstrap" ->
+      """WITH e AS (
+        |  SELECT b, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    CASE WHEN u < '5e2d58d8' THEN 0
+        |         WHEN u < 'bc5ab1b1' THEN 1
+        |         WHEN u < 'eb715e1d' THEN 2
+        |         WHEN u < 'fb239797' THEN 3
+        |         ELSE 4 END AS w
+        |  FROM (
+        |    SELECT o_orderkey, o_totalprice, b,
+        |      substr(md5(b || ':' || o_orderkey), 1, 8) AS u
+        |    FROM orders CROSS JOIN (SELECT unnest(range(0, 20)) AS b)))
+        |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  round(CAST(sum(v * w) AS DOUBLE) / sum(w), 6) AS boot_mean
+        |FROM e GROUP BY b ORDER BY b""".stripMargin,
+    "q159_rolling_active_users" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM act),
+        |ex AS (
+        |  SELECT user_id, day + CAST(k AS INT) AS rday
+        |  FROM act CROSS JOIN (SELECT unnest(range(0, 7)) AS k))
+        |SELECT CAST(rday AS VARCHAR) AS rday,
+        |       count(DISTINCT user_id) AS active_7d
+        |FROM ex SEMI JOIN days ON ex.rday = days.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q160_capped_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER w > 1800000000
+        |         OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gs
+        |  FROM s),
+        |b AS (
+        |  SELECT user_id, us, gs,
+        |    (us - min(us) OVER (PARTITION BY user_id, gs)) // 14400000000
+        |      AS block
+        |  FROM g)
+        |SELECT user_id, CAST(gs AS BIGINT) AS gs, block,
+        |  count(*) AS n_events,
+        |  (max(us) - min(us)) // 1000000 AS duration_s
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q161_funnel_latency" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(ts) AS t2, min(t1) AS t1b
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1
+        |    AND ts <= t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(ts) AS t3, min(t2) AS t2b
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2
+        |    AND ts <= t2 + INTERVAL 24 HOUR GROUP BY 1),
+        |lat AS (
+        |  SELECT '1_view_to_click' AS stage, user_id,
+        |    (epoch_us(t2) - epoch_us(t1b)) // 1000000 AS lat_s
+        |  FROM t2
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase', user_id,
+        |    (epoch_us(t3) - epoch_us(t2b)) // 1000000
+        |  FROM t3),
+        |r AS (
+        |  SELECT stage, lat_s,
+        |    row_number() OVER (PARTITION BY stage
+        |      ORDER BY lat_s, user_id) AS rnk,
+        |    count(*) OVER (PARTITION BY stage) AS n
+        |  FROM lat)
+        |SELECT stage, min(n) AS n_users,
+        |  min(CASE WHEN rnk = (n + 1) // 2 THEN lat_s END) AS p50_s,
+        |  min(CASE WHEN rnk = (9 * n + 9) // 10 THEN lat_s END) AS p90_s
+        |FROM r GROUP BY stage ORDER BY stage""".stripMargin)
+}
