@@ -5,12 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** q158–q161 — round-5 batch 4, every one DuckDB-oracle checked:
+/** q158–q163 — round-5 batches 4–5, every one DuckDB-oracle checked:
   *
   *  - q158 Poisson bootstrap (deterministic md5 draws)
   *  - q159 rolling 7-day active users (explode-to-grid, equi only)
   *  - q160 capped sessionization (gap + duration-block rule)
   *  - q161 funnel latency percentiles (rank-exact p50/p90)
+  *  - q162 rolling anomaly flags (sqrt-free 3σ rule, decimal-exact)
+  *  - q163 language-mix drift (total-variation distance per source)
   */
 object Extended8 {
 
@@ -153,13 +155,119 @@ object Extended8 {
       .orderBy("stage")
   }
 
+  // ---------------------------------------------------------------- q162
+  /** q162 — rolling anomaly flags: an event is anomalous when its
+    * value exceeds the trailing-100-event mean by 3 standard
+    * deviations within its type. The 3σ test is evaluated WITHOUT
+    * sqrt or division: v > m + 3σ ⟺ (v·n − S1) > 0 ∧ (v·n − S1)² >
+    * 9·(n·S2 − S1²) — every term an exact decimal from the frame's
+    * (count, sum, sum-of-squares), so the flag is bit-portable where
+    * a float mean/stddev pipeline is not (IEEE sqrt is exact but the
+    * accumulation ORDER of a float variance isn't; decimal sums are
+    * order-free). One partitioned window, frame excludes the current
+    * row; warmup gate n ≥ 30. */
+  def q162RollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+      .rowsBetween(-100, -1)
+    Tables.fanout(Tables.events(spark, dir)
+        .select("event_id", "event_type", "value", "ts"))
+      // decimal(12,2), not (18,6): the sqrt-free test squares products
+      // of sums, and Spark's decimal typer reduces SCALE (rounding
+      // real digits) when a product's precision would exceed 38 — at
+      // scale 2 every intermediate fits at full scale, so the flag
+      // stays exact. The data is 2-decimal; the cast rounds identically
+      // on both engines either way.
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(12,2)").as("v"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum("v").over(w))
+      .withColumn("s2", sum(col("v") * col("v")).over(w))
+      .filter(col("n") >= 30)
+      .withColumn("dev", col("v") * col("n") - col("s1"))
+      .filter(col("dev") > 0 &&
+        col("dev") * col("dev") >
+          (col("n") * col("s2") - col("s1") * col("s1")) * 9)
+      .select(col("event_id"), col("event_type"),
+        col("v").cast("double").as("value"), col("n"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- q163
+  /** q163 — language-mix drift per source: the total-variation
+    * distance ½·Σ_lang |p_lang^src − p_lang^corpus| between each
+    * source's language distribution and the corpus's — the
+    * categorical twin of q132's KS (which needs an ordered domain).
+    * Deviations stay exact integer cross-products |c_sl·N − c_l·n_s|
+    * in decimal; ONE final division by 2·n_s·N publishes the
+    * distance. Everything after the two groupBy counts is
+    * stats-sized (sources × languages). */
+  def q163LangmixDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.documents(spark, dir)
+      .select("source", "lang"))
+    val bySl = d.groupBy("source", "lang").agg(count(lit(1)).as("c_sl"))
+    val byS = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val byL = d.groupBy("lang").agg(count(lit(1)).as("c_l"))
+    val nAll = d.agg(count(lit(1)).as("n_all"))
+    byS.crossJoin(broadcast(byL))
+      .join(bySl, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("c_sl"))
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("n_s"), col("n_all"),
+        abs(col("c_sl").cast("decimal(38,0)") * col("n_all") -
+          col("c_l").cast("decimal(38,0)") * col("n_s")).as("dev"))
+      .groupBy("source")
+      .agg(first("n_s").as("n_s"), first("n_all").as("n_all"),
+        sum("dev").as("l1"))
+      .select(col("source"),
+        round(col("l1").cast("double") /
+          (col("n_s").cast("double") * col("n_all") * 2.0), 6).as("tv_dist"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_rolling_anomaly" -> (q162RollingAnomaly _),
+    "q163_langmix_drift" -> (q163LangmixDrift _),
     "q158_poisson_bootstrap" -> (q158PoissonBootstrap _),
     "q159_rolling_active_users" -> (q159RollingActiveUsers _),
     "q160_capped_sessions" -> (q160CappedSessions _),
     "q161_funnel_latency" -> (q161FunnelLatency _))
 
   val oracleSql: Map[String, String] = Map(
+    "q162_rolling_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(value AS DECIMAL(12,2)) AS v, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id, event_type, v,
+        |    count(*) OVER w AS n, sum(v) OVER w AS s1,
+        |    sum(v * v) OVER w AS s2
+        |  FROM e WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, CAST(v AS DOUBLE) AS value, n
+        |FROM f
+        |WHERE n >= 30 AND v * n - s1 > 0
+        |  AND (v * n - s1) * (v * n - s1) > (n * s2 - s1 * s1) * 9
+        |ORDER BY event_id""".stripMargin,
+    "q163_langmix_drift" ->
+      """WITH d AS (SELECT source, lang FROM documents),
+        |sl AS (SELECT source, lang, count(*) AS c_sl FROM d GROUP BY 1, 2),
+        |s AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+        |l AS (SELECT lang, count(*) AS c_l FROM d GROUP BY 1),
+        |na AS (SELECT count(*) AS n_all FROM d),
+        |ex AS (
+        |  SELECT s.source, s.n_s, l.lang, l.c_l,
+        |         coalesce(sl.c_sl, 0) AS c_sl
+        |  FROM s CROSS JOIN l
+        |  LEFT JOIN sl ON sl.source = s.source AND sl.lang = l.lang)
+        |SELECT source,
+        |  round(CAST(sum(abs(CAST(c_sl AS HUGEINT) * n_all
+        |                     - CAST(c_l AS HUGEINT) * n_s)) AS DOUBLE)
+        |        / (CAST(n_s AS DOUBLE) * n_all * 2.0), 6) AS tv_dist
+        |FROM ex, na GROUP BY source, n_s, n_all
+        |ORDER BY source""".stripMargin,
     "q158_poisson_bootstrap" ->
       """WITH e AS (
         |  SELECT b, CAST(o_totalprice AS DECIMAL(18,2)) AS v,

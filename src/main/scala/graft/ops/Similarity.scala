@@ -803,6 +803,46 @@ object Similarity {
        |WHERE rnk = 1 ORDER BY new_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q164
+  /** q164 — duplicate-cluster collapse, one-hop star rule: every doc
+    * in a near-dup pair points at the minimum id among itself and its
+    * direct partners; clusters are the groups under that pointer, and
+    * the output is each cluster's representative and size. This is
+    * the SINGLE-PASS collapse a dedup pipeline runs when it drops all
+    * but one of each duplicate group (the planted corpus's pair graph
+    * is star-shaped, where one hop IS the transitive closure; deep
+    * chains go to the full CC tier, q64 — the two-algorithm split is
+    * deliberate). Oracle replicates candidates, estimates, AND the
+    * pointer aggregation. Scale: two aggregates over the pair list —
+    * pair-sized, not corpus-sized. */
+  def q164DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q25NearDup(spark, dir).select("a_id", "b_id")
+    val members = pairs.select(col("a_id").as("doc_id"), col("b_id").as("peer"))
+      .union(pairs.select(col("b_id").as("doc_id"), col("a_id").as("peer")))
+      .union(pairs.select(col("a_id").as("doc_id"), col("a_id").as("peer")))
+      .union(pairs.select(col("b_id").as("doc_id"), col("b_id").as("peer")))
+    members.groupBy("doc_id").agg(min("peer").as("rep"))
+      .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+      .orderBy("rep")
+  }
+
+  private[ops] def q164OracleSql: String = {
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$portableOracleCtes,
+       |est AS (SELECT c.a_id, c.b_id, round(($matches) / 16.0, 6) AS ej
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+       |              JOIN sig sb ON sb.doc_id = c.b_id),
+       |p AS (SELECT a_id, b_id FROM est WHERE ej >= 0.5),
+       |m AS (SELECT a_id AS doc_id, b_id AS peer FROM p
+       |  UNION ALL SELECT b_id, a_id FROM p
+       |  UNION ALL SELECT a_id, a_id FROM p
+       |  UNION ALL SELECT b_id, b_id FROM p),
+       |r AS (SELECT doc_id, min(peer) AS rep FROM m GROUP BY 1)
+       |SELECT rep, count(*) AS cluster_size FROM r
+       |GROUP BY rep ORDER BY rep""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q45
   /** q45 — ANN via IVF (inverted-file index), the classic scale path
     * next to LSH (q38): a coarse quantizer of nCells centroid vectors
@@ -884,7 +924,8 @@ object Similarity {
     "q41_simhash" -> (q41SimHash _),
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
     "q45_ann_ivf" -> (q45AnnIvf _),
-    "q153_incremental_dedup" -> (q153IncrementalDedup _))
+    "q153_incremental_dedup" -> (q153IncrementalDedup _),
+    "q164_dup_clusters" -> (q164DupClusters _))
 
   /** q25/q42 via the portable md5 MinHash family; q38/q39/q41/q45 stay
     * rows-only (float sketches aren't SQL-portable), spec-pinned. */
@@ -892,6 +933,7 @@ object Similarity {
     "q25_near_dup" -> q25OracleSql,
     "q42_ngram_jaccard" -> q42OracleSql,
     "q153_incremental_dedup" -> q153OracleSql,
+    "q164_dup_clusters" -> q164OracleSql,
     "q26_cosine_topk" ->
       """WITH q AS (
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS qv,

@@ -59,6 +59,50 @@ class Extended8Spec extends AnyFunSuite {
       s"$gapSessions gap-sessions vs q30's $q30")
   }
 
+  test("q162: every flag beats its own trailing mean by 3 sigma") {
+    val flags = Extended8.q162RollingAnomaly(spark, dir).collect()
+    assert(flags.nonEmpty, "a uniform-value stream still has 3-sigma tails")
+    val total = Tables.events(spark, dir).count()
+    assert(flags.length < total / 10, "flags must be rare")
+    flags.foreach { r =>
+      assert(r.getLong(3) >= 30 && r.getLong(3) <= 100)
+    }
+    // recompute one flag directly: collect its type's ordered stream
+    val f = flags.head
+    val stream = Tables.events(spark, dir)
+      .filter(col("event_type") === f.getString(1))
+      .select(col("event_id"),
+        col("value").cast("decimal(12,2)").cast("double").as("v"),
+        unix_micros(col("ts")).as("us"))
+      .orderBy("us", "event_id").collect()
+    val idx = stream.indexWhere(_.getLong(0) == f.getLong(0))
+    val frame = stream.slice(math.max(0, idx - 100), idx).map(_.getDouble(1))
+    val m = frame.sum / frame.length
+    val sd = math.sqrt(frame.map(x => (x - m) * (x - m)).sum / frame.length)
+    assert(f.getDouble(2) > m + 3 * sd - 1e-9,
+      s"flagged ${f.getDouble(2)} vs mean $m + 3*$sd")
+  }
+
+  test("q163: TV distance is a valid distance and matches a recount") {
+    val rows = Extended8.q163LangmixDrift(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+    val r0 = rows.head
+    val d = Tables.documents(spark, dir)
+    val nAll = d.count().toDouble
+    val nS = d.filter(col("source") === r0.getString(0)).count().toDouble
+    val langs = d.select("lang").distinct().collect().map(_.getString(0))
+    val tv = langs.map { lg =>
+      val cSl = d.filter(col("source") === r0.getString(0) &&
+        col("lang") === lg).count()
+      val cL = d.filter(col("lang") === lg).count()
+      math.abs(cSl / nS - cL / nAll)
+    }.sum / 2.0
+    assert(math.abs(r0.getDouble(1) - tv) <= 1e-5,
+      s"${r0.getString(0)}: ${r0.getDouble(1)} vs direct $tv")
+  }
+
   test("q161: percentiles are ordered and stages match the funnel") {
     val rows = Extended8.q161FunnelLatency(spark, dir).collect()
     assert(rows.map(_.getString(0)).toSet ==

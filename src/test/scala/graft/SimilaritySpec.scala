@@ -167,6 +167,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.length >= 400, s"batch recall too low: ${rows.length} of 500")
   }
 
+  test("q164: cluster mass equals the docs touched by pairs; stars collapse") {
+    val clusters = Similarity.q164DupClusters(spark, dir).collect()
+    val pairs = Similarity.q25NearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(clusters.map(_.getLong(1)).sum == touched.length,
+      "every doc in a pair lands in exactly one cluster")
+    // the planted graph is star-shaped (orig, orig+1e6): clusters are
+    // overwhelmingly size-2 pairs headed by an ORIGINAL id (a copy can
+    // only head a cluster in the rare case where its own original pair
+    // fell below the estimate threshold but a copy-copy pair did not)
+    assert(clusters.count(_.getLong(1) == 2L) > clusters.length / 2)
+    val copyHeaded = clusters.count(_.getLong(0) >= 1000000L)
+    assert(copyHeaded <= clusters.length / 10,
+      s"$copyHeaded of ${clusters.length} clusters headed by a copy")
+  }
+
   test("q25 recall law: every exact-Jaccard pair q42 confirms appears in q25") {
     // q42 computes TRUE Jaccard ≥ 0.5 on the shared band candidates;
     // q25 keeps the signature ESTIMATE ≥ 0.5 on the same candidates.
