@@ -225,7 +225,34 @@ object Extended8 {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q165
+  /** q165 — inverted-index slice: posting lists (gram → sorted doc
+    * ids) for the discriminative band of the gram vocabulary — df in
+    * [2, 5]; hapax grams index nothing, high-df grams are stopword-
+    * like. This is the retrieval-index build step (and the exact
+    * structure a decontamination service serves). Posting lists are
+    * collected per GRAM — bounded by the df cap at 5 ids — so the
+    * aggregate buffer is tiny by construction; grams explode
+    * per-doc-distinct and shuffle once on the gram key. */
+  def q165InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+    Tables.fanout(Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("t")) - 2), i =>
+          concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
+        .as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .filter(col("df") >= 2 && col("df") <= 5)
+      .orderBy("g")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_inverted_index" -> (q165InvertedIndex _),
     "q162_rolling_anomaly" -> (q162RollingAnomaly _),
     "q163_langmix_drift" -> (q163LangmixDrift _),
     "q158_poisson_bootstrap" -> (q158PoissonBootstrap _),
@@ -234,6 +261,21 @@ object Extended8 {
     "q161_funnel_latency" -> (q161FunnelLatency _))
 
   val oracleSql: Map[String, String] = Map(
+    "q165_inverted_index" ->
+      """WITH gr AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |  FROM (
+        |    SELECT doc_id,
+        |           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '') AS t
+        |    FROM documents)
+        |  WHERE len(t) >= 3)
+        |SELECT g, count(*) AS df, list_sort(list(doc_id)) AS postings
+        |FROM gr GROUP BY g
+        |HAVING count(*) BETWEEN 2 AND 5
+        |ORDER BY g""".stripMargin,
     "q162_rolling_anomaly" ->
       """WITH e AS (
         |  SELECT event_id, event_type,

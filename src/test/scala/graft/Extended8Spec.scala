@@ -103,6 +103,31 @@ class Extended8Spec extends AnyFunSuite {
       s"${r0.getString(0)}: ${r0.getDouble(1)} vs direct $tv")
   }
 
+  test("q165: posting lists are sorted, sized by df, and verifiable") {
+    val rows = Extended8.q165InvertedIndex(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val posts = r.getSeq[Long](2)
+      assert(df >= 2 && df <= 5)
+      assert(posts.length == df)
+      assert(posts == posts.sorted && posts.distinct == posts)
+    }
+    // spot-check: the first gram's postings match a direct containment
+    // scan (the gram is a contiguous token triple in each posted doc)
+    val g = rows.head.getString(0)
+    val direct = Tables.documents(spark, dir)
+      .filter(regexp_replace(lower(col("text")), "[^a-z]+", " ")
+        .contains(" " + g + " ") ||
+        regexp_replace(lower(col("text")), "[^a-z]+", " ")
+          .startsWith(g + " ") ||
+        regexp_replace(lower(col("text")), "[^a-z]+", " ")
+          .endsWith(" " + g))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows.head.getSeq[Long](2) == direct,
+      s"gram '$g': postings ${rows.head.getSeq[Long](2)} vs scan $direct")
+  }
+
   test("q161: percentiles are ordered and stages match the funnel") {
     val rows = Extended8.q161FunnelLatency(spark, dir).collect()
     assert(rows.map(_.getString(0)).toSet ==
