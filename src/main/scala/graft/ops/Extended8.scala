@@ -251,7 +251,40 @@ object Extended8 {
       .orderBy("g")
   }
 
+  // ---------------------------------------------------------------- q166
+  /** q166 — temperature-damped mixture sample (the multilingual
+    * α-sampling rule, α = 0.5): per-source budgets proportional to
+    * √n_s instead of n_s, so small sources are over-represented
+    * relative to their share — then a deterministic md5-rank draw of
+    * each budget. The square root is the INTEGER isqrt
+    * (floor∘IEEE-sqrt — exact for any count below 2⁵², and IEEE sqrt
+    * is exactly rounded, so both engines floor the same double);
+    * budgets are B·w_s div W in pure integer arithmetic — no float
+    * share ever decides a boundary. Scale: counts are stats-sized;
+    * the draw is the q126/q136 md5-rank window on the source
+    * partition key. */
+  def q166TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val budgetTotal = 100L
+    val d = Tables.fanout(Tables.documents(spark, dir)
+      .select("doc_id", "source"))
+    val weights = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w", floor(sqrt(col("n_s"))).cast("long"))
+    val wTot = weights.agg(sum("w").as("w_tot"))
+    val budgets = weights.crossJoin(broadcast(wTot))
+      .select(col("source"), col("n_s"),
+        least(expr(s"($budgetTotal * w) div w_tot"), col("n_s"))
+          .as("budget"))
+    val wR = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    d.join(broadcast(budgets), "source")
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= col("budget"))
+      .select(col("source"), col("doc_id"), col("rnk"), col("budget"))
+      .orderBy("source", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_temperature_sample" -> (q166TemperatureSample _),
     "q165_inverted_index" -> (q165InvertedIndex _),
     "q162_rolling_anomaly" -> (q162RollingAnomaly _),
     "q163_langmix_drift" -> (q163LangmixDrift _),
@@ -261,6 +294,24 @@ object Extended8 {
     "q161_funnel_latency" -> (q161FunnelLatency _))
 
   val oracleSql: Map[String, String] = Map(
+    "q166_temperature_sample" ->
+      """WITH w AS (
+        |  SELECT source, count(*) AS n_s,
+        |         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |wt AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM w),
+        |b AS (
+        |  SELECT source, n_s,
+        |         least((100 * w) // w_tot, n_s) AS budget
+        |  FROM w, wt),
+        |r AS (
+        |  SELECT d.source, d.doc_id, b.budget,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rnk
+        |  FROM documents d JOIN b USING (source))
+        |SELECT source, doc_id, CAST(rnk AS INT) AS rnk, budget
+        |FROM r WHERE rnk <= budget
+        |ORDER BY source, rnk""".stripMargin,
     "q165_inverted_index" ->
       """WITH gr AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(

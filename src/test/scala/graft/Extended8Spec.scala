@@ -128,6 +128,30 @@ class Extended8Spec extends AnyFunSuite {
       s"gram '$g': postings ${rows.head.getSeq[Long](2)} vs scan $direct")
   }
 
+  test("q166: budgets follow integer sqrt damping; draws fill them") {
+    val rows = Extended8.q166TemperatureSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(0))
+    // every source's draw fills exactly its budget
+    bySource.foreach { case (s, rs) =>
+      val budget = rs.head.getLong(3)
+      assert(rs.length == budget, s"$s drew ${rs.length} of $budget")
+      assert(rs.map(_.getInt(2)).max == budget)
+    }
+    // recompute the budget formula independently
+    val counts = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.map { case (s, n) => s -> math.sqrt(n.toDouble).toLong }
+    val wTot = w.values.sum
+    bySource.foreach { case (s, rs) =>
+      val expected = math.min(100L * w(s) / wTot, counts(s))
+      assert(rs.head.getLong(3) == expected,
+        s"$s: budget ${rs.head.getLong(3)} vs expected $expected")
+    }
+    assert(rows.length <= 100)
+  }
+
   test("q161: percentiles are ordered and stages match the funnel") {
     val rows = Extended8.q161FunnelLatency(spark, dir).collect()
     assert(rows.map(_.getString(0)).toSet ==
