@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"zorder_key expects 2 arguments, got ${args.length}")
         GraftExtensions.zorderKeyExpr(args.head, args(1))
       }))
+    // The one optimizer rule worth its batch pass: size-guard rewrite
+    // for jaccard_sorted threshold filters (J ≥ t ⟹ |A| ≥ t·|B| ∧
+    // |B| ≥ t·|A|) — O(1) guards short-circuit the O(|A|+|B|) merge
+    // for size-contradicted candidate pairs. Provably implied by the
+    // original predicate (½-element slack covers the IEEE multiply),
+    // so it is a pure physical win; GraftExtensionsSpec pins plan
+    // shape, result equality, and idempotence.
+    ext.injectOptimizerRule(_ => plans.JaccardSizeGuard)
   }
 }
 
