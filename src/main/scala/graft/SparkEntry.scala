@@ -29,7 +29,8 @@ object SparkEntry {
       ops.GraphOps.queries ++ ops.Clustering.queries ++
       ops.TpchExtra.queries ++ ops.Extended4.queries ++
       ops.Extended5.queries ++ ops.Extended6.queries ++
-      ops.Extended7.queries ++ ops.Extended8.queries
+      ops.Extended7.queries ++ ops.Extended8.queries ++
+      ops.Extended9.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       ops.GraphOps.oracleSql ++ ops.Clustering.oracleSql ++
       ops.TpchExtra.oracleSql ++ ops.Extended4.oracleSql ++
       ops.Extended5.oracleSql ++ ops.Extended6.oracleSql ++
-      ops.Extended7.oracleSql ++ ops.Extended8.oracleSql
+      ops.Extended7.oracleSql ++ ops.Extended8.oracleSql ++
+      ops.Extended9.oracleSql
 }

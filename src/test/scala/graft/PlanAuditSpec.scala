@@ -38,6 +38,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "lag window runs on the per-year AGGREGATE (~7 rows), not orders",
     "q122_pps_sample" ->
       "shardedCumSum offset window is O(nShards) rows, not O(docs)",
+    "q168_retrieval_eval" ->
+      ("rank/count windows run on the bounded query-set eval table " +
+        "(one row per planted query, ≤ 50 by construction)"),
     "q148_vocab_growth" ->
       ("cumulative window runs on the 50-doc BLOCK table (docs/50 rows, " +
         "stats-sized); first-seen is a plain aggregate, never windowed"),
