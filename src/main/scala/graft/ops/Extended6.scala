@@ -119,23 +119,30 @@ object Extended6 {
     * l_extendedprice whose cumulative l_quantity reaches half the
     * flag's total quantity — the inventory-weighted "typical price"
     * (an unweighted median over line items would let many tiny lines
-    * outvote a few bulk ones). Weights accumulate as decimal in a
-    * deterministically-ordered partitioned window (cum-sum order is
-    * the frame order, so decimal exactness makes it engine-identical);
-    * the 2·cum ≥ total rule avoids ever forming total/2 as a float.
-    * Scale: one partitioned window + one aggregate; partitions are the
-    * 3 flags — shard by price range if a single flag outgrows a
-    * reducer (the q83 discipline). */
+    * outvote a few bulk ones). The 2·cum ≥ total rule avoids ever
+    * forming total/2 as a float; weights accumulate as decimal, so
+    * every cum value is order-free exact and engine-identical.
+    *
+    * NO flag-partitioned window over line items (3 reducers would
+    * swallow the fact table at scale): line items first collapse to
+    * one row per (flag, price) — a normal hash aggregate — and the
+    * cumulative weight over that table runs through
+    * [[ScaleOps.groupedShardedCumSum]] (price-range shards; the only
+    * flag-partitioned window is the O(nShards)-row offset table). The
+    * smallest price whose PRICE-GROUP-END cum reaches half the total
+    * is the same price the item-level scan finds: within a price
+    * group cum only grows, so the first qualifying item lies in the
+    * first qualifying group. */
   def q141WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val wCum = Window.partitionBy("l_returnflag")
-      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    val wAll = Window.partitionBy("l_returnflag")
-    Tables.lineitem(spark, dir)
+    val byPrice = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_quantity").cast("decimal(12,2)").as("q"),
-        col("l_orderkey"), col("l_linenumber"))
-      .withColumn("cw", sum("q").over(wCum))
-      .withColumn("tw", sum("q").over(wAll))
+        col("l_quantity").cast("decimal(12,2)").as("q"))
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum("q").as("qsum"))
+    val cum = ScaleOps.groupedShardedCumSum(byPrice, "l_returnflag",
+      "l_extendedprice", "qsum", "cw", 32)
+    val tot = byPrice.groupBy("l_returnflag").agg(sum("qsum").as("tw"))
+    cum.join(broadcast(tot), "l_returnflag")
       .filter(col("cw") * 2 >= col("tw"))
       .groupBy("l_returnflag")
       .agg(min("l_extendedprice").as("w_median"),

@@ -141,18 +141,39 @@ object Extended7 {
   /** q151 — quantile normalization: each event's `value` mapped to its
     * exact within-type percent rank (rn−1)/(n−1) under a fully
     * tiebroken ordering — the rank-uniform feature transform (outlier-
-    * immune where z-scoring is not). row_number over the unique
-    * (value, event_id) order makes the rank engine-exact; the division
-    * is the single IEEE op. Scale: one partitioned window on the type
-    * key — the same shuffle any per-type normalization pays. */
+    * immune where z-scoring is not). The division is the single IEEE
+    * op on exact integer ranks.
+    *
+    * NO type-partitioned window over the fact table (≤5 event types =
+    * ≤5 reducers at scale): the within-type rank decomposes as
+    * per-(type, value-range-bucket) row_number plus a broadcast
+    * prefix-count offset — the q145 idiom. Buckets are ORDER-
+    * CONTIGUOUS in value (64 range slices from a broadcast min/max),
+    * so bucket-local rank + offset IS the global within-type rank; the
+    * only type-partitioned window runs over the ≤64-row per-bucket
+    * count table. Ties share a value, hence a bucket, so the
+    * (value, event_id) tiebreak stays intact. */
   def q151QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val wR = Window.partitionBy("event_type")
-      .orderBy(col("value").cast("decimal(18,6)"), col("event_id"))
-    val wN = Window.partitionBy("event_type")
-    Tables.fanout(Tables.events(spark, dir)
+    val ev = Tables.fanout(Tables.events(spark, dir)
         .select("event_id", "event_type", "value"))
-      .withColumn("rn", row_number().over(wR))
-      .withColumn("n", count(lit(1)).over(wN))
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("v"))
+    val bounds = ev.groupBy("event_type")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+    val sh = ev.join(broadcast(bounds), "event_type")
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor(((col("v") - col("lo")) * 64) /
+            (col("hi") - col("lo"))).cast("long"), lit(63L))))
+    val wR = Window.partitionBy("event_type", "bkt")
+      .orderBy(col("v"), col("event_id"))
+    val wOff = Window.partitionBy("event_type").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sh.groupBy("event_type", "bkt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .select("event_type", "bkt", "off")
+    sh.join(broadcast(offs), Seq("event_type", "bkt"))
+      .withColumn("rn", col("off") + row_number().over(wR))
       .select(col("event_id"), col("event_type"),
         round((col("rn") - 1).cast("double") / (col("n") - 1), 6)
           .as("q_norm"))

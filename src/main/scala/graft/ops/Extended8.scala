@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** q158–q163 — round-5 batches 4–5, every one DuckDB-oracle checked:
   *
@@ -164,26 +165,79 @@ object Extended8 {
     * (count, sum, sum-of-squares), so the flag is bit-portable where
     * a float mean/stddev pipeline is not (IEEE sqrt is exact but the
     * accumulation ORDER of a float variance isn't; decimal sums are
-    * order-free). One partitioned window, frame excludes the current
-    * row; warmup gate n ≥ 30. */
+    * order-free). Frame excludes the current row; warmup gate n ≥ 30.
+    *
+    * NO type-partitioned window over the fact table (≤5 types = ≤5
+    * reducers at scale). The trailing frame is stitched from PREFIX
+    * sums instead: rows shard into 64 order-contiguous time blocks per
+    * type, within-block rank + cumulative (v, v²) plus a broadcast
+    * per-block offset give the exact within-type rank r and prefix
+    * sums P(r); then frame sums are pure decimal differences —
+    * S1 = P1(r−1) − P1(r−101) with P1(r−1) = p1 − v locally and the
+    * r−101 prefix fetched by ONE equi-join on the high-cardinality
+    * (type, rank) key. n = min(100, r−1) replays the frame row count
+    * exactly. Every window here partitions by (type, block) or runs
+    * on the ≤64-row block table; the fact table never funnels through
+    * a per-type reducer. */
   def q162RollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
-      .rowsBetween(-100, -1)
-    Tables.fanout(Tables.events(spark, dir)
+    // decimal(12,2), not (18,6): the sqrt-free test squares products
+    // of sums, and Spark's decimal typer reduces SCALE (rounding
+    // real digits) when a product's precision would exceed 38 — at
+    // scale 2 every intermediate fits at full scale, so the flag
+    // stays exact. The data is 2-decimal; the cast rounds identically
+    // on both engines either way.
+    val e = Tables.fanout(Tables.events(spark, dir)
         .select("event_id", "event_type", "value", "ts"))
-      // decimal(12,2), not (18,6): the sqrt-free test squares products
-      // of sums, and Spark's decimal typer reduces SCALE (rounding
-      // real digits) when a product's precision would exceed 38 — at
-      // scale 2 every intermediate fits at full scale, so the flag
-      // stays exact. The data is 2-decimal; the cast rounds identically
-      // on both engines either way.
       .select(col("event_id"), col("event_type"),
         col("value").cast("decimal(12,2)").as("v"),
         unix_micros(col("ts")).as("us"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("s1", sum("v").over(w))
-      .withColumn("s2", sum(col("v") * col("v")).over(w))
+      .pipe(ScaleOps.stageCheckpoint)
+    val bounds = e.groupBy("event_type")
+      .agg(min("us").as("lo"), max("us").as("hi"))
+    val sh = e.join(broadcast(bounds), "event_type")
+      // `div` keeps the block id in exact long arithmetic (`/` on
+      // longs is double division in Spark)
+      .withColumn("blk",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(expr("((us - lo) * 64L) div (hi - lo)"),
+            lit(63L))))
+      .drop("lo", "hi")
+    val wIn = Window.partitionBy("event_type", "blk")
+      .orderBy("us", "event_id")
+    val wCum = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy("event_type").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sh.groupBy("event_type", "blk")
+      .agg(count(lit(1)).as("nb"), sum("v").as("s1b"),
+        sum(col("v") * col("v")).as("s2b"))
+      .withColumn("offn", coalesce(sum("nb").over(wOff), lit(0L)))
+      .withColumn("offs1", coalesce(sum("s1b").over(wOff), lit(0)))
+      .withColumn("offs2", coalesce(sum("s2b").over(wOff), lit(0)))
+      .select("event_type", "blk", "offn", "offs1", "offs2")
+    val ranked = sh
+      .withColumn("rn", row_number().over(wIn))
+      .withColumn("c1", sum("v").over(wCum))
+      .withColumn("c2", sum(col("v") * col("v")).over(wCum))
+      .join(broadcast(offs), Seq("event_type", "blk"))
+      .select(col("event_id"), col("event_type"), col("v"),
+        (col("offn") + col("rn")).as("r"),
+        (col("offs1") + col("c1")).as("p1"),
+        (col("offs2") + col("c2")).as("p2"))
+      .pipe(ScaleOps.stageCheckpoint)
+    // row at rank x serves rank r = x + 101 as its P(r-101) prefix
+    val loL = ranked.select(col("event_type").as("lt"),
+      (col("r") + 101).as("lr"),
+      col("p1").as("lp1"), col("p2").as("lp2"))
+    ranked
+      .join(loL, col("event_type") === col("lt") && col("r") === col("lr"),
+        "left")
+      .withColumn("n", least(lit(100L), col("r") - 1))
       .filter(col("n") >= 30)
+      .withColumn("s1", (col("p1") - col("v") - coalesce(col("lp1"), lit(0)))
+        .cast("decimal(22,2)"))
+      .withColumn("s2",
+        (col("p2") - col("v") * col("v") - coalesce(col("lp2"), lit(0)))
+          .cast("decimal(35,4)"))
       .withColumn("dev", col("v") * col("n") - col("s1"))
       .filter(col("dev") > 0 &&
         col("dev") * col("dev") >
@@ -233,7 +287,11 @@ object Extended8 {
     * structure a decontamination service serves). Posting lists are
     * collected per GRAM — bounded by the df cap at 5 ids — so the
     * aggregate buffer is tiny by construction; grams explode
-    * per-doc-distinct and shuffle once on the gram key. */
+    * per-doc-distinct and shuffle once on the gram key. The posting
+    * list is published as a comma-joined STRING, not an array: the
+    * driver comparator hashes scalar columns only (the BASELINE.md
+    * output-type rule), and a sorted join is information-preserving
+    * for integer ids. */
   def q165InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
     Tables.fanout(Tables.documents(spark, dir).select("doc_id", "text"))
@@ -246,7 +304,8 @@ object Extended8 {
         .as("g"))
       .groupBy("g")
       .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(col("doc_id"))).as("postings"))
+        array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
       .filter(col("df") >= 2 && col("df") <= 5)
       .orderBy("g")
   }
@@ -323,7 +382,8 @@ object Extended8 {
         |                       x -> x <> '') AS t
         |    FROM documents)
         |  WHERE len(t) >= 3)
-        |SELECT g, count(*) AS df, list_sort(list(doc_id)) AS postings
+        |SELECT g, count(*) AS df,
+        |       array_to_string(list_sort(list(doc_id)), ',') AS postings
         |FROM gr GROUP BY g
         |HAVING count(*) BETWEEN 2 AND 5
         |ORDER BY g""".stripMargin,

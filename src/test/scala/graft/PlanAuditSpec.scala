@@ -17,6 +17,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *     tiny — a whitelist each entry of which documents WHY it is
   *     bounded. A global window over fact-table rows funnels the whole
   *     dataset through one reducer.
+  *  3. No window partitioned ONLY by a low-cardinality key (≤10
+  *     distinct values in this schema: return flags, event types,
+  *     sources, …) unless the windowed TABLE is itself provably tiny —
+  *     a ≤5-way partition over a fact table is a ≤5-reducer bottleneck
+  *     at 100×, exactly as bad as a global window. The scale-safe
+  *     idioms are per-(key, shard) windows plus a broadcast offset
+  *     table (ScaleOps.groupedShardedCumSum, q141/q151/q162).
   */
 class PlanAuditSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTest.session
@@ -52,6 +59,24 @@ class PlanAuditSpec extends AnyFunSuite {
       ("cumsum over the per-customer rollup, O(customers) not O(orders); " +
         "shard by rev range when customers outgrow a reducer"))
 
+  // columns with ≤10 distinct values in this schema (TESTDATA.md); a
+  // window partitioned by a subset of ONLY these keys caps parallelism
+  // at the key cardinality regardless of cluster size
+  private val lowCardCols = Set("l_returnflag", "l_linestatus",
+    "event_type", "source", "lang", "o_orderstatus", "o_orderpriority",
+    "l_shipmode", "variant", "split", "et", "flag")
+
+  // queries allowed a low-card-partitioned window, with the reason the
+  // windowed TABLE (not the partition count) is bounded
+  private val lowCardWindowWhitelist: Map[String, String] = Map(
+    "q141_weighted_median" ->
+      ("groupedShardedCumSum offset window: O(nShards)=32 rows per " +
+        "flag, not line items"),
+    "q151_quantile_normalize" ->
+      "per-bucket offset window: ≤64 rows per type, not events",
+    "q162_rolling_anomaly" ->
+      "per-block offset window: ≤64 rows per type, not events")
+
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val cartesians = fn(spark, dir).queryExecution.sparkPlan.collect {
@@ -69,6 +94,23 @@ class PlanAuditSpec extends AnyFunSuite {
       if (globalWindows.nonEmpty)
         assert(globalWindowWhitelist.contains(name),
           s"$name has an unpartitioned window not on the whitelist")
+    }
+  }
+
+  test("windows partitioned only by a ≤10-distinct key are whitelisted") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val offenders = fn(spark, dir).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(
+              _.references.iterator.forall(a => lowCardCols(a.name))) =>
+          w.partitionSpec.flatMap(_.references.iterator.map(_.name))
+      }
+      if (offenders.nonEmpty)
+        assert(lowCardWindowWhitelist.contains(name),
+          s"$name windows on low-cardinality keys alone " +
+            s"(${offenders.map(_.mkString(",")).mkString("; ")}) — " +
+            "≤10 reducers at scale; shard it (q145/q162 idiom) or " +
+            "whitelist with a boundedness reason")
     }
   }
 }
