@@ -22,34 +22,49 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val sc = spark.sparkContext
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // snapshot BEFORE the query: anything a query persists — including
-      // localCheckpoint blocks, which catalog.clearCache() can NOT free
-      // (they are RDD storage, not SQL cache; r4's bench showed 10-16x
-      // slowdowns on untouched queries from exactly this accumulation) —
-      // is unpersisted as a delta afterwards
-      val before = sc.getPersistentRDDs.keySet
-      val t0 = System.nanoTime()
-      // a crashed query reports -1, never its (near-zero) elapsed time —
-      // a failure must not read as "fast" in the emitted JSON
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries that persist intermediates must not tax their successors
-      spark.catalog.clearCache()
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!before.contains(id)) rdd.unpersist(blocking = true)
+    // BASELINE.md records 5–10× run-to-run variance from host CPU
+    // throttling: one multi-minute slow window lands on arbitrary
+    // queries and poisons cross-round comparison. Min-of-N (default 2)
+    // retires that ambiguity: a query's min over passes is its
+    // quiet-host time unless BOTH passes hit the throttle window.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    def onePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // snapshot BEFORE the query: anything a query persists — including
+        // localCheckpoint blocks, which catalog.clearCache() can NOT free
+        // (they are RDD storage, not SQL cache; r4's bench showed 10-16x
+        // slowdowns on untouched queries from exactly this accumulation) —
+        // is unpersisted as a delta afterwards
+        val before = sc.getPersistentRDDs.keySet
+        val t0 = System.nanoTime()
+        // a crashed query reports -1, never its (near-zero) elapsed time —
+        // a failure must not read as "fast" in the emitted JSON
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries that persist intermediates must not tax their successors
+        spark.catalog.clearCache()
+        sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before.contains(id)) rdd.unpersist(blocking = true)
+        }
+        (name, if (ok) dt else -1.0)
       }
-      (name, if (ok) dt else -1.0)
+    val passes = (1 to runs).map(_ => onePass())
+    // per-query min over successful passes; failed only if EVERY pass failed
+    val results = passes.head.map(_._1).map { name =>
+      val times = passes.flatMap(_.collectFirst {
+        case (`name`, t) if t >= 0 => t
+      })
+      (name, if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs":$runs}"""
     println(line)
     // also write the line to a dedicated file: the driver tail-captures
     // sbt stdout and has truncated the (long) JSON mid-line (BENCH_r03

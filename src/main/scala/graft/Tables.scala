@@ -23,16 +23,29 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's schema converter
-    * rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as LongType via the
-    * legacy conf and convert exactly with integer division (`DIV 1000`) —
-    * the driver data is microsecond-aligned, so no precision is lost. The
-    * conf is runtime-settable, so this works in any session the driver owns.
+  /** `events.ts` has shipped in two physical generations: parquet
+    * TIMESTAMP(NANOS) (which Spark's converter rejects —
+    * [PARQUET_TYPE_ILLEGAL] — unless read as LongType via the legacy conf)
+    * and plain `timestamp[us]` (TIMESTAMP_NTZ). Rather than assume one, we
+    * read with the legacy conf enabled (harmless for non-nanos files) and
+    * branch on the *loaded* type of `ts`, normalizing every generation to
+    * session-TZ TimestampType so downstream queries see one stable schema:
+    *   - LongType        → nanos-as-long; exact µs via integer `DIV 1000`
+    *   - TimestampNTZType→ cast to timestamp (session TZ is pinned UTC in
+    *                       every entrypoint, so the cast is value-identity)
+    *   - TimestampType   → already normalized.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = load(spark, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(s"events.ts: unexpected storage type $other")
+    }
   }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import scala.collection.mutable.ArrayBuffer
+
+/** BPE tokenizer TRAINING as a Spark job (SURVEY §7.4c: the last named
+  * LLM-pipeline operator family).
+  *
+  * Shape for 100 TB: the corpus is touched exactly ONCE (the word-frequency
+  * aggregate — a map-side-combined groupBy whose output is VOCAB-sized, not
+  * corpus-sized). Every merge round after that runs over the vocab table
+  * only: one explode-pairs + groupBy job whose result is reduced to a
+  * SINGLE collected row (the argmax pair — the kmeansFit pattern,
+  * [[graft.ops.Clustering]]: driver-held model state, bounded collects,
+  * one job per round). The merge table lives on the driver (numMerges
+  * rows — model-sized, not data-sized) and the evolving word-symbol table
+  * stays distributed and persisted between rounds, with lineage truncated
+  * via localCheckpoint every few rounds so round r's plan does not replay
+  * rounds 0..r−1.
+  *
+  * Conventions (documented, pinned by BpeSpec):
+  *  - words = portable tokenization (lower, split on [^a-z]+) — the same
+  *    family every text operator here uses, so the first-round pair table
+  *    is DuckDB-reproducible (q170's oracle).
+  *  - no end-of-word marker symbol; pairs are counted at every adjacent
+  *    position (overlaps included — "aaaa" counts (a,a) three times), the
+  *    classic counting rule.
+  *  - argmax tiebreak: highest count, then (l, r) lexicographic — total
+  *    order, so training is deterministic on both engines.
+  *  - merge application is greedy leftmost-first within each word.
+  */
+object BpeOps {
+
+  /** (w, cnt): corpus word-frequency table — the single corpus-sized job. */
+  private[ops] def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent-pair counts over a (syms, cnt) symbol table: explode the
+    * size−1 adjacent positions, weight by word frequency. Pure codegen
+    * (no UDF) — transform/sequence/element_at — and the groupBy carries
+    * only (symbol, symbol, long). */
+  private[ops] def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("syms")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("l"),
+          element_at(col("syms"), i + 1).as("r")))).as("p"), col("cnt"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Train `numMerges` BPE merges over a corpus with a `text` column.
+    * Returns the driver-assembled merge table (rank, l, r, cnt) in merge
+    * order; stops early if no pair remains. */
+  def fit(docs: DataFrame, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var state = wordFreq(docs)
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .persist()
+    state.count()
+    val merges = ArrayBuffer[(Int, String, String, Long)]()
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val top = pairCounts(state)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val l = top(0).getString(0)
+        val rt = top(0).getString(1)
+        val c = top(0).getLong(2)
+        merges += ((r, l, rt, c))
+        // one narrow vocab-sized map: rewrite each word's symbol array,
+        // greedy leftmost-first. A UDF is acceptable here — the input is
+        // the vocab table, not the corpus, and the rewrite is inherently
+        // imperative (overlap semantics).
+        val mergeUdf = udf { (syms: Seq[String]) =>
+          val out = ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rt) {
+              out += (l + rt); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq
+        }
+        var next = state.select(mergeUdf(col("syms")).as("syms"), col("cnt"))
+        // truncate lineage periodically: without this, round r's plan
+        // nests r UDF projections and analysis cost grows linearly
+        if ((r + 1) % 8 == 0) next = next.localCheckpoint(true)
+        next = next.persist()
+        next.count()
+        state.unpersist()
+        state = next
+      }
+      r += 1
+    }
+    state.unpersist()
+    merges.toSeq.toDF("rank", "l", "r", "cnt")
+  }
+
+  /** q170 — BPE first merge step, oracle-checked: the round-0 adjacent
+    * CHARACTER-pair count table (top 20 by count desc, then pair), the
+    * exact argmax input of [[fit]]'s first round. DuckDB reproduces it
+    * with substr-pair extraction over the same word-frequency table. */
+  def q170BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = wordFreq(
+      Tables.fanout(Tables.documents(spark, dir).select("text")))
+    pairCounts(words.select(split(col("w"), "").as("syms"), col("cnt")))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(20)
+  }
+
+  /** q171 — BPE training end-to-end: 20 merges over the documents table.
+    * Rows-only in t2 (the loop composes rounds — no SQL oracle); BpeSpec
+    * pins the laws (row 0 ≡ q170's argmax; exact merge table on a
+    * hand-computable corpus; symbol-count bookkeeping). */
+  def q171BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    fit(Tables.fanout(Tables.documents(spark, dir).select("text")), 20)
+      .orderBy("rank")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_bpe_pairs" -> (q170BpePairs _),
+    "q171_bpe_train" -> (q171BpeTrain _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q170_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |words AS (SELECT w, count(*) AS cnt FROM toks WHERE w <> '' GROUP BY w),
+        |pairs AS (SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, cnt
+        |  FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM words)),
+        |agg AS (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pairs GROUP BY l, r)
+        |SELECT l, r, cnt FROM agg ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin)
+}

@@ -130,14 +130,54 @@ object Extended4 {
     * the unique key makes tiling deterministic), then per-tile count /
     * min / max. Equi-WIDTH (q66) answers "how many per range";
     * equi-DEPTH answers "what range per quantile" — the form optimizers
-    * and data-drift monitors keep. The window partitions by priority:
-    * never a global window. */
+    * and data-drift monitors keep. Exact ntile semantics, computed from
+    * a sharded global rank so no ≤5-reducer window touches the fact
+    * table (see body comment). */
   def q124EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy("o_totalprice", "o_orderkey")
-    Tables.orders(spark, dir)
+    // A direct ntile(10) OVER (PARTITION BY o_orderpriority ...) funnels
+    // the whole orders table through ≤5 reducers — the exact shape the
+    // round-6 plan audit forbids (PlanAuditSpec). Rewritten on the
+    // q141/q151/q162 sharded-rank idiom: price-range shards give a
+    // per-(priority, shard) row_number (high-cardinality window), a
+    // broadcast ≤5×33-row offset table lifts it to the exact global rank,
+    // and ntile's bucket assignment is a closed-form map over (rank, cnt)
+    // — first cnt%10 tiles hold ⌈cnt/10⌉ rows, the rest ⌊cnt/10⌋ —
+    // so no low-cardinality window ever touches the fact table.
+    val nShards = 32
+    val df = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("decile", ntile(10).over(w))
+      .persist()
+    val bounds = df.groupBy("o_orderpriority")
+      .agg(min(col("o_totalprice").cast("double")).as("__lo"),
+        max(col("o_totalprice").cast("double")).as("__hi"),
+        count(lit(1)).as("__cnt"))
+      .withColumn("__width",
+        greatest((col("__hi") - col("__lo")) / nShards, lit(1e-9)))
+    // shard is monotone in price and constant on price ties, so
+    // (shard, price, orderkey) order ≡ (price, orderkey) order
+    val sharded = df.join(broadcast(bounds), "o_orderpriority")
+      .withColumn("__shard", least(
+        floor((col("o_totalprice").cast("double") - col("__lo")) / col("__width")),
+        lit(nShards.toLong)))
+    val wIn = Window.partitionBy("o_orderpriority", "__shard")
+      .orderBy("o_totalprice", "o_orderkey")
+    val wOff = Window.partitionBy("o_orderpriority").orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("o_orderpriority", "__shard")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__offset", coalesce(sum("__c").over(wOff), lit(0L)))
+      .select(col("o_orderpriority"), col("__shard"), col("__offset"))
+    val tiles = lit(10L)
+    val qq = floor(col("__cnt") / tiles)          // small-tile size
+    val rem = col("__cnt") % tiles                // number of big tiles
+    val big = qq + 1                              // big-tile size
+    val rank = col("__offset") + col("__rn")
+    val decile = when(rank <= big * rem, floor((rank - 1) / big) + 1)
+      .otherwise(rem + floor((rank - big * rem - 1) / qq) + 1)
+    sharded
+      .withColumn("__rn", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("o_orderpriority", "__shard"))
+      .withColumn("decile", decile.cast("int"))
       .groupBy("o_orderpriority", "decile")
       .agg(count(lit(1)).as("n"),
         min("o_totalprice").as("lo"),

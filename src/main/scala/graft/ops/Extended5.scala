@@ -218,14 +218,18 @@ object Extended5 {
     * integer arithmetic ((n+4) div 5), never n*0.2 — a float fraction
     * so close to a boundary that 1 ulp flips the ceil would silently
     * change the sample size. Complements q126 (fixed cap) and q122
-    * (PPS): this one preserves stratum PROPORTIONS. */
+    * (PPS): this one preserves stratum PROPORTIONS.
+    *
+    * Rank and stratum size both come WITHOUT a lang-partitioned window
+    * over documents (a ≤10-reducer scale-killer, PlanAuditSpec):
+    * [[ScaleOps.shardedMd5Rank]] decomposes the rank md5-prefix-wise
+    * and n_lang is a broadcast aggregate join. */
   def q136StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val wC = Window.partitionBy("lang")
-    val wR = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Tables.fanout(Tables.documents(spark, dir).select("doc_id", "lang"))
-      .withColumn("n_lang", count(lit(1)).over(wC))
-      .withColumn("rnk", row_number().over(wR))
+    val d = Tables.fanout(Tables.documents(spark, dir)
+      .select("doc_id", "lang"))
+    val totals = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    ScaleOps.shardedMd5Rank(d, "lang", "doc_id")
+      .join(broadcast(totals), "lang")
       // `div`, not `/`: Spark's / on longs is double division and a
       // sample boundary must never be decided by a float
       .filter(col("rnk") <= expr("(n_lang + 4) div 5"))

@@ -320,8 +320,9 @@ object Extended8 {
     * is exactly rounded, so both engines floor the same double);
     * budgets are B·w_s div W in pure integer arithmetic — no float
     * share ever decides a boundary. Scale: counts are stats-sized;
-    * the draw is the q126/q136 md5-rank window on the source
-    * partition key. */
+    * the draw is [[ScaleOps.shardedMd5Rank]] — per-source md5 rank
+    * without a source-partitioned window over documents (≤10 reducers
+    * otherwise; PlanAuditSpec forbids it). */
   def q166TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
     val budgetTotal = 100L
     val d = Tables.fanout(Tables.documents(spark, dir)
@@ -333,10 +334,8 @@ object Extended8 {
       .select(col("source"), col("n_s"),
         least(expr(s"($budgetTotal * w) div w_tot"), col("n_s"))
           .as("budget"))
-    val wR = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    d.join(broadcast(budgets), "source")
-      .withColumn("rnk", row_number().over(wR))
+    ScaleOps.shardedMd5Rank(d, "source", "doc_id")
+      .join(broadcast(budgets), "source")
       .filter(col("rnk") <= col("budget"))
       .select(col("source"), col("doc_id"), col("rnk"), col("budget"))
       .orderBy("source", "rnk")

@@ -133,6 +133,44 @@ object ScaleOps {
       .drop("__shard", "__lo", "__width", "__within", "__offset")
   }
 
+  /** Per-stratum deterministic md5 rank WITHOUT a per-stratum window —
+    * the scalable form of `row_number() OVER (PARTITION BY stratum ORDER
+    * BY md5(id), id)` when `stratum` is low-cardinality (lang, source):
+    * the direct window funnels every stratum through one reducer. The
+    * md5 hex prefix shards each stratum 32 ways — lexicographic md5
+    * order is consistent with the numeric value of its first two hex
+    * chars, so (shard, md5, id) order ≡ (md5, id) order and the global
+    * rank decomposes into a per-(stratum, shard) row_number plus a
+    * broadcast offset from the ≤ strata×32-row shard-count table (the
+    * only remaining stratum-partitioned window runs on THAT table —
+    * bounded, whitelisted in PlanAuditSpec). Ranks are IDENTICAL to the
+    * direct window's (md5(id) with unique id gives a total order;
+    * ScaleSpec pins the identity). Adds `rankName` (int, to match
+    * row_number) and leaves input columns untouched. */
+  def shardedMd5Rank(df0: DataFrame, stratum: String, idCol: String,
+      rankName: String = "rnk", nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(256 % nShards == 0 && nShards <= 256,
+      s"nShards must divide 256: $nShards")
+    val df = (if (df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df0.persist() else df0)
+      .withColumn("__md5", md5(col(idCol).cast("string")))
+      .withColumn("__shard",
+        floor(conv(substring(col("__md5"), 1, 2), 16, 10).cast("int")
+          / (256 / nShards)).cast("int"))
+    val wIn = Window.partitionBy(stratum, "__shard").orderBy("__md5", idCol)
+    val wOff = Window.partitionBy(stratum).orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(stratum, "__shard")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(wOff), lit(0L)))
+      .select(col(stratum), col("__shard"), col("__off"))
+    df.withColumn("__rn", row_number().over(wIn))
+      .join(broadcast(offsets), Seq(stratum, "__shard"))
+      .withColumn(rankName, (col("__off") + col("__rn")).cast("int"))
+      .drop("__md5", "__shard", "__rn", "__off")
+  }
+
   /** Stage-boundary materialization for iterative/deep-lineage
     * pipelines (epoch stages, Lloyd's rounds, star-CC rounds).
     *

@@ -663,31 +663,99 @@ object Similarity {
     * token-distribution bias. Shingles (~|vocab|³ space) keep random
     * docs at hamming ≈ 32 while near-identical docs stay ≤ 7.
     *
-    * The fingerprint is computed in one compiled pass per document
-    * ([[simhashUdf]]) and shuffles as one long. Planted positives:
+    * Declared on the PORTABLE md5 bit family (SURVEY §7.4c: md5-bit
+    * voting): bit j of a shingle's feature vector is bit (3 − j mod 4)
+    * of hex nibble ⌊j/4⌋ of md5(shingle)'s first 16 hex chars — exactly
+    * reproducible in DuckDB via strpos-nibble arithmetic, so q41 is
+    * hash-compared end-to-end (candidates AND hamming) instead of
+    * rows-only. The 16 nibbles are materialized in a projection BEFORE
+    * the 64-sum vote aggregate (the q25 lesson: don't recompute the
+    * hash inside every aggregate expression); the aggregate is a pure
+    * codegen HashAggregate with map-side partials, and only 64 ints per
+    * doc cross the shuffle. The splitmix64 [[simhashUdf]] stays the
+    * fast default API ([[simhashFingerprint]]). Planted positives:
     * 1-token-suffix copies (vote shift ≤ 3 per bit). */
   def q41SimHash(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select("doc_id", "text")
     val corpus = Tables.fanout(base.unionByName(base.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" zz")).as("text"))))
-    val sigs = corpus
-      .select(col("doc_id"), simhashUdf(col("text")).as("fp")).persist()
-    val bands = sigs.select(col("doc_id"), col("fp"),
+    val ex = portableShingleRows(corpus)
+    val nib = ex.select((col("doc_id") +: (0 until 16).map(i =>
+      conv(substring(md5(col("s")), i + 1, 1), 16, 10).cast("int")
+        .as(s"n$i"))): _*)
+    val voteAggs = (0 until 64).map { j =>
+      sum(shiftright(col(s"n${j / 4}"), 3 - j % 4).bitwiseAND(1) * 2 - 1)
+        .as(s"v$j")
+    }
+    val votes = nib.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    // fstr (the 64-char bitstring) drives band keys — identical substring
+    // math on both engines; fp (the same bits packed in a long) drives
+    // the compiled hamming on the Spark side only.
+    val sig = votes.select(col("doc_id"),
+      concat((0 until 64).map(j =>
+        when(col(s"v$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("fstr"),
+      (0 until 64).map(j =>
+        when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("fp")).persist()
+    val bands = sig.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 8).map(b =>
-        shiftright(col("fp"), b * 8).bitwiseAND(255)): _*))
-        .as(Seq("band_idx", "band_val")))
-    val a = bands.select(col("band_idx"), col("band_val"),
+        substring(col("fstr"), b * 8 + 1, 8)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val a = bands.select(col("band_idx"), col("band_key"),
       col("doc_id").as("a_id"), col("fp").as("fp_a"))
-    val b = bands.select(col("band_idx"), col("band_val"),
+    val b = bands.select(col("band_idx"), col("band_key"),
       col("doc_id").as("b_id"), col("fp").as("fp_b"))
-    a.join(b, Seq("band_idx", "band_val"))
+    a.join(b, Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int")
+          .as("hamming"))
       .filter(col("hamming") <= 7)
       .distinct()
       .orderBy("a_id", "b_id")
+  }
+
+  /** DuckDB twin of [[q41SimHash]]: same shingles, same md5 nibble→bit
+    * extraction (strpos on the hex alphabet ≡ Spark's conv(_,16,10)),
+    * same sign-vote fingerprint as a 64-char bitstring, same 8×8 band
+    * join; hamming recomputed as 64 per-position char comparisons. */
+  private[ops] def q41OracleSql: String = {
+    val sums = (0 until 64).map { j =>
+      s"SUM(2 * ((((strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) >> ${3 - j % 4}) & 1)) - 1) AS v$j"
+    }.mkString(", ")
+    val fstr = (0 until 64).map(j =>
+      s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val ham = (0 until 64).map(j =>
+      s"CASE WHEN substr(fa, ${j + 1}, 1) <> substr(fb, ${j + 1}, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text FROM documents),
+       |toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+       |  FROM corpus),
+       |shing AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+       |      list_transform(generate_series(1, len(t) - 2),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [array_to_string(t, ' ')] END AS sh FROM toks),
+       |ex AS (SELECT doc_id, s FROM
+       |    (SELECT doc_id, unnest(sh) AS s FROM shing) WHERE s IS NOT NULL),
+       |hx AS (SELECT doc_id, substr(md5(s), 1, 16) AS h FROM ex),
+       |v AS (SELECT doc_id, $sums FROM hx GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $fstr AS fstr FROM v),
+       |bands AS (SELECT doc_id, fstr, b.band_idx,
+       |    substr(fstr, b.band_idx * 8 + 1, 8) AS band_key
+       |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS band_idx) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.fstr AS fa, b.fstr AS fb
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |ham AS (SELECT a_id, b_id, CAST($ham AS INT) AS hamming FROM cand)
+       |SELECT a_id, b_id, hamming FROM ham
+       |WHERE hamming <= 7 ORDER BY a_id, b_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q42
@@ -927,10 +995,12 @@ object Similarity {
     "q153_incremental_dedup" -> (q153IncrementalDedup _),
     "q164_dup_clusters" -> (q164DupClusters _))
 
-  /** q25/q42 via the portable md5 MinHash family; q38/q39/q41/q45 stay
-    * rows-only (float sketches aren't SQL-portable), spec-pinned. */
+  /** q25/q42 via the portable md5 MinHash family, q41 via the portable
+    * md5-bit-vote SimHash family; q38/q39/q45 stay rows-only (float
+    * sketches aren't SQL-portable), spec-pinned. */
   val oracleSql: Map[String, String] = Map(
     "q25_near_dup" -> q25OracleSql,
+    "q41_simhash" -> q41OracleSql,
     "q42_ngram_jaccard" -> q42OracleSql,
     "q153_incremental_dedup" -> q153OracleSql,
     "q164_dup_clusters" -> q164OracleSql,

@@ -213,13 +213,67 @@ object StreamingOps {
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("segment"))
 
+  /** q172 — a REAL Structured Streaming run, oracle-checked: the events
+    * table replayed through `readStream` with `Trigger.AvailableNow`
+    * into the q28 tumbling aggregation and a memory sink, returned as
+    * the finished batch result. AvailableNow processes everything
+    * available then stops — the incremental-backfill posture (at scale:
+    * the same code runs unbounded with the watermark bounding state;
+    * here Complete mode emits every window, so the finished result is
+    * EXACTLY q28's batch answer and shares its DuckDB oracle — the
+    * driver's t2 hash-compare therefore covers the streaming path
+    * end-to-end, not just spec assertions). Checkpoint lives in a fresh
+    * java.io.tmpdir directory (no driver contract needed; AvailableNow
+    * finishes, so the checkpoint is single-use by construction). */
+  def q172StreamingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source requires a DIRECTORY; glob-filter it down
+    // to the events table so sibling tables don't enter the stream
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // same two-generation normalization contract as Tables.events
+    val ev = schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+    val agg = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-q172").toString
+    val memName = "q172_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val sq = agg.writeStream.format("memory").queryName(memName)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    spark.table(memName)
+      .select(unix_micros(col("w.start")).as("ws_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("ws_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_tumbling" -> (q28Tumbling _),
     "q29_sliding" -> (q29Sliding _),
-    "q30_session" -> (q30Session _))
+    "q30_session" -> (q30Session _),
+    "q172_streaming_availablenow" -> (q172StreamingAvailableNow _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_tumbling" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY ws_us""".stripMargin,
+    // the streaming run finishes with exactly the batch answer (Complete
+    // mode, AvailableNow) — same oracle as q28
+    "q172_streaming_availablenow" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

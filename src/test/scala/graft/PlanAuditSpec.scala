@@ -74,8 +74,18 @@ class PlanAuditSpec extends AnyFunSuite {
         "flag, not line items"),
     "q151_quantile_normalize" ->
       "per-bucket offset window: ≤64 rows per type, not events",
+    "q124_equidepth_hist" ->
+      ("sharded-rank offset window: ≤5×33 shard-count rows per " +
+        "priority, not orders"),
     "q162_rolling_anomaly" ->
-      "per-block offset window: ≤64 rows per type, not events")
+      "per-block offset window: ≤64 rows per type, not events",
+    "q132_ks_drift" ->
+      ("per-source CDF windows run on the densified stats grid " +
+        "(sources × distinct n_chars values), never on documents"),
+    "q136_stratified_sample" ->
+      "shardedMd5Rank offset window: ≤ langs×32 shard-count rows, not documents",
+    "q166_temperature_sample" ->
+      "shardedMd5Rank offset window: ≤ sources×32 shard-count rows, not documents")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -47,6 +47,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("shardedMd5Rank equals the direct per-stratum md5 window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select("doc_id", "lang")
+    val direct = d.withColumn("rnk", row_number().over(
+      Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .select("doc_id", "lang", "rnk")
+      .orderBy("lang", "rnk").collect().map(_.toSeq).toSeq
+    val sharded = ScaleOps.shardedMd5Rank(d, "lang", "doc_id")
+      .select("doc_id", "lang", "rnk")
+      .orderBy("lang", "rnk").collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty && sharded == direct)
+  }
+
   test("packSequencesGrouped equals per-group packSequences") {
     import org.apache.spark.sql.functions._
     val tok = Tables.documents(spark, dir).select("doc_id", "text")

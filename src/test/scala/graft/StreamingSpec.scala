@@ -40,6 +40,15 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q172 AvailableNow file-stream run equals batch q28 exactly") {
+    val streamed = StreamingOps
+      .q172StreamingAvailableNow(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = StreamingOps.q28Tumbling(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup drops within-watermark repeats, keeps distinct keys") {
     val input = MemoryStream[EventIn](spark)
     val q = StreamingOps.streamingDedup(input.toDF())
