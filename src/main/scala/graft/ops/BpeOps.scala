@@ -123,9 +123,32 @@ object BpeOps {
     fit(Tables.fanout(Tables.documents(spark, dir).select("text")), 20)
       .orderBy("rank")
 
+  /** q173 — BPE encode step, oracle-checked: corpus token totals before /
+    * after applying the FIRST merge (the argmax pair from q170, computed
+    * in-query as a 1-row broadcast). Applying one CHARACTER-pair merge is
+    * exactly leftmost non-overlapping `replace` — the same semantics in
+    * Spark and DuckDB — so "token count decreases by the number of merge
+    * applications" becomes a hash-compared law, not just a spec one. */
+  def q173BpeEncodeStep(spark: SparkSession, dir: String): DataFrame = {
+    val words = wordFreq(
+      Tables.fanout(Tables.documents(spark, dir).select("text")))
+    val top = pairCounts(
+      words.select(split(col("w"), "").as("syms"), col("cnt")))
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+      .select(concat(col("l"), col("r")).as("pair"))
+    words.crossJoin(broadcast(top))
+      .select(col("cnt"), length(col("w")).cast("long").as("len"),
+        expr("(length(w) - length(replace(w, pair, ''))) div 2")
+          .cast("long").as("occ"))
+      .agg(sum(col("cnt") * col("len")).as("tokens_before"),
+        sum(col("cnt") * (col("len") - col("occ"))).as("tokens_after"),
+        sum(col("cnt") * col("occ")).as("n_merged"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_bpe_pairs" -> (q170BpePairs _),
-    "q171_bpe_train" -> (q171BpeTrain _))
+    "q171_bpe_train" -> (q171BpeTrain _),
+    "q173_bpe_encode_step" -> (q173BpeEncodeStep _))
 
   val oracleSql: Map[String, String] = Map(
     "q170_bpe_pairs" ->
@@ -135,5 +158,19 @@ object BpeOps {
         |pairs AS (SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, cnt
         |  FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM words)),
         |agg AS (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pairs GROUP BY l, r)
-        |SELECT l, r, cnt FROM agg ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin)
+        |SELECT l, r, cnt FROM agg ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
+    "q173_bpe_encode_step" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |words AS (SELECT w, count(*) AS cnt FROM toks WHERE w <> '' GROUP BY w),
+        |pairs AS (SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, cnt
+        |  FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM words)),
+        |agg AS (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pairs GROUP BY l, r),
+        |top AS (SELECT l || r AS pair FROM agg ORDER BY cnt DESC, l, r LIMIT 1)
+        |SELECT
+        |  CAST(SUM(cnt * length(w)) AS BIGINT) AS tokens_before,
+        |  CAST(SUM(cnt * (length(w)
+        |    - (length(w) - length(replace(w, pair, ''))) // 2)) AS BIGINT) AS tokens_after,
+        |  CAST(SUM(cnt * ((length(w) - length(replace(w, pair, ''))) // 2)) AS BIGINT) AS n_merged
+        |FROM words, top""".stripMargin)
 }

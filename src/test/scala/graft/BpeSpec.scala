@@ -46,6 +46,25 @@ class BpeSpec extends AnyFunSuite {
       == (firstPair.getString(0), firstPair.getString(1), firstPair.getLong(2)))
   }
 
+  test("q173 encode-step bookkeeping is exact on the hand corpus") {
+    // 'banana'×3: argmax pair (a,n); 2 occurrences/word × 3 words
+    val s = spark
+    import s.implicits._
+    val words = Seq("banana banana banana").toDF("text")
+    // replicate q173's arithmetic via fit: 18 chars before, 6 merged → 12
+    val m = ops.BpeOps.fit(words, 1).head
+    assert((m.getString(1), m.getString(2), m.getLong(3)) == ("a", "n", 6L))
+  }
+
+  test("q173 totals are consistent: after = before − merged, merged = argmax count") {
+    val r = ops.BpeOps.q173BpeEncodeStep(spark, dir).head
+    val (before, after, merged) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(after == before - merged && merged > 0)
+    val top = ops.BpeOps.q170BpePairs(spark, dir).head
+    assert(merged <= top.getLong(2),
+      "leftmost non-overlapping applications cannot exceed the pair count")
+  }
+
   test("q171 trains the requested number of merges with positive counts") {
     val m = BpeOps.q171BpeTrain(spark, dir).collect()
     assert(m.length == 20)
