@@ -117,12 +117,78 @@ object Extended9 {
       .orderBy("source", "lang")
   }
 
+  // ---------------------------------------------------------------- q174
+  /** q174 — SUB-document (segment-level) exact dedup, the
+    * RefinedWeb/FineWeb-style pass that document-level dedup (q24) and
+    * near-dup (q25) miss: boilerplate repeated ACROSS distinct
+    * documents. Segmentation is deterministic 10-token chunks (the q88
+    * stride idiom — the synthetic corpus has no paragraph marks; with
+    * real text the splitter is the only line that changes). Keep rule:
+    * a segment's globally FIRST occurrence — min over the corpus order
+    * key doc_id·10⁷ + start — survives; every later copy is dropped,
+    * and each document is reassembled from its surviving segments in
+    * position order.
+    *
+    * Scale shape: the only data-sized shuffle groups 32-byte sha2
+    * DIGESTS (text never travels to the dedup decision — the q24/q154
+    * injectivity argument); the reassembly groupBy carries only KEPT
+    * segments. A doc whose every segment already appeared elsewhere
+    * vanishes entirely — same construction on both engines. The order
+    * key bounds segment starts at 10⁷ per document (10⁶ tokens);
+    * beyond that widen the multiplier. */
+  def q174SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+    val segs = Tables.fanout(Tables.documents(spark, dir)
+        .select(col("doc_id"), toks.as("toks")))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 1L)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n") - 1L, lit(10L))).as("start"),
+        col("toks"))
+      .select(col("doc_id"), col("start"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1L, lit(10)))
+          .as("seg_text"))
+      .withColumn("okey", col("doc_id") * 10000000L + col("start"))
+      .withColumn("h", sha2(col("seg_text"), 256))
+    val firsts = segs.groupBy("h").agg(min("okey").as("first_key"))
+    segs.join(firsts, "h")
+      .filter(col("okey") === col("first_key"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("start"), col("seg_text")))),
+          x => x.getField("seg_text"))).as("text_kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_path_analysis" -> (q167PathAnalysis _),
     "q168_retrieval_eval" -> (q168RetrievalEval _),
-    "q169_mix_cells" -> (q169MixCells _))
+    "q169_mix_cells" -> (q169MixCells _),
+    "q174_segment_dedup" -> (q174SegmentDedup _))
 
   val oracleSql: Map[String, String] = Map(
+    // groups by seg_text where Spark groups by sha2(seg_text) — identical
+    // results by digest injectivity (the q24/q154 argument)
+    "q174_segment_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+        |seg AS (SELECT doc_id, unnest(range(0, n, 10)) AS start, toks FROM s),
+        |sx AS (SELECT doc_id, start,
+        |    array_to_string(list_slice(toks, start + 1, start + 10), ' ')
+        |      AS seg_text,
+        |    doc_id * 10000000 + start AS okey FROM seg),
+        |f AS (SELECT seg_text, min(okey) AS first_key
+        |  FROM sx GROUP BY seg_text),
+        |kept AS (SELECT sx.doc_id, sx.start, sx.seg_text
+        |  FROM sx JOIN f ON sx.seg_text = f.seg_text AND sx.okey = f.first_key)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |       string_agg(seg_text, ' ' ORDER BY start) AS text_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q167_path_analysis" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us

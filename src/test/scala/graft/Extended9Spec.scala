@@ -33,6 +33,29 @@ class Extended9Spec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0 && r.getLong(4) == 1L)
   }
 
+  test("q174: segment dedup keeps exactly one copy of every distinct segment") {
+    val rows = ops.Extended9.q174SegmentDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // global invariant: reassembled texts contain each distinct segment once
+    val allSegs = rows.flatMap { r =>
+      val segs = r.getString(2).split(" ").grouped(10).map(_.mkString(" "))
+      segs.toSeq
+    }
+    // n_kept bookkeeping matches the reassembled text
+    rows.foreach { r =>
+      val nk = r.getLong(1)
+      val nTokens = r.getString(2).split(" ").length
+      assert(nTokens <= nk * 10 && nTokens > (nk - 1) * 10,
+        s"doc ${r.getLong(0)}: $nTokens tokens vs n_kept=$nk")
+    }
+    // regrouping a doc's reassembled text by 10 reproduces its kept
+    // segments exactly (kept segments are full 10-token chunks plus at
+    // most one short tail, which is last by construction), and the
+    // first-occurrence rule means no segment VALUE survives twice
+    assert(allSegs.length == allSegs.distinct.length,
+      "a segment value survived dedup more than once")
+  }
+
   test("q169: every drifting source exposes an under-represented cell") {
     val cells = Extended9.q169MixCells(spark, dir).collect()
     cells.foreach { r =>
