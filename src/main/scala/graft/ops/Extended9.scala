@@ -150,8 +150,11 @@ object Extended9 {
           .as("seg_text"))
       .withColumn("okey", col("doc_id") * 10000000L + col("start"))
       .withColumn("h", sha2(col("seg_text"), 256))
-    val firsts = segs.groupBy("h").agg(min("okey").as("first_key"))
-    segs.join(firsts, "h")
+    // per-digest min as a WINDOW, not an aggregate+self-join: one shuffle
+    // on the high-cardinality digest key, one scan+tokenize of documents
+    // (the join form read and tokenized the corpus twice — plan-audited)
+    val wH = Window.partitionBy("h")
+    segs.withColumn("first_key", min("okey").over(wH))
       .filter(col("okey") === col("first_key"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
