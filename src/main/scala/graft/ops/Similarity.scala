@@ -296,11 +296,16 @@ object Similarity {
     array((0 until 4).map(b =>
       md5(array_join(slice(sig, b * 4 + 1, 4), ""))): _*)
 
-  /** Shared DuckDB CTE prefix for the q25/q42 oracles: planted corpus →
+  /** Shared DuckDB CTE prefix for the q25/q42/q175 oracles: corpus →
     * tokens → 3-shingles → md5 MinHash components + distinct shingle-md5
     * set → band keys → candidate pairs. Mirrors [[portableSigs]] +
-    * [[portableBandKeys]] step for step. */
-  private def portableOracleCtes: String = {
+    * [[portableBandKeys]] step for step. `corpusCte` defaults to the
+    * planted q25/q42 corpus; q175 passes the raw documents table. */
+  private def portableOracleCtes(
+      corpusCte: String = """  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         text || ' planted near duplicate suffix' AS text FROM documents""".stripMargin): String = {
     // mirrors portableSigs' word-sliced family: component (j,w) =
     // min over shingles of substr(md5(j ':' s), w*8+1, 8)
     val minCols = (for { j <- 0 until 4; w <- 0 until 4 } yield
@@ -310,10 +315,7 @@ object Similarity {
       s"WHEN $b THEN md5(${(b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || ")})")
       .mkString(" ")
     s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id,
-       |         text || ' planted near duplicate suffix' AS text FROM documents),
+       |$corpusCte),
        |toks AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
        |  FROM corpus),
@@ -336,7 +338,7 @@ object Similarity {
   private[ops] def q25OracleSql: String = {
     val matches = (0 until K).map(i =>
       s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""$portableOracleCtes,
+    s"""${portableOracleCtes()},
        |est AS (SELECT c.a_id, c.b_id, round(($matches) / 16.0, 6) AS est_jaccard
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
        |              JOIN sig sb ON sb.doc_id = c.b_id)
@@ -345,7 +347,7 @@ object Similarity {
   }
 
   private[ops] def q42OracleSql: String =
-    s"""$portableOracleCtes,
+    s"""${portableOracleCtes()},
        |jac AS (SELECT c.a_id, c.b_id,
        |    round(len(list_intersect(sa.hset, sb.hset)) /
        |      (len(sa.hset) + len(sb.hset)
@@ -854,7 +856,7 @@ object Similarity {
   private[ops] def q153OracleSql: String = {
     val matches = (0 until K).map(i =>
       s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""$portableOracleCtes,
+    s"""${portableOracleCtes()},
        |inc AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
        |    round(($matches) / 16.0, 6) AS est_jaccard
        |  FROM bands n
@@ -897,7 +899,7 @@ object Similarity {
   private[ops] def q164OracleSql: String = {
     val matches = (0 until K).map(i =>
       s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""$portableOracleCtes,
+    s"""${portableOracleCtes()},
        |est AS (SELECT c.a_id, c.b_id, round(($matches) / 16.0, 6) AS ej
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
        |              JOIN sig sb ON sb.doc_id = c.b_id),
@@ -969,6 +971,64 @@ object Similarity {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------- q175
+  /** q175 — cross-source duplication matrix: which SOURCES copy from
+    * each other. The q25 near-dup machinery runs on the RAW documents
+    * table (no planted twins — the organic near-dups are the signal),
+    * surviving pairs join the doc→source map, and the matrix counts
+    * pairs per unordered source pair. This is the question corpus-level
+    * LSH dedup usually exists to answer ("which crawls overlap"), and
+    * it composes the declared sketch path end-to-end, oracle-checked.
+    *
+    * Scale: candidates are band-join pairs (never all-pairs); the
+    * source map joins the PAIR table (pair-sized), not the corpus; the
+    * final matrix is ≤ |sources|² rows. */
+  def q175SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sigs = portableSigs(
+      Tables.fanout(docs.select("doc_id", "text"))).persist()
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+    val a = bands.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("a_id"), col("sig").as("sig_a"))
+    val b = bands.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / K, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("a_id", "b_id").distinct()
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
+      .select(least(col("src_a"), col("src_b")).as("source_1"),
+        greatest(col("src_a"), col("src_b")).as("source_2"))
+      .groupBy("source_1", "source_2")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_1", "source_2")
+  }
+
+  private[ops] def q175OracleSql: String = {
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""${portableOracleCtes("  SELECT doc_id, text FROM documents")},
+       |est AS (SELECT c.a_id, c.b_id, ($matches) / 16.0 AS est
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+       |              JOIN sig sb ON sb.doc_id = c.b_id),
+       |hit AS (SELECT a_id, b_id FROM est WHERE est >= 0.5),
+       |sp AS (SELECT least(da.source, db.source) AS source_1,
+       |              greatest(da.source, db.source) AS source_2
+       |  FROM hit h JOIN documents da ON da.doc_id = h.a_id
+       |             JOIN documents db ON db.doc_id = h.b_id)
+       |SELECT source_1, source_2, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------------------- winnowing (helper)
   /** Winnowing fingerprints (rolling k-gram hashes, min per window) —
     * the MOSS-style document fingerprint. Returns (doc_id, fingerprints:
@@ -993,7 +1053,8 @@ object Similarity {
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
     "q45_ann_ivf" -> (q45AnnIvf _),
     "q153_incremental_dedup" -> (q153IncrementalDedup _),
-    "q164_dup_clusters" -> (q164DupClusters _))
+    "q164_dup_clusters" -> (q164DupClusters _),
+    "q175_source_overlap" -> (q175SourceOverlap _))
 
   /** q25/q42 via the portable md5 MinHash family, q41 via the portable
     * md5-bit-vote SimHash family; q38/q39/q45 stay rows-only (float
@@ -1001,6 +1062,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "q25_near_dup" -> q25OracleSql,
     "q41_simhash" -> q41OracleSql,
+    "q175_source_overlap" -> q175OracleSql,
     "q42_ngram_jaccard" -> q42OracleSql,
     "q153_incremental_dedup" -> q153OracleSql,
     "q164_dup_clusters" -> q164OracleSql,

@@ -142,6 +142,15 @@ class SimilaritySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(2) <= 7))
   }
 
+  test("q175: source matrix aggregates exactly the unplanted q25-style pairs") {
+    val rows = Similarity.q175SourceOverlap(spark, dir).collect()
+    assert(rows.nonEmpty, "synthetic corpus should contain organic near-dups")
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "source pair must be ordered")
+      assert(r.getLong(2) > 0L)
+    }
+  }
+
   test("q42: exact jaccard on LSH candidates recovers planted pairs with high J") {
     val rows = Similarity.q42NgramJaccard(spark, dir).collect()
     val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
