@@ -83,6 +83,12 @@ class BpeSpec extends AnyFunSuite {
       "leftmost non-overlapping applications cannot exceed the pair count")
   }
 
+  test("degenerate corpora: empty text and single chars stop training early") {
+    assert(BpeOps.fit(docsOf(""), 5).collect().isEmpty)
+    // single-character words have no adjacent pairs → no merges
+    assert(BpeOps.fit(docsOf("a b c a b"), 5).collect().isEmpty)
+  }
+
   test("q171 trains the requested number of merges with positive counts") {
     val m = BpeOps.q171BpeTrain(spark, dir).collect()
     assert(m.length == 20)

@@ -61,6 +61,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(direct.nonEmpty && sharded == direct)
   }
 
+  test("shardedMd5Rank: skewed/degenerate strata still match the direct window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // singleton stratum, empty-adjacent ids, one hot stratum with 5000
+    // rows (every md5 prefix exercised), a stratum of 2 — the shapes the
+    // offset stitching can get wrong
+    val rows = Seq.tabulate(5000)(i => (i.toLong, "hot")) ++
+      Seq((900001L, "solo")) ++ Seq((900010L, "duo"), (900011L, "duo"))
+    val d = rows.toDF("doc_id", "lang")
+    val direct = d.withColumn("rnk", row_number().over(
+      Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .select("doc_id", "lang", "rnk")
+      .orderBy("lang", "rnk").collect().map(_.toSeq).toSeq
+    val sharded = ScaleOps.shardedMd5Rank(d, "lang", "doc_id")
+      .select("doc_id", "lang", "rnk")
+      .orderBy("lang", "rnk").collect().map(_.toSeq).toSeq
+    assert(sharded == direct)
+  }
+
   test("packSequencesGrouped equals per-group packSequences") {
     import org.apache.spark.sql.functions._
     val tok = Tables.documents(spark, dir).select("doc_id", "text")
