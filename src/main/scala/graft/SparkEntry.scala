@@ -30,7 +30,7 @@ object SparkEntry {
       ops.TpchExtra.queries ++ ops.Extended4.queries ++
       ops.Extended5.queries ++ ops.Extended6.queries ++
       ops.Extended7.queries ++ ops.Extended8.queries ++
-      ops.Extended9.queries ++ ops.BpeOps.queries
+      ops.Extended9.queries ++ ops.BpeOps.queries ++ ops.LrOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -44,5 +44,5 @@ object SparkEntry {
       ops.TpchExtra.oracleSql ++ ops.Extended4.oracleSql ++
       ops.Extended5.oracleSql ++ ops.Extended6.oracleSql ++
       ops.Extended7.oracleSql ++ ops.Extended8.oracleSql ++
-      ops.Extended9.oracleSql ++ ops.BpeOps.oracleSql
+      ops.Extended9.oracleSql ++ ops.BpeOps.oracleSql ++ ops.LrOps.oracleSql
 }

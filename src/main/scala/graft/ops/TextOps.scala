@@ -71,6 +71,13 @@ object TextOps {
 
   private val stopwords = Seq(" the ", " a ", " of ", " and ", " to ")
 
+  /** Stopword density (q35's signal) as a reusable expression; expects
+    * `text` and `padded` (= ' ' || lower(text) || ' '). */
+  def stopwordRatio: Column = {
+    val nTokens = greatest(regexp_count(col("text"), lit("[a-zA-Z]+")), lit(1))
+    stopwords.map(occ(col("padded"), _)).reduce(_ + _).cast("double") / nTokens
+  }
+
   /** The q35 composite quality score as a reusable expression; expects
     * the frame to carry `text`, `n_chars`, and `padded`
     * (= ' ' || lower(text) || ' '). Used by q35 and CorpusPipeline. */
