@@ -305,7 +305,18 @@ object Similarity {
       corpusCte: String = """  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000 AS doc_id,
-       |         text || ' planted near duplicate suffix' AS text FROM documents""".stripMargin): String = {
+       |         text || ' planted near duplicate suffix' AS text FROM documents""".stripMargin): String =
+    "WITH " + portableCteList(corpusCte)
+
+  /** The component-match count of two sig rows aliased sa/sb — the
+    * estimate numerator shared by every portable-family oracle. */
+  private[graft] def portableMatchExpr: String =
+    (0 until K).map(i =>
+      s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+
+  /** The CTE list WITHOUT the leading WITH — embeddable after a caller's
+    * own CTEs (the q46 pipeline oracle prepends its dedup stages). */
+  private[graft] def portableCteList(corpusCte: String): String = {
     // mirrors portableSigs' word-sliced family: component (j,w) =
     // min over shingles of substr(md5(j ':' s), w*8+1, 8)
     val minCols = (for { j <- 0 until 4; w <- 0 until 4 } yield
@@ -314,7 +325,7 @@ object Similarity {
     val bandCase = (0 until 4).map(b =>
       s"WHEN $b THEN md5(${(b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || ")})")
       .mkString(" ")
-    s"""WITH corpus AS (
+    s"""corpus AS (
        |$corpusCte),
        |toks AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
@@ -474,9 +485,17 @@ object Similarity {
     * all replicated in [[q25OracleSql]]). Same architecture as
     * [[nearDupPairs]]: sketch once, band the signature, equi-join on
     * scalar band keys, estimate from component agreement. */
-  def q25NearDup(spark: SparkSession, dir: String): DataFrame = {
+  def q25NearDup(spark: SparkSession, dir: String): DataFrame =
+    portablePairs(plantedCorpus(spark, dir)).orderBy("a_id", "b_id")
+
+  /** PORTABLE-family near-dup pair generator: (a_id, b_id, est_jaccard ≥
+    * minEst), candidates from the 4-band md5 self-join, estimate =
+    * matching components / 16 rounded to 6. The reusable core of q25,
+    * q175, and the corpus pipeline's near-dup stage — every consumer is
+    * therefore DuckDB-replicable step for step. */
+  def portablePairs(corpus: DataFrame, minEst: Double = 0.5): DataFrame = {
     // persist: the signature table feeds both sides of the band self-join
-    val sigs = portableSigs(plantedCorpus(spark, dir)).persist()
+    val sigs = portableSigs(corpus).persist()
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
     val a = bands.select(col("band_idx"), col("band_key"),
@@ -490,9 +509,8 @@ object Similarity {
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / K, 6).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("est_jaccard") >= minEst)
       .distinct()
-      .orderBy("a_id", "b_id")
   }
 
   // ---------------------------------------------------------------- q26
@@ -985,23 +1003,8 @@ object Similarity {
     * final matrix is ≤ |sources|² rows. */
   def q175SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sigs = portableSigs(
-      Tables.fanout(docs.select("doc_id", "text"))).persist()
-    val bands = sigs.select(col("doc_id"), col("sig"),
-      posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
-    val a = bands.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("a_id"), col("sig").as("sig_a"))
-    val b = bands.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("b_id"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / K, 6).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
-      .select("a_id", "b_id").distinct()
+    val pairs = portablePairs(Tables.fanout(docs.select("doc_id", "text")))
+      .select("a_id", "b_id")
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")

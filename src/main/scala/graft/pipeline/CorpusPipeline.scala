@@ -47,8 +47,12 @@ object CorpusPipeline {
     // between pipeline stages, which is how this runs at 100 TB too
     // (materialize survivors, then iterate on the much smaller set).
     val exact = docs.join(keepIds, Seq("doc_id"), "left_semi").persist()
-    // 2 — near-dup removal (LSH candidates only; drop the b side)
-    val dropB = Similarity.nearDupPairs(exact.select("doc_id", "text"))
+    // 2 — near-dup removal (LSH candidates only; drop the b side).
+    // PORTABLE md5 family: ~2× the sketch CPU of the splitmix fast path
+    // (still sketch-sized on the wire), bought so the WHOLE pipeline is
+    // DuckDB-replicable and q46 graduates from rows-only to an
+    // end-to-end hash-compare — the q25/q42 tradeoff, applied here.
+    val dropB = Similarity.portablePairs(exact.select("doc_id", "text"))
       .select(col("b_id").as("doc_id")).distinct()
     val nearDeduped = exact.join(dropB, Seq("doc_id"), "left_anti")
     // 3 — quality gate
@@ -70,8 +74,11 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
-  /** q46 — the declared pipeline run over `documents` (rows-only check:
-    * the near-dup stage is sketch-based, so no SQL oracle). */
+  /** q46 — the declared pipeline run over `documents`, hash-compared
+    * END-TO-END: exact dedup (group by normalized text ≡ the sha2
+    * grouping by digest injectivity), portable-family near-dup drop,
+    * the q35 quality gate, and the doc_id-ordered token budget are all
+    * replicated in one DuckDB statement ([[oracleSql]]). */
   def q46CorpusPrep(spark: SparkSession, dir: String): DataFrame =
     prepare(
       Tables.fanout(Tables.documents(spark, dir)
@@ -198,5 +205,52 @@ object CorpusPipeline {
     "q46_corpus_prep" -> (q46CorpusPrep _),
     "q100_epoch_build" -> (q100EpochBuild _))
 
-  val oracleSql: Map[String, String] = Map.empty
+  /** q46's DuckDB twin, stage for stage: normalize → exact-dedup keeps
+    * min doc_id per normalized text → portable MinHash band candidates
+    * over the survivors → drop b-sides with estimate ≥ 0.5 → q35 quality
+    * score ≥ 0.3 → running token total in doc_id order, cut at the
+    * budget. (q100 composes three prepares plus packing — still
+    * rows-only.) */
+  val oracleSql: Map[String, String] = Map(
+    "q46_corpus_prep" -> {
+      val est = graft.ops.Similarity.portableMatchExpr
+      val pairCtes = graft.ops.Similarity.portableCteList(
+        "  SELECT doc_id, text FROM exact")
+      s"""WITH nrm AS (SELECT doc_id, text, n_chars, lang,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm),
+         |exact AS (SELECT n.doc_id, n.text, n.n_chars, n.lang
+         |  FROM nrm n JOIN keep k ON n.doc_id = k.doc_id),
+         |$pairCtes,
+         |est AS (SELECT c.a_id, c.b_id, ($est) / 16.0 AS est
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+         |              JOIN sig sb ON sb.doc_id = c.b_id),
+         |dropb AS (SELECT DISTINCT b_id FROM est WHERE est >= 0.5),
+         |nd AS (SELECT e.* FROM exact e LEFT JOIN dropb d ON e.doc_id = d.b_id
+         |  WHERE d.b_id IS NULL),
+         |padded AS (SELECT doc_id, lang, n_chars, text,
+         |    ' ' || lower(text) || ' ' AS padded FROM nd),
+         |feat AS (SELECT doc_id, lang, n_chars,
+         |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         |  greatest(len(regexp_extract_all(text, '[a-zA-Z]+')), 1) AS n_tok,
+         |  CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
+         |     + (length(padded) - length(replace(padded, ' a ', ''))) / 3
+         |     + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+         |     + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+         |     + (length(padded) - length(replace(padded, ' to ', ''))) / 4 AS INT)
+         |    AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         |FROM padded),
+         |scored AS (SELECT doc_id, lang, n_chars, n_tokens,
+         |    round(CAST(least(n_tok, 100) AS DOUBLE) / 100
+         |        + CAST(n_stop AS DOUBLE) / n_tok
+         |        - CAST(n_punct AS DOUBLE) / n_chars, 6) AS quality_score
+         |  FROM feat),
+         |gated AS (SELECT * FROM scored WHERE quality_score >= 0.3),
+         |cum AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+         |    AS cum_tokens FROM gated)
+         |SELECT doc_id, lang, n_chars, n_tokens, quality_score, cum_tokens
+         |FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin
+    })
 }

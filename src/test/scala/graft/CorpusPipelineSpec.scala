@@ -16,7 +16,12 @@ class CorpusPipelineSpec extends AnyFunSuite {
   private def docs = Seq(
     (1L, base, base.length, "en"),
     (2L, base, base.length, "en"), // exact duplicate of 1
-    (3L, base + " tiny extra suffix", base.length + 18, "en"), // near-dup of 1
+    // near-dup of 1: a ONE-token suffix (the q25/q41 planting convention).
+    // The repeated base has only ~9 distinct 3-shingles, so a 3-token
+    // suffix gave true J ≈ 0.75 — marginal for 4×4 banding (~22% miss
+    // odds per hash family; the splitmix family passed it by luck, the
+    // md5 family didn't). One token keeps J ≈ 0.9 → band hit ≈ 99%.
+    (3L, base + " zz", base.length + 3, "en"),
     (4L, "completely different legal proceedings concerning the estate " * 4,
       248, "en"),
     (5L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", 39, "und")) // junk
