@@ -205,52 +205,107 @@ object CorpusPipeline {
     "q46_corpus_prep" -> (q46CorpusPrep _),
     "q100_epoch_build" -> (q100EpochBuild _))
 
-  /** q46's DuckDB twin, stage for stage: normalize → exact-dedup keeps
-    * min doc_id per normalized text → portable MinHash band candidates
-    * over the survivors → drop b-sides with estimate ≥ 0.5 → q35 quality
-    * score ≥ 0.3 → running token total in doc_id order, cut at the
-    * budget. (q100 composes three prepares plus packing — still
-    * rows-only.) */
+  /** [[prepare]]'s DuckDB CTE chain, stage for stage: normalize →
+    * exact-dedup keeps min doc_id per normalized text → portable MinHash
+    * band candidates over the survivors → drop b-sides with estimate ≥
+    * 0.5 → q35 quality gate ≥ 0.3 → running token total in doc_id order.
+    * Ends with `kept` = the budgeted survivors. Shared by the q46 and
+    * q100 oracles (different budgets). */
+  private def prepareOracleCtes(budget: Long): String = {
+    val est = graft.ops.Similarity.portableMatchExpr
+    val pairCtes = graft.ops.Similarity.portableCteList(
+      "  SELECT doc_id, text FROM exact")
+    s"""nrm AS (SELECT doc_id, text, n_chars, lang,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm),
+       |exact AS (SELECT n.doc_id, n.text, n.n_chars, n.lang
+       |  FROM nrm n JOIN keep k ON n.doc_id = k.doc_id),
+       |$pairCtes,
+       |est AS (SELECT c.a_id, c.b_id, ($est) / 16.0 AS est
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+       |              JOIN sig sb ON sb.doc_id = c.b_id),
+       |dropb AS (SELECT DISTINCT b_id FROM est WHERE est >= 0.5),
+       |nd AS (SELECT e.* FROM exact e LEFT JOIN dropb d ON e.doc_id = d.b_id
+       |  WHERE d.b_id IS NULL),
+       |padded AS (SELECT doc_id, lang, n_chars, text,
+       |    ' ' || lower(text) || ' ' AS padded FROM nd),
+       |feat AS (SELECT doc_id, lang, n_chars,
+       |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+       |  greatest(len(regexp_extract_all(text, '[a-zA-Z]+')), 1) AS n_tok,
+       |  CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
+       |     + (length(padded) - length(replace(padded, ' a ', ''))) / 3
+       |     + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+       |     + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+       |     + (length(padded) - length(replace(padded, ' to ', ''))) / 4 AS INT)
+       |    AS n_stop,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+       |FROM padded),
+       |scored AS (SELECT doc_id, lang, n_chars, n_tokens,
+       |    round(CAST(least(n_tok, 100) AS DOUBLE) / 100
+       |        + CAST(n_stop AS DOUBLE) / n_tok
+       |        - CAST(n_punct AS DOUBLE) / n_chars, 6) AS quality_score
+       |  FROM feat),
+       |gated AS (SELECT * FROM scored WHERE quality_score >= 0.3),
+       |cum AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+       |    AS cum_tokens FROM gated),
+       |kept AS (SELECT doc_id, lang, n_chars, n_tokens, quality_score,
+       |    cum_tokens FROM cum WHERE cum_tokens <= $budget)""".stripMargin
+  }
+
+  /** The 8-gram digest CTE of [[contaminatedIds]] for a (doc_id, text)
+    * relation named `rel`, emitting (doc_id, g). */
+  private def gramCte(rel: String): String =
+    s"""SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+       |      i -> md5(array_to_string(list_slice(t, i, i + 7), ' ')))) AS g
+       |  FROM (SELECT doc_id,
+       |      list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |                  x -> x <> '') AS t FROM $rel)
+       |  WHERE len(t) >= 8""".stripMargin
+
+  /** q46 and q100 DuckDB twins. q100 composes the full epoch:
+    * [[prepareOracleCtes]] → 8-gram decontamination (q99's digest join)
+    * → md5-prefix train/val/test bands (q94's rule) → per-split packing
+    * (q60's bin formula) → the 3-row audit. */
   val oracleSql: Map[String, String] = Map(
-    "q46_corpus_prep" -> {
-      val est = graft.ops.Similarity.portableMatchExpr
-      val pairCtes = graft.ops.Similarity.portableCteList(
-        "  SELECT doc_id, text FROM exact")
-      s"""WITH nrm AS (SELECT doc_id, text, n_chars, lang,
-         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-         |  FROM documents),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm),
-         |exact AS (SELECT n.doc_id, n.text, n.n_chars, n.lang
-         |  FROM nrm n JOIN keep k ON n.doc_id = k.doc_id),
-         |$pairCtes,
-         |est AS (SELECT c.a_id, c.b_id, ($est) / 16.0 AS est
-         |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
-         |              JOIN sig sb ON sb.doc_id = c.b_id),
-         |dropb AS (SELECT DISTINCT b_id FROM est WHERE est >= 0.5),
-         |nd AS (SELECT e.* FROM exact e LEFT JOIN dropb d ON e.doc_id = d.b_id
-         |  WHERE d.b_id IS NULL),
-         |padded AS (SELECT doc_id, lang, n_chars, text,
-         |    ' ' || lower(text) || ' ' AS padded FROM nd),
-         |feat AS (SELECT doc_id, lang, n_chars,
-         |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
-         |  greatest(len(regexp_extract_all(text, '[a-zA-Z]+')), 1) AS n_tok,
-         |  CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
-         |     + (length(padded) - length(replace(padded, ' a ', ''))) / 3
-         |     + (length(padded) - length(replace(padded, ' of ', ''))) / 4
-         |     + (length(padded) - length(replace(padded, ' and ', ''))) / 5
-         |     + (length(padded) - length(replace(padded, ' to ', ''))) / 4 AS INT)
-         |    AS n_stop,
-         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
-         |FROM padded),
-         |scored AS (SELECT doc_id, lang, n_chars, n_tokens,
-         |    round(CAST(least(n_tok, 100) AS DOUBLE) / 100
-         |        + CAST(n_stop AS DOUBLE) / n_tok
-         |        - CAST(n_punct AS DOUBLE) / n_chars, 6) AS quality_score
-         |  FROM feat),
-         |gated AS (SELECT * FROM scored WHERE quality_score >= 0.3),
-         |cum AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
-         |    AS cum_tokens FROM gated)
+    "q46_corpus_prep" ->
+      s"""WITH ${prepareOracleCtes(10000L)}
          |SELECT doc_id, lang, n_chars, n_tokens, quality_score, cum_tokens
-         |FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin
-    })
+         |FROM kept ORDER BY doc_id""".stripMargin,
+    "q100_epoch_build" ->
+      s"""WITH ${prepareOracleCtes(100000L)},
+         |ktext AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN kept k ON d.doc_id = k.doc_id),
+         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |kg AS (${gramCte("ktext")}),
+         |bg AS (SELECT DISTINCT g FROM (${gramCte("bench")})),
+         |dirty AS (SELECT DISTINCT kg.doc_id FROM kg JOIN bg USING (g)),
+         |clean AS (SELECT k.doc_id, k.n_tokens FROM kept k
+         |  LEFT JOIN dirty d ON k.doc_id = d.doc_id WHERE d.doc_id IS NULL),
+         |tagged AS (SELECT doc_id, n_tokens,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+         |           THEN 'train'
+         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM clean),
+         |cums AS (SELECT *, sum(n_tokens) OVER (PARTITION BY split
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tagged),
+         |bins AS (SELECT split,
+         |    CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+         |    count(*) AS nd, CAST(sum(n_tokens) AS BIGINT) AS bt
+         |  FROM cums GROUP BY 1, 2),
+         |audit AS (SELECT split, CAST(sum(nd) AS BIGINT) AS n_docs,
+         |    CAST(sum(bt) AS BIGINT) AS total_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_bins
+         |  FROM bins GROUP BY 1),
+         |splits AS (SELECT unnest(['train', 'val', 'test']) AS split)
+         |SELECT s.split,
+         |  coalesce(a.n_docs, 0) AS n_docs,
+         |  coalesce(a.total_tokens, 0) AS total_tokens,
+         |  coalesce(a.n_bins, 0) AS n_bins,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM dirty)
+         |    AS n_contaminated_removed
+         |FROM splits s LEFT JOIN audit a ON a.split = s.split
+         |ORDER BY s.split""".stripMargin)
 }
