@@ -282,7 +282,49 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_correlated_subquery" -> (q63CorrelatedSubquery _),
     "q64_connected_components" -> (q64ConnectedComponents _),
-    "q80_degree_dist" -> (q80DegreeDist _))
+    "q80_degree_dist" -> (q80DegreeDist _),
+    "q177_triangles" -> (q177Triangles _))
+
+  // --------------------------------------------------------------- q177
+  /** q177 — exact triangle count on the burst graph, with the
+    * degree-ordered orientation that makes it scale: direct every edge
+    * from the (degree, id)-smaller endpoint to the larger, so each
+    * vertex's OUT-degree is O(√E) and the wedge self-join (the classic
+    * blowup) enumerates C(out-deg, 2) pairs per vertex instead of
+    * C(deg, 2) — the standard compact-forward bound. A wedge (u→x, u→y)
+    * closes iff the oriented edge (x→y) exists (orientation is a total
+    * order, so the closing edge has exactly one canonical direction);
+    * the final count is one semi-join. Everything is exact integers —
+    * the DuckDB oracle replays it as a plain 3-way join (no orientation
+    * needed at sf; same count by symmetry). */
+  def q177Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = burstEdges(spark, dir).distinct().persist()
+    val deg = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("id").as("src"), col("d").as("da")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("db")), "dst")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("src") < col("dst"))
+    val oriented = withDeg.select(
+      when(fwd, col("src")).otherwise(col("dst")).as("u"),
+      when(fwd, col("dst")).otherwise(col("src")).as("v"),
+      when(fwd, col("db")).otherwise(col("da")).as("dv")).persist()
+    val o1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val o2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = o1.join(o2, Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("x").as("u"), col("y").as("v"))
+    val nTri = wedges.join(oriented.select("u", "v"), Seq("u", "v"),
+      "left_semi").count()
+    val nEdges = edges.count()
+    val nVerts = deg.count()
+    import spark.implicits._
+    Seq((nVerts, nEdges, nTri))
+      .toDF("n_vertices", "n_edges", "n_triangles")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q63_correlated_subquery" ->
@@ -294,6 +336,24 @@ object GraphOps {
         |    > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
         |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    // plain id-canonical 3-way join — no orientation needed at sf; the
+    // engine path's degree-ordered wedge count is the same number
+    "q177_triangles" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |edges AS (
+        |  SELECT DISTINCT a.event_id AS src, b.event_id AS dst
+        |  FROM ev a JOIN ev b USING (user_id)
+        |  WHERE a.event_id < b.event_id
+        |    AND b.us >= a.us AND b.us - a.us <= 300000000),
+        |verts AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+        |tri AS (SELECT count(*) AS n FROM edges e1
+        |  JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+        |  JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts) AS n_vertices,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+        |       (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
     "q64_connected_components" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -153,6 +153,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(banded == plain, "compound anchor changed the edge set")
   }
 
+  test("q177: oriented-wedge triangle count equals the id-canonical 3-join") {
+    val out = ops.GraphOps.q177Triangles(spark, SparkTest.sfDir).head
+    val (nv, ne, nt) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    assert(nv > 0 && ne > 0)
+    // independent brute-force recount (the oracle's join shape) in-engine
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, SparkTest.sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val e = ev.as("a").join(ev.as("b"), Seq("user_id"))
+      .filter(col("a.event_id") < col("b.event_id") &&
+        col("b.us") >= col("a.us") && col("b.us") - col("a.us") <= 300000000L)
+      .select(col("a.event_id").as("src"), col("b.event_id").as("dst"))
+      .distinct().persist()
+    val brute = e.as("e1")
+      .join(e.as("e2"), col("e2.src") === col("e1.src") &&
+        col("e2.dst") > col("e1.dst"))
+      .join(e.as("e3"), col("e3.src") === col("e1.dst") &&
+        col("e3.dst") === col("e2.dst"))
+      .count()
+    assert(nt == brute, s"oriented count $nt != brute-force $brute")
+    assert(ne == e.count())
+  }
+
   test("q63: kept orders strictly exceed their customer's average") {
     val out = GraphOps.q63CorrelatedSubquery(spark, dir)
     val perCust = Tables.orders(spark, dir)
