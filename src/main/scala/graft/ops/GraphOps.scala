@@ -283,7 +283,73 @@ object GraphOps {
     "q63_correlated_subquery" -> (q63CorrelatedSubquery _),
     "q64_connected_components" -> (q64ConnectedComponents _),
     "q80_degree_dist" -> (q80DegreeDist _),
-    "q177_triangles" -> (q177Triangles _))
+    "q177_triangles" -> (q177Triangles _),
+    "q178_pagerank" -> (q178PageRank _))
+
+  /** q178's DuckDB twin: the 10 iterations unrolled as generated CTEs
+    * r1..r10 over the same undirected edge set. */
+  private def q178OracleSql: String = {
+    val iters = (1 to 10).map { k =>
+      s"""r$k AS (SELECT d.id, 0.15 + 0.85 * coalesce(s.x, 0) AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT und.dst AS id, sum(p.r / dg.d) AS x
+         |    FROM und JOIN r${k - 1} p ON p.id = und.src
+         |             JOIN deg dg ON dg.id = und.src
+         |    GROUP BY und.dst) s ON s.id = d.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       |edges AS (
+       |  SELECT DISTINCT a.event_id AS src, b.event_id AS dst
+       |  FROM ev a JOIN ev b USING (user_id)
+       |  WHERE a.event_id < b.event_id
+       |    AND b.us >= a.us AND b.us - a.us <= 300000000),
+       |und AS (SELECT src, dst FROM edges
+       |  UNION ALL SELECT dst, src FROM edges),
+       |deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
+       |r0 AS (SELECT id, 1.0 AS r FROM deg),
+       |$iters
+       |SELECT id AS event_id, round(r, 6) AS rank FROM r10
+       |ORDER BY rank DESC, event_id LIMIT 20""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q178
+  /** q178 — PageRank (damping 0.85, 10 fixed iterations) over the
+    * undirected burst graph, on edge-touching vertices. Ranks stay
+    * DISTRIBUTED (vertex-sized — never a driver model, unlike
+    * kmeans/BPE/LR whose state is model-sized): each iteration is one
+    * edges⋈ranks shuffle + a dst aggregate, the canonical iterative-join
+    * cadence, with lineage truncated every 4 rounds. Published ranks are
+    * rounded to 6 decimals (q26's convention) — per-iteration IEEE sums
+    * differ across engines at ~1e-14, far below the rounding grain, so
+    * the unrolled DuckDB twin hash-matches. Top-20 ordered by
+    * (rounded rank desc, id) so the cut itself is rounding-stable. */
+  def q178PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = burstEdges(spark, dir).distinct()
+    val und = edges.union(edges.select(col("dst").as("src"),
+      col("src").as("dst"))).persist()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+      .select(col("src").as("id"), col("d")).persist()
+    var ranks = deg.select(col("id"), lit(1.0).as("r"))
+    var i = 0
+    while (i < 10) {
+      val contrib = und
+        .join(deg.select(col("id").as("src"), col("d")), "src")
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("d")).as("x"))
+      var next = deg.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), (lit(0.15) + lit(0.85) * coalesce(col("x"),
+          lit(0.0))).as("r"))
+      if ((i + 1) % 4 == 0) next = next.localCheckpoint(true)
+      ranks = next
+      i += 1
+    }
+    ranks.select(col("id").as("event_id"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("event_id"))
+      .limit(20)
+  }
 
   // --------------------------------------------------------------- q177
   /** q177 — exact triangle count on the burst graph, with the
@@ -327,6 +393,7 @@ object GraphOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q178_pagerank" -> q178OracleSql,
     "q63_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o

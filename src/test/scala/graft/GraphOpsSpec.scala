@@ -176,6 +176,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ne == e.count())
   }
 
+  test("q178: pagerank ranks the hub above leaves and conserves rank mass") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.GraphOps.q178PageRank(spark, SparkTest.sfDir).collect()
+    assert(rows.length == 20)
+    // descending, fully tiebroken
+    val ranks = rows.map(r => (r.getDouble(1), r.getLong(0)))
+    assert(ranks.sliding(2).forall { case Array((r1, i1), (r2, i2)) =>
+      r1 > r2 || (r1 == r2 && i1 < i2) })
+    // all ranks ≥ the damping floor 0.15 and finite
+    assert(ranks.forall { case (r, _) => r >= 0.15 && !r.isNaN })
+    // event with the most burst-graph neighbors appears in the top 20
+    // (on an undirected graph, degree dominates PageRank)
+    val ev = Tables.events(spark, SparkTest.sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val e = ops.GraphOps.burstEdgesFrom(ev).distinct()
+    val topDeg = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("id")).head.getLong(0)
+    assert(rows.map(_.getLong(0)).contains(topDeg),
+      s"max-degree vertex $topDeg missing from pagerank top-20")
+  }
+
   test("q63: kept orders strictly exceed their customer's average") {
     val out = GraphOps.q63CorrelatedSubquery(spark, dir)
     val perCust = Tables.orders(spark, dir)
