@@ -324,15 +324,24 @@ object GraphOps {
     * differ across engines at ~1e-14, far below the rounding grain, so
     * the unrolled DuckDB twin hash-matches. Top-20 ordered by
     * (rounded rank desc, id) so the cut itself is rounding-stable. */
-  def q178PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = burstEdges(spark, dir).distinct()
+  def q178PageRank(spark: SparkSession, dir: String): DataFrame =
+    pagerankRanks(burstEdges(spark, dir), iters = 10)
+      .select(col("id").as("event_id"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("event_id"))
+      .limit(20)
+
+  /** The iteration core of [[q178PageRank]] on an arbitrary canonical
+    * (src, dst) edge frame: returns (id, r) unrounded for every
+    * edge-touching vertex. Exposed for spec closed-form checks. */
+  private[graft] def pagerankRanks(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.select("src", "dst").distinct()
     val und = edges.union(edges.select(col("dst").as("src"),
       col("src").as("dst"))).persist()
     val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
       .select(col("src").as("id"), col("d")).persist()
     var ranks = deg.select(col("id"), lit(1.0).as("r"))
     var i = 0
-    while (i < 10) {
+    while (i < iters) {
       val contrib = und
         .join(deg.select(col("id").as("src"), col("d")), "src")
         .join(ranks.select(col("id").as("src"), col("r")), "src")
@@ -346,9 +355,7 @@ object GraphOps {
       ranks = next
       i += 1
     }
-    ranks.select(col("id").as("event_id"), round(col("r"), 6).as("rank"))
-      .orderBy(col("rank").desc, col("event_id"))
-      .limit(20)
+    ranks
   }
 
   // --------------------------------------------------------------- q177
@@ -364,7 +371,19 @@ object GraphOps {
     * the DuckDB oracle replays it as a plain 3-way join (no orientation
     * needed at sf; same count by symmetry). */
   def q177Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = burstEdges(spark, dir).distinct().persist()
+    val spark0 = spark
+    import spark0.implicits._
+    val (nVerts, nEdges, nTri) =
+      triangleStats(burstEdges(spark, dir))
+    Seq((nVerts, nEdges, nTri))
+      .toDF("n_vertices", "n_edges", "n_triangles")
+  }
+
+  /** The oriented-wedge core of [[q177Triangles]] on an arbitrary
+    * (src, dst) canonical edge frame (duplicates tolerated — deduped
+    * here). Exposed for spec cross-checks on synthetic graphs. */
+  private[graft] def triangleStats(edges0: DataFrame): (Long, Long, Long) = {
+    val edges = edges0.select("src", "dst").distinct().persist()
     val deg = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -387,9 +406,9 @@ object GraphOps {
       "left_semi").count()
     val nEdges = edges.count()
     val nVerts = deg.count()
-    import spark.implicits._
-    Seq((nVerts, nEdges, nTri))
-      .toDF("n_vertices", "n_edges", "n_triangles")
+    edges.unpersist()
+    oriented.unpersist()
+    (nVerts, nEdges, nTri)
   }
 
   val oracleSql: Map[String, String] = Map(

@@ -199,6 +199,54 @@ class GraphOpsSpec extends AnyFunSuite {
       s"max-degree vertex $topDeg missing from pagerank top-20")
   }
 
+  test("triangleStats ≡ brute-force 3-join on seeded random graphs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (seed <- Seq(7L, 23L, 99L)) {
+      // G(40, ~0.15): edge (a,b) present iff a deterministic hash says so
+      val n = 40
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if ((a * 1000003L + b * 7919L + seed) % 97) < 15
+      } yield (a.toLong, b.toLong)).toDF("src", "dst")
+      val (nv, ne, nt) = ops.GraphOps.triangleStats(edges)
+      val e = edges.persist()
+      val brute = e.as("e1")
+        .join(e.as("e2"), col("e2.src") === col("e1.src") &&
+          col("e2.dst") > col("e1.dst"))
+        .join(e.as("e3"), col("e3.src") === col("e1.dst") &&
+          col("e3.dst") === col("e2.dst"))
+        .count()
+      assert(nt == brute, s"seed $seed: oriented $nt != brute $brute")
+      assert(ne == e.count())
+      assert(nv == e.select(explode(array(col("src"), col("dst"))))
+        .distinct().count())
+      e.unpersist()
+    }
+  }
+
+  test("pagerankRanks matches the closed form on a star graph") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hub 0 with L=4 leaves; after any iteration:
+    //   hub  = 0.15 + 0.85 · Σ_leaf r_leaf      (leaves have degree 1)
+    //   leaf = 0.15 + 0.85 · r_hub / L
+    val L = 4
+    val edges = (1 to L).map(i => (0L, i.toLong)).toDF("src", "dst")
+    var hub = 1.0; var leaf = 1.0
+    (1 to 3).foreach { _ =>
+      val h2 = 0.15 + 0.85 * L * leaf
+      val l2 = 0.15 + 0.85 * hub / L
+      hub = h2; leaf = l2
+    }
+    val got = ops.GraphOps.pagerankRanks(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(0L) - hub) < 1e-9, s"hub ${got(0L)} vs $hub")
+    (1 to L).foreach(i =>
+      assert(math.abs(got(i.toLong) - leaf) < 1e-9))
+    assert(got(0L) > got(1L), "hub must outrank leaves")
+  }
+
   test("q63: kept orders strictly exceed their customer's average") {
     val out = GraphOps.q63CorrelatedSubquery(spark, dir)
     val perCust = Tables.orders(spark, dir)
