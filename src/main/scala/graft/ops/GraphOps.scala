@@ -284,7 +284,9 @@ object GraphOps {
     "q64_connected_components" -> (q64ConnectedComponents _),
     "q80_degree_dist" -> (q80DegreeDist _),
     "q177_triangles" -> (q177Triangles _),
-    "q178_pagerank" -> (q178PageRank _))
+    "q178_pagerank" -> (q178PageRank _),
+    "q179_kcore" -> (q179KCore _),
+    "q180_assortativity" -> (q180Assortativity _))
 
   /** q178's DuckDB twin: the 10 iterations unrolled as generated CTEs
     * r1..r10 over the same undirected edge set. */
@@ -311,6 +313,126 @@ object GraphOps {
        |$iters
        |SELECT id AS event_id, round(r, 6) AS rank FROM r10
        |ORDER BY rank DESC, event_id LIMIT 20""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q179
+  /** q179 — 3-core of the burst graph by iterative peeling: repeatedly
+    * drop vertices with degree < 3 (with their edges) until fixpoint OR
+    * a fixed 24-round cap — the cap makes the result a pure function of
+    * the input on BOTH engines (the DuckDB twin unrolls exactly 24
+    * rounds; if the graph converges earlier, the extra rounds are
+    * no-ops, and the spec asserts sf convergence well inside the cap).
+    * Each round is one degree aggregate + two semi-joins; rounds
+    * checkpoint every 4 (the CC cadence). k-core is the standard
+    * dense-region/bot-cluster extractor at corpus scale. */
+  def q179KCore(spark: SparkSession, dir: String): DataFrame = {
+    val core = kCoreEdges(burstEdges(spark, dir), k = 3).persist()
+    val nEdges = core.count()
+    val nVerts = core.select(col("src").as("id"))
+      .union(core.select(col("dst").as("id"))).distinct().count()
+    core.unpersist()
+    import spark.implicits._
+    Seq((nVerts, nEdges)).toDF("n_core_vertices", "n_core_edges")
+  }
+
+  /** The peeling core of [[q179KCore]] on an arbitrary canonical edge
+    * frame: surviving edges after iterating to fixpoint or `maxRounds`,
+    * whichever first. Exposed for spec checks on synthetic graphs. */
+  private[graft] def kCoreEdges(edges0: DataFrame, k: Int,
+      maxRounds: Int = 24): DataFrame = {
+    var edges = edges0.select("src", "dst").distinct().persist()
+    var prev = -1L
+    var cur = edges.count()
+    var round = 0
+    while (cur != prev && round < maxRounds) {
+      val deg = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("id")
+      var next = edges
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      if ((round + 1) % 4 == 0) next = next.localCheckpoint(true)
+      else next = next.persist()
+      prev = cur
+      cur = next.count()
+      edges.unpersist()
+      edges = next
+      round += 1
+    }
+    edges
+  }
+
+  /** q179's DuckDB twin: 24 unrolled peel rounds (e0..e24). Every CTE
+    * is MATERIALIZED — each round references its predecessor three
+    * times, and DuckDB's default CTE inlining would otherwise expand
+    * e24 into ~3²⁴ copies of the scan. */
+  private def q179OracleSql: String = {
+    val rounds = (1 to 24).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT id FROM (
+         |    SELECT id, count(*) AS d FROM (
+         |      SELECT src AS id FROM e${r - 1}
+         |      UNION ALL SELECT dst FROM e${r - 1}) GROUP BY id)
+         |  WHERE d >= 3),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN s$r a ON a.id = e.src JOIN s$r b ON b.id = e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.event_id AS src, b.event_id AS dst
+       |  FROM ev a JOIN ev b USING (user_id)
+       |  WHERE a.event_id < b.event_id
+       |    AND b.us >= a.us AND b.us - a.us <= 300000000),
+       |$rounds
+       |SELECT
+       |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM (
+       |     SELECT src AS id FROM e24 UNION ALL SELECT dst FROM e24))
+       |    AS n_core_vertices,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e24) AS n_core_edges""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q180
+  /** q180 — degree assortativity: Pearson correlation of endpoint
+    * degrees over the directed-both-ways edge list (the standard
+    * undirected formulation). Every moment is an EXACT integer sum in
+    * decimal; the correlation composes in double only at the end, with
+    * an expression shape kept textually identical to the oracle's so
+    * both engines execute the same correctly-rounded op sequence
+    * (round 6 published — the q26/q178 convention). */
+  def q180Assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(burstEdges(spark, dir))
+
+  /** The moment computation of [[q180Assortativity]] on an arbitrary
+    * canonical edge frame (spec: a star graph is exactly −1). */
+  private[graft] def assortativityOf(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select("src", "dst").distinct()
+    val und = edges.union(edges.select(col("dst").as("src"),
+      col("src").as("dst"))).persist()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+      .select(col("src").as("id"), col("d"))
+    val ends = und
+      .join(deg.select(col("id").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("dy")), "dst")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = ends.agg(
+      count(lit(1)).as("m"),
+      sum(dec(col("dx"))).as("sx"), sum(dec(col("dy"))).as("sy"),
+      sum(dec(col("dx")) * dec(col("dy"))).as("sxy"),
+      sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+      sum(dec(col("dy")) * dec(col("dy"))).as("syy"))
+    // a regular graph has zero degree variance → correlation undefined:
+    // publish NULL (identical guard in the oracle; ANSI mode would
+    // otherwise throw DIVIDE_BY_ZERO — hit live on the sf0.001 graph)
+    val num = col("m").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = sqrt(col("m").cast("double") * col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double")) *
+      sqrt(col("m").cast("double") * col("syy").cast("double")
+        - col("sy").cast("double") * col("sy").cast("double"))
+    m.select(col("m").as("n_edge_ends"),
+      round(when(den =!= 0.0, num / den), 6).as("assortativity"))
   }
 
   // --------------------------------------------------------------- q178
@@ -413,6 +535,40 @@ object GraphOps {
 
   val oracleSql: Map[String, String] = Map(
     "q178_pagerank" -> q178OracleSql,
+    "q179_kcore" -> q179OracleSql,
+    // identical double expression shape on both engines over exact
+    // integer moments (see q180 doc)
+    "q180_assortativity" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |edges AS (
+        |  SELECT DISTINCT a.event_id AS src, b.event_id AS dst
+        |  FROM ev a JOIN ev b USING (user_id)
+        |  WHERE a.event_id < b.event_id
+        |    AND b.us >= a.us AND b.us - a.us <= 300000000),
+        |und AS (SELECT src, dst FROM edges
+        |  UNION ALL SELECT dst, src FROM edges),
+        |deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
+        |ends AS (SELECT dx.d AS dx, dy.d AS dy
+        |  FROM und JOIN deg dx ON dx.id = und.src
+        |           JOIN deg dy ON dy.id = und.dst),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+        |    sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy,
+        |    sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+        |    sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy
+        |  FROM ends),
+        |nd AS (SELECT m,
+        |    CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+        |  FROM mo)
+        |SELECT m AS n_edge_ends,
+        |  round(CASE WHEN den <> 0 THEN num / den END, 6) AS assortativity
+        |FROM nd""".stripMargin,
     "q63_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o

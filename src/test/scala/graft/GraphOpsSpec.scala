@@ -247,6 +247,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(0L) > got(1L), "hub must outrank leaves")
   }
 
+  test("kCoreEdges: clique survives, cascading tail peels away") {
+    import spark.implicits._
+    // 4-clique {0,1,2,3} + a tail 3-4-5 chain: tail degrees < 3 cascade
+    val clique = for { a <- 0 to 3; b <- (a + 1) to 3 } yield (a.toLong, b.toLong)
+    val tail = Seq((3L, 4L), (4L, 5L))
+    val core = ops.GraphOps.kCoreEdges((clique ++ tail).toDF("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core == clique.toSet, s"3-core should be exactly the clique: $core")
+  }
+
+  test("q180: star graph assortativity is exactly -1; burst graph in range") {
+    import spark.implicits._
+    // every star edge joins the max-degree hub to a degree-1 leaf: r = −1
+    val star = (1 to 6).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val rStar = ops.GraphOps.assortativityOf(star).head.getDouble(1)
+    assert(rStar == -1.0, s"star assortativity $rStar")
+    val out = ops.GraphOps.q180Assortativity(spark, SparkTest.sfDir).head
+    // sf0.001's burst graph can be degree-regular → correlation undefined
+    // (published as NULL, the documented guard); otherwise in [-1, 1]
+    if (!out.isNullAt(1)) {
+      val r = out.getDouble(1)
+      assert(r >= -1.0 && r <= 1.0 && !r.isNaN)
+    }
+    assert(out.getLong(0) > 0L)
+  }
+
   test("q63: kept orders strictly exceed their customer's average") {
     val out = GraphOps.q63CorrelatedSubquery(spark, dir)
     val perCust = Tables.orders(spark, dir)
