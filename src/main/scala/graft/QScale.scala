@@ -22,9 +22,25 @@ object QScale {
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = explode(sequence(lit(0), lit(k - 1))).as("rep")
+
+    // the replica shifts assume source ids fit below the strides; a
+    // future sf dir that exceeds them would silently collide replicas
+    // (duplicate doc_ids, cross-replica edges) and invalidate the probe
+    // — fail loudly instead (ADVICE r7)
+    def assertStride(table: String, idCol: String, stride: Long): Unit = {
+      val mx = spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(idCol))).head.getLong(0)
+      require(mx < stride,
+        s"$table.$idCol max $mx >= replica stride $stride: raise the stride")
+    }
+    assertStride("documents", "doc_id", 10000000L)
+    assertStride("events", "event_id", 100000000L)
+    assertStride("events", "user_id", 1000000L)
+    assertStride("embeddings", "vec_id", 10000000L)
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     docs.select(col("*"), reps)

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.util.chaining._
@@ -144,9 +144,13 @@ object Extended4 {
     // — first cnt%10 tiles hold ⌈cnt/10⌉ rows, the rest ⌊cnt/10⌋ —
     // so no low-cardinality window ever touches the fact table.
     val nShards = 32
+    // no persist: the frame is consumed by three narrow pushed-
+    // projection scans (bounds, offsets, ranked side); caching it would
+    // outlive the lazy result with no unpersist hook (ADVICE r7), and
+    // at scale three 3-column scans beat holding the fact table in
+    // cache
     val df = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .persist()
     val bounds = df.groupBy("o_orderpriority")
       .agg(min(col("o_totalprice").cast("double")).as("__lo"),
         max(col("o_totalprice").cast("double")).as("__hi"),
@@ -167,13 +171,20 @@ object Extended4 {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__offset", coalesce(sum("__c").over(wOff), lit(0L)))
       .select(col("o_orderpriority"), col("__shard"), col("__offset"))
+    // integer division (IntegralDivide) end to end: a tile boundary
+    // must never be decided by a float (the q136/q166 rule — Column `/`
+    // on longs is double division, exact only within 2^53; ADVICE r7).
+    // CaseWhen evaluates lazily, so the qq = 0 branch (cnt < 10) is
+    // never reached: there rem = cnt, big = 1, and every rank takes the
+    // first arm.
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
     val tiles = lit(10L)
-    val qq = floor(col("__cnt") / tiles)          // small-tile size
+    val qq = idiv(col("__cnt"), tiles)            // small-tile size
     val rem = col("__cnt") % tiles                // number of big tiles
     val big = qq + 1                              // big-tile size
     val rank = col("__offset") + col("__rn")
-    val decile = when(rank <= big * rem, floor((rank - 1) / big) + 1)
-      .otherwise(rem + floor((rank - big * rem - 1) / qq) + 1)
+    val decile = when(rank <= big * rem, idiv(rank - 1, big) + 1)
+      .otherwise(rem + idiv(rank - big * rem - 1, qq) + 1)
     sharded
       .withColumn("__rn", row_number().over(wIn))
       .join(broadcast(offsets), Seq("o_orderpriority", "__shard"))

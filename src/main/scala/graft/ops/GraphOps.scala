@@ -326,7 +326,11 @@ object GraphOps {
     * checkpoint every 4 (the CC cadence). k-core is the standard
     * dense-region/bot-cluster extractor at corpus scale. */
   def q179KCore(spark: SparkSession, dir: String): DataFrame = {
-    val core = kCoreEdges(burstEdges(spark, dir), k = 3).persist()
+    // kCoreEdges hands back its final frame already materialized (the
+    // loop's convergence count ran on it) and still persisted/
+    // checkpointed — re-persisting it here was a no-op that muddied
+    // ownership (ADVICE r7); this caller only unpersists
+    val core = kCoreEdges(burstEdges(spark, dir), k = 3)
     val nEdges = core.count()
     val nVerts = core.select(col("src").as("id"))
       .union(core.select(col("dst").as("id"))).distinct().count()
@@ -337,7 +341,11 @@ object GraphOps {
 
   /** The peeling core of [[q179KCore]] on an arbitrary canonical edge
     * frame: surviving edges after iterating to fixpoint or `maxRounds`,
-    * whichever first. Exposed for spec checks on synthetic graphs. */
+    * whichever first. Exposed for spec checks on synthetic graphs.
+    * Ownership: the returned frame is already materialized (the final
+    * convergence count ran on it) and still persisted (or localCheck-
+    * pointed on a %4 round) — the CALLER unpersists it when done; do
+    * not persist it again. */
   private[graft] def kCoreEdges(edges0: DataFrame, k: Int,
       maxRounds: Int = 24): DataFrame = {
     var edges = edges0.select("src", "dst").distinct().persist()
@@ -458,18 +466,26 @@ object GraphOps {
   private[graft] def pagerankRanks(edges0: DataFrame, iters: Int): DataFrame = {
     val edges = edges0.select("src", "dst").distinct()
     val und = edges.union(edges.select(col("dst").as("src"),
-      col("src").as("dst"))).persist()
+      col("src").as("dst")))
     val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
-      .select(col("src").as("id"), col("d")).persist()
-    var ranks = deg.select(col("id"), lit(1.0).as("r"))
+      .select(col("src").as("id"), col("d"))
+    // und ⋈ deg is loop-invariant: join it ONCE and persist the
+    // (src, dst, d) frame, so each iteration is one join with ranks +
+    // one aggregate instead of two edge-sized joins (VERDICT r7 §wrong
+    // #2). The summed term stays r/d — one correctly-rounded division
+    // per edge, the exact expression the unrolled DuckDB twin replays;
+    // a 1/d weight would double-round and perturb last-ulp sums.
+    val wed = und.join(deg.select(col("id").as("src"), col("d")), "src")
+      .persist()
+    val ids = deg.select(col("id")).persist()
+    var ranks = ids.select(col("id"), lit(1.0).as("r"))
     var i = 0
     while (i < iters) {
-      val contrib = und
-        .join(deg.select(col("id").as("src"), col("d")), "src")
+      val contrib = wed
         .join(ranks.select(col("id").as("src"), col("r")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("d")).as("x"))
-      var next = deg.select(col("id"))
+      var next = ids
         .join(contrib, Seq("id"), "left")
         .select(col("id"), (lit(0.15) + lit(0.85) * coalesce(col("x"),
           lit(0.0))).as("r"))
@@ -477,7 +493,13 @@ object GraphOps {
       ranks = next
       i += 1
     }
-    ranks
+    // materialize (vertex-sized) before releasing the cached frames the
+    // tail lineage still references, then hand back an unpersisted
+    // result — callers own nothing (triangleStats convention)
+    val out = ranks.localCheckpoint(true)
+    wed.unpersist()
+    ids.unpersist()
+    out
   }
 
   // --------------------------------------------------------------- q177

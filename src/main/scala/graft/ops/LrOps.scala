@@ -101,7 +101,12 @@ object LrOps {
   def q176LrDistill(spark: SparkSession, dir: String): DataFrame = {
     val feats = featureFrame(spark, dir).persist()
     val w = fit(feats, dim = 6)
-    predict(feats, w)
+    // the result is ONE row (a confusion matrix): run the scoring
+    // aggregate eagerly while feats is still cached, then release the
+    // cache deterministically before returning — no persist outlives
+    // the call (ADVICE r7 cache-leak sweep), and the scoring pass still
+    // reads features from cache instead of recomputing them
+    val r = predict(feats, w)
       .select(col("label"), when(col("p") >= 0.5, 1.0).otherwise(0.0).as("yhat"))
       .agg(
         count(lit(1)).as("n"),
@@ -115,6 +120,12 @@ object LrOps {
           .otherwise(0L)).as("fn"))
       .withColumn("accuracy",
         round((col("tp") + col("tn")).cast("double") / col("n"), 6))
+      .head()
+    feats.unpersist()
+    import spark.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)))
+      .toDF("n", "tp", "fp", "tn", "fn", "accuracy")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

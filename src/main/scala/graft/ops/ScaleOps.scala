@@ -146,14 +146,20 @@ object ScaleOps {
     * bounded, whitelisted in PlanAuditSpec). Ranks are IDENTICAL to the
     * direct window's (md5(id) with unique id gives a total order;
     * ScaleSpec pins the identity). Adds `rankName` (int, to match
-    * row_number) and leaves input columns untouched. */
+    * row_number) and leaves input columns untouched.
+    *
+    * The input is scanned TWICE (offset aggregate + ranked side) and is
+    * deliberately NOT persisted here: an implicit persist outlives the
+    * lazy result with no unpersist hook (ADVICE r7 cache-leak sweep),
+    * and both consumers are narrow pushed-projection scans — a caller
+    * whose upstream is genuinely expensive should persist df0 itself
+    * and own the unpersist. */
   def shardedMd5Rank(df0: DataFrame, stratum: String, idCol: String,
       rankName: String = "rnk", nShards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(256 % nShards == 0 && nShards <= 256,
       s"nShards must divide 256: $nShards")
-    val df = (if (df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df0.persist() else df0)
+    val df = df0
       .withColumn("__md5", md5(col(idCol).cast("string")))
       .withColumn("__shard",
         floor(conv(substring(col("__md5"), 1, 2), 16, 10).cast("int")

@@ -688,11 +688,15 @@ object Similarity {
     * of hex nibble ⌊j/4⌋ of md5(shingle)'s first 16 hex chars — exactly
     * reproducible in DuckDB via strpos-nibble arithmetic, so q41 is
     * hash-compared end-to-end (candidates AND hamming) instead of
-    * rows-only. The 16 nibbles are materialized in a projection BEFORE
-    * the 64-sum vote aggregate (the q25 lesson: don't recompute the
-    * hash inside every aggregate expression); the aggregate is a pure
-    * codegen HashAggregate with map-side partials, and only 64 ints per
-    * doc cross the shuffle. The splitmix64 [[simhashUdf]] stays the
+    * rows-only. ONE md5 per shingle: the hex prefix is materialized in
+    * a projection, then parsed into two 32-bit words with two conv
+    * calls — bit j of the MSB-first nibble family is exactly bit
+    * (31 − j mod 32) of word ⌊j/32⌋, so the 64 vote bits are plain
+    * shifts on those words (round-8 rewrite of the 16-conv nibble
+    * version, which did 16 string parses per shingle and made q41 the
+    * round-7 board's only perf regression). The aggregate is a pure
+    * codegen HashAggregate with map-side partials, and only 64 longs
+    * per doc cross the shuffle. The splitmix64 [[simhashUdf]] stays the
     * fast default API ([[simhashFingerprint]]). Planted positives:
     * 1-token-suffix copies (vote shift ≤ 3 per bit). */
   def q41SimHash(spark: SparkSession, dir: String): DataFrame = {
@@ -701,14 +705,15 @@ object Similarity {
       (col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" zz")).as("text"))))
     val ex = portableShingleRows(corpus)
-    val nib = ex.select((col("doc_id") +: (0 until 16).map(i =>
-      conv(substring(md5(col("s")), i + 1, 1), 16, 10).cast("int")
-        .as(s"n$i"))): _*)
+    val words = ex.select(col("doc_id"), md5(col("s")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("w0"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("w1"))
     val voteAggs = (0 until 64).map { j =>
-      sum(shiftright(col(s"n${j / 4}"), 3 - j % 4).bitwiseAND(1) * 2 - 1)
-        .as(s"v$j")
+      sum(shiftright(col(if (j < 32) "w0" else "w1"), 31 - j % 32)
+        .bitwiseAND(1) * 2 - 1).as(s"v$j")
     }
-    val votes = nib.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    val votes = words.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
     // fstr (the 64-char bitstring) drives band keys — identical substring
     // math on both engines; fp (the same bits packed in a long) drives
     // the compiled hamming on the Spark side only.

@@ -228,6 +228,9 @@ object StreamingOps {
   def q172StreamingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // the raw schema probe needs spark.sql.legacy.parquet.nanosAsLong on
+    // the nanos testdata generation; every graft entrypoint pins it at
+    // session build (no order dependence on Tables.events — ADVICE r7)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source requires a DIRECTORY; glob-filter it down
     // to the events table so sibling tables don't enter the stream

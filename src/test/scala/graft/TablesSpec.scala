@@ -85,14 +85,33 @@ class TablesSpec extends AnyFunSuite {
         .append("props", "{}"))
       writer.close()
 
-      // sanity: without the loader the file really does read as LongType
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawType = spark.read.parquet(s"$tmp/events.parquet").schema("ts").dataType
+      // sanity: under the entrypoint conf (SparkTest's builder pins it
+      // true, like Verify/Bench/Q*) the file really reads as LongType
+      assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true",
+        "test session must mirror the entrypoint builders")
+      val rawType = spark.read.parquet(s"$tmp/events.parquet")
+        .schema("ts").dataType
       assert(rawType == LongType, s"fixture did not store nanos: $rawType")
 
       val ev = Tables.events(spark, tmp.toString)
       assert(ev.schema("ts").dataType == TimestampType)
       assert(ev.select(unix_micros(col("ts"))).head.getLong(0) == nanos / 1000L)
+
+      // without the conf the loader must fail ACTIONABLY and must not
+      // flip session state behind the caller's back (VERDICT r7 "wrong"
+      // #3: no loader mutates session config)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      try {
+        val e = intercept[IllegalStateException] {
+          Tables.events(spark, tmp.toString)
+        }
+        assert(e.getMessage.contains("nanosAsLong"))
+        assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false",
+          "loader mutated session config")
+      } finally {
+        // the session is shared across suites — restore the entrypoint pin
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
