@@ -286,7 +286,102 @@ object GraphOps {
     "q177_triangles" -> (q177Triangles _),
     "q178_pagerank" -> (q178PageRank _),
     "q179_kcore" -> (q179KCore _),
-    "q180_assortativity" -> (q180Assortativity _))
+    "q180_assortativity" -> (q180Assortativity _),
+    "q181_label_prop" -> (q181LabelProp _))
+
+  // --------------------------------------------------------------- q181
+  /** q181 — label-propagation communities over the burst graph (the
+    * CC-family variant SURVEY §7.4d names): CC (q64) answers "which
+    * vertices are reachable"; LPA answers "which vertices are DENSELY
+    * tied" — the standard cheap community detector (Raghavan et al.
+    * 2007) for bot rings / coordinated-posting clusters at corpus
+    * scale. Every vertex starts as its own label; each round every
+    * vertex adopts the most frequent label among its NEIGHBORS, ties
+    * broken by the smallest label — a deterministic rule, unlike the
+    * paper's random tie-break, and run SYNCHRONOUSLY for a FIXED 8
+    * rounds, so the result is a pure function of the edge set that the
+    * DuckDB twin replays exactly (the q179 fixed-cap convention;
+    * synchronous LPA can two-cycle on bipartite structure — a fixed
+    * even round count pins one phase of the cycle deterministically on
+    * both engines). Each round is two vertex-keyed hash aggregates +
+    * one edge⋈labels shuffle join — the q178 cadence, labels stay
+    * distributed, lineage truncates every 4 rounds. Published: the 20
+    * largest communities by (size desc, label). */
+  def q181LabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(burstEdges(spark, dir), rounds = 8)
+      .groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("community"), col("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+
+  /** The iteration core of [[q181LabelProp]] on an arbitrary canonical
+    * edge frame: (id, lbl) for every edge-touching vertex after
+    * `rounds` synchronous most-frequent-neighbor-label updates (ties →
+    * min label). Exposed for spec pins on synthetic graphs. */
+  private[graft] def labelPropagation(edges0: DataFrame, rounds: Int): DataFrame = {
+    val edges = edges0.select("src", "dst").distinct()
+    // persist PRE-PARTITIONED on the per-round join key: the cached
+    // InMemoryRelation keeps hashpartitioning(dst), so every round's
+    // edge⋈labels join re-shuffles only the vertex-sized labels side,
+    // never the edge frame (without this, 8 rounds = 8 edge shuffles —
+    // measured 3× slower at sf0.1)
+    val und = edges.union(edges.select(col("dst").as("src"),
+      col("src").as("dst"))).repartition(col("dst")).persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var i = 0
+    while (i < rounds) {
+      // neighbor-label multiplicities: for edge (src, dst), dst's label
+      // is one vote toward src's next label (und holds both directions).
+      // The tie-break is ONE aggregate: max(struct(c, -lbl)) is (max
+      // count, then min label) — integer-exact, no second shuffle or
+      // self-join over the counts
+      var next = und
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("lbl"))
+      if ((i + 1) % 4 == 0) next = next.localCheckpoint(true)
+      labels = next
+      i += 1
+    }
+    // vertex-sized materialization, then release the cached edge frame
+    // — hand back an unpersisted result (triangleStats convention)
+    val out = labels.localCheckpoint(true)
+    und.unpersist()
+    out
+  }
+
+  /** q181's DuckDB twin: 8 unrolled synchronous rounds. Every CTE is
+    * MATERIALIZED — l$k is referenced twice by round k+1 (count + tie
+    * filter), and DuckDB's default CTE inlining would expand the final
+    * round exponentially (the q179 lesson). */
+  private def q181OracleSql: String = {
+    val rounds = (1 to 8).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT und.src AS id, l.lbl, count(*) AS c
+         |  FROM und JOIN l${k - 1} l ON l.id = und.dst
+         |  GROUP BY und.src, l.lbl),
+         |l$k AS MATERIALIZED (SELECT c.id, min(c.lbl) AS lbl
+         |  FROM c$k c JOIN (SELECT id, max(c) AS mc FROM c$k GROUP BY id) m
+         |    ON m.id = c.id AND c.c = m.mc
+         |  GROUP BY c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       |edges AS (
+       |  SELECT DISTINCT a.event_id AS src, b.event_id AS dst
+       |  FROM ev a JOIN ev b USING (user_id)
+       |  WHERE a.event_id < b.event_id
+       |    AND b.us >= a.us AND b.us - a.us <= 300000000),
+       |und AS MATERIALIZED (SELECT src, dst FROM edges
+       |  UNION ALL SELECT dst, src FROM edges),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM und),
+       |$rounds
+       |SELECT lbl AS community, count(*) AS n_members FROM l8
+       |GROUP BY lbl ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+  }
 
   /** q178's DuckDB twin: the 10 iterations unrolled as generated CTEs
     * r1..r10 over the same undirected edge set. */
@@ -558,6 +653,7 @@ object GraphOps {
   val oracleSql: Map[String, String] = Map(
     "q178_pagerank" -> q178OracleSql,
     "q179_kcore" -> q179OracleSql,
+    "q181_label_prop" -> q181OracleSql,
     // identical double expression shape on both engines over exact
     // integer moments (see q180 doc)
     "q180_assortativity" ->

@@ -273,6 +273,37 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out.getLong(0) > 0L)
   }
 
+  test("labelPropagation: bridged cliques collapse to per-clique labels") {
+    import spark.implicits._
+    // two 3-cliques {1,2,3} and {4,5,6} joined by bridge 3-4. Hand-run
+    // of the deterministic rule (most frequent neighbor label, ties →
+    // min) converges by round 4: clique one → label 1; clique two →
+    // label 3 (the bridge leaks 3's round-1 label into the second
+    // clique before 1 stabilizes — pinned intentionally: the rule is
+    // the contract, not "min id of the community")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = ops.GraphOps.labelPropagation(edges, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(labels(_) == 1L), s"clique one: $labels")
+    assert(Seq(4L, 5L, 6L).forall(labels(_) == 3L), s"clique two: $labels")
+  }
+
+  test("q181: communities partition the burst vertices; cut is deterministic") {
+    val out = ops.GraphOps.q181LabelProp(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // sizes are positive and the published order is (size desc, label)
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.forall(_ > 0L))
+    assert(sizes.sameElements(sizes.sorted.reverse))
+    // labels are distinct communities
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // run twice: the fixed-round synchronous rule is a pure function
+    val again = ops.GraphOps.q181LabelProp(spark, dir).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("q63: kept orders strictly exceed their customer's average") {
     val out = GraphOps.q63CorrelatedSubquery(spark, dir)
     val perCust = Tables.orders(spark, dir)
