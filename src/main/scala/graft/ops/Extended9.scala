@@ -164,11 +164,57 @@ object Extended9 {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q182
+  /** q182 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * algorithm A-ES, IPL 2006): item i gets key uᵢ^(1/wᵢ) with uᵢ
+    * uniform in (0,1); the k largest keys are an exact without-
+    * replacement draw with first-draw probabilities ∝ w. Computed in
+    * the numerically stable log form ln(u)/w (monotone in the key, no
+    * underflow for tiny u^(1/w)). u is DETERMINISTIC pseudo-randomness
+    * — a bit-mix of (seed, id) via xxhash64 — so the draw is
+    * reproducible; complements q122 (PPS systematic, fixed skip) and
+    * q136/q166 (rank-based quotas) with the replacement-free
+    * probabilistic draw an epoch sampler wants. Rows-only in t2 BY
+    * DESIGN: ln/pow keys are not cross-engine bit-exact, and a
+    * float-boundary oracle would mask divergence (SURVEY §7.4d; the
+    * round-2 decimal lesson). AesSamplingSpec pins the laws instead:
+    * inclusion frequency of a planted heavy item across seeds,
+    * light-item symmetry, exact-k distinctness, determinism.
+    *
+    * Scale: the key is one narrow map over the corpus; the top-k is
+    * TakeOrderedAndProject — per-partition k-heads merged on the
+    * driver, k-sized state, no global sort, no window. */
+  def q182WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleWithoutReplacement(
+      Tables.fanout(Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          greatest(length(col("text")), lit(1)).cast("double").as("w"))),
+      "doc_id", "w", k = 100, seed = 42L)
+      .select(col("doc_id"), col("w").cast("long").as("weight"))
+      .orderBy("doc_id")
+
+  /** The A-ES core: top-`k` rows of `df` by ln(u)/w key, u =
+    * xxhash64(seed, id) mapped to (0,1) with a 2⁻⁶⁴ floor (keeps ln
+    * finite on the one all-zero hash). Ties (measure-zero) break by id
+    * so the draw is a total order. */
+  private[graft] def weightedSampleWithoutReplacement(df: DataFrame,
+      idCol: String, wCol: String, k: Int, seed: Long): DataFrame = {
+    val u = greatest(
+      xxhash64(lit(seed), col(idCol)).cast("double")
+        / 1.8446744073709552e19 + 0.5,
+      lit(5.421010862427522e-20))
+    df.withColumn("__aes_key", log(u) / col(wCol))
+      .orderBy(col("__aes_key").desc, col(idCol))
+      .limit(k)
+      .drop("__aes_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_path_analysis" -> (q167PathAnalysis _),
     "q168_retrieval_eval" -> (q168RetrievalEval _),
     "q169_mix_cells" -> (q169MixCells _),
-    "q174_segment_dedup" -> (q174SegmentDedup _))
+    "q174_segment_dedup" -> (q174SegmentDedup _),
+    "q182_weighted_sample" -> (q182WeightedSample _))
 
   val oracleSql: Map[String, String] = Map(
     // groups by seg_text where Spark groups by sha2(seg_text) — identical
