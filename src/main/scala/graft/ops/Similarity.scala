@@ -910,10 +910,16 @@ object Similarity {
     * pair-sized, not corpus-sized. */
   def q164DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q25NearDup(spark, dir).select("a_id", "b_id")
-    val members = pairs.select(col("a_id").as("doc_id"), col("b_id").as("peer"))
-      .union(pairs.select(col("b_id").as("doc_id"), col("a_id").as("peer")))
-      .union(pairs.select(col("a_id").as("doc_id"), col("a_id").as("peer")))
-      .union(pairs.select(col("b_id").as("doc_id"), col("b_id").as("peer")))
+    // the four member rows per pair come from ONE explode, not a 4-way
+    // union of `pairs`: a union evaluates the (expensive, unpersisted)
+    // pair enumeration once per branch — invisible at sf0.1, but the
+    // 100× probe measured it as 4× the near-dup join (~40 min vs ~10)
+    val members = pairs.select(explode(array(
+      struct(col("a_id").as("doc_id"), col("b_id").as("peer")),
+      struct(col("b_id").as("doc_id"), col("a_id").as("peer")),
+      struct(col("a_id").as("doc_id"), col("a_id").as("peer")),
+      struct(col("b_id").as("doc_id"), col("b_id").as("peer")))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.peer").as("peer"))
     members.groupBy("doc_id").agg(min("peer").as("rep"))
       .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
       .orderBy("rep")
@@ -926,6 +932,96 @@ object Similarity {
        |est AS (SELECT c.a_id, c.b_id, round(($matches) / 16.0, 6) AS ej
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
        |              JOIN sig sb ON sb.doc_id = c.b_id),
+       |p AS (SELECT a_id, b_id FROM est WHERE ej >= 0.5),
+       |m AS (SELECT a_id AS doc_id, b_id AS peer FROM p
+       |  UNION ALL SELECT b_id, a_id FROM p
+       |  UNION ALL SELECT a_id, a_id FROM p
+       |  UNION ALL SELECT b_id, b_id FROM p),
+       |r AS (SELECT doc_id, min(peer) AS rep FROM m GROUP BY 1)
+       |SELECT rep, count(*) AS cluster_size FROM r
+       |GROUP BY rep ORDER BY rep""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q183
+  /** q183 — duplicate-cluster collapse via STAR candidates: the scale
+    * tier of q164 for boilerplate-heavy corpora. q164 (like any
+    * pair-enumerating LSH dedup) materializes every candidate PAIR
+    * inside an LSH bucket — C(c,2) per bucket of c docs. The round-8
+    * 100× probe (every doc in a 200-doc near-dup cluster) measured the
+    * direct consequence: ~10⁸ candidate pairs, ~10 min for the pair
+    * join alone. A mega-cluster corpus doesn't need the pairs to
+    * DEDUP, only the groups: band each signature exactly as q25 does,
+    * but emit one candidate edge per (member, bucket-min) — O(n·bands)
+    * edges TOTAL, independent of cluster size — verify each edge with
+    * the same banded component estimate, and collapse with q164's
+    * one-hop min-pointer rule. Clusters = components of the verified
+    * star graph: identical to q164 whenever every cluster member
+    * matches its bucket minimum (true on suffix-perturbed boilerplate
+    * — each such cluster shares all 4 band keys), an under-merge only
+    * when a bucket's min fails verification against a member that
+    * matches some OTHER member (chain-shaped similarity — that regime
+    * belongs to the full CC tier, q64). Oracle replicates bucket mins,
+    * star edges, estimates, and the collapse; StarCollapseSpec pins
+    * the candidate-count law (≤ n·bands) and q164 agreement on a
+    * planted clustered corpus.
+    *
+    * Scale: one window over the high-cardinality (band_idx, band_key)
+    * digest key (the q174 shape), one edge-sized verify join, two
+    * aggregates — every intermediate is O(n·bands), never O(n·c). */
+  def q183StarCollapse(spark: SparkSession, dir: String): DataFrame =
+    starCollapse(plantedCorpus(spark, dir)).orderBy("rep")
+
+  /** The reusable star-collapse core: (rep, cluster_size) for any
+    * (doc_id, text) corpus under the portable md5 MinHash family. */
+  def starCollapse(corpus: DataFrame, minEst: Double = 0.5): DataFrame = {
+    // persist: sigs feed the band explode AND both sides of the verify
+    // join (k hex strings per doc — ~512 B/doc at any scale)
+    val sigs = portableSigs(corpus).persist()
+    val bands = sigs.select(col("doc_id"),
+      posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+    // star edges: every bucket member points at its bucket's min id.
+    // A window on the md5 band key, not a groupBy+self-join: buckets
+    // are high-cardinality (the q174 digest-window precedent), so the
+    // window parallelizes across buckets and reads the band rows once.
+    val edges = bands
+      .withColumn("bmin", min(col("doc_id"))
+        .over(Window.partitionBy("band_idx", "band_key")))
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a_id"), col("doc_id").as("b_id"))
+      .distinct()
+    val verified = edges
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / K, 6).as("est"))
+      .filter(col("est") >= minEst)
+      .select("a_id", "b_id")
+    // q164's one-hop min-pointer collapse, single-pass members (one
+    // explode — not a 4-way union that would re-evaluate the verify)
+    val members = verified.select(explode(array(
+      struct(col("a_id").as("doc_id"), col("b_id").as("peer")),
+      struct(col("b_id").as("doc_id"), col("a_id").as("peer")),
+      struct(col("a_id").as("doc_id"), col("a_id").as("peer")),
+      struct(col("b_id").as("doc_id"), col("b_id").as("peer")))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.peer").as("peer"))
+    members.groupBy("doc_id").agg(min("peer").as("rep"))
+      .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+  }
+
+  private[ops] def q183OracleSql: String = {
+    s"""${portableOracleCtes()},
+       |bmin AS (SELECT band_idx, band_key, min(doc_id) AS m
+       |  FROM bands GROUP BY 1, 2),
+       |star AS (SELECT DISTINCT bm.m AS a_id, b.doc_id AS b_id
+       |  FROM bands b JOIN bmin bm USING (band_idx, band_key)
+       |  WHERE b.doc_id <> bm.m),
+       |est AS (SELECT e.a_id, e.b_id,
+       |    round(($portableMatchExpr) / 16.0, 6) AS ej
+       |  FROM star e JOIN sig sa ON sa.doc_id = e.a_id
+       |              JOIN sig sb ON sb.doc_id = e.b_id),
        |p AS (SELECT a_id, b_id FROM est WHERE ej >= 0.5),
        |m AS (SELECT a_id AS doc_id, b_id AS peer FROM p
        |  UNION ALL SELECT b_id, a_id FROM p
@@ -1062,7 +1158,8 @@ object Similarity {
     "q45_ann_ivf" -> (q45AnnIvf _),
     "q153_incremental_dedup" -> (q153IncrementalDedup _),
     "q164_dup_clusters" -> (q164DupClusters _),
-    "q175_source_overlap" -> (q175SourceOverlap _))
+    "q175_source_overlap" -> (q175SourceOverlap _),
+    "q183_star_collapse" -> (q183StarCollapse _))
 
   /** q25/q42 via the portable md5 MinHash family, q41 via the portable
     * md5-bit-vote SimHash family; q38/q39/q45 stay rows-only (float
@@ -1074,6 +1171,7 @@ object Similarity {
     "q42_ngram_jaccard" -> q42OracleSql,
     "q153_incremental_dedup" -> q153OracleSql,
     "q164_dup_clusters" -> q164OracleSql,
+    "q183_star_collapse" -> q183OracleSql,
     "q26_cosine_topk" ->
       """WITH q AS (
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS qv,

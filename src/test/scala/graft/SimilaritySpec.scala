@@ -207,6 +207,67 @@ class SimilaritySpec extends AnyFunSuite {
       s"q25 missed ${missed.size} true-Jaccard pairs, e.g. ${missed.take(5)}")
   }
 
+  test("q183: star collapse equals pair collapse on a clustered corpus") {
+    import spark.implicits._
+    // 20 clusters × 5 suffix-perturbed members, disjoint per-cluster
+    // vocabulary — the boilerplate regime the star tier exists for.
+    // Law: star candidates (O(n·bands)) and full pair enumeration
+    // (O(n·c)) collapse to the SAME (rep, cluster_size) groups.
+    // tokenization keeps [a-z] runs ONLY — digits split words, so the
+    // vocabulary must be letters (digit ids would collapse every
+    // cluster's text to the same "w x w x ..." token stream)
+    def alpha(n: Int): String = n.toString.map(d => ('a' + (d - '0')).toChar)
+    val docs = (for {
+      cid <- 0 until 20
+      rep <- 0 until 5
+    } yield {
+      val base = (0 until 30).map(j => s"w${alpha(cid)}x${alpha(j)}").mkString(" ")
+      (cid * 100L + rep,
+        if (rep == 0) base else s"$base zz${alpha(rep)}")
+    }).toDF("doc_id", "text")
+    val star = Similarity.starCollapse(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pair-collapse twin (q164's rule) on the full pair enumeration
+    val pairs = Similarity.portablePairs(docs).select("a_id", "b_id")
+    val members = pairs.select(explode(array(
+      struct(col("a_id").as("doc_id"), col("b_id").as("peer")),
+      struct(col("b_id").as("doc_id"), col("a_id").as("peer")),
+      struct(col("a_id").as("doc_id"), col("a_id").as("peer")),
+      struct(col("b_id").as("doc_id"), col("b_id").as("peer")))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.peer").as("peer"))
+    val pair = members.groupBy("doc_id").agg(min("peer").as("rep"))
+      .groupBy("rep").agg(count(lit(1)).as("cluster_size")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == pair,
+      s"star ${star.size} groups vs pair ${pair.size}: sym-diff ${
+        (star diff pair) ++ (pair diff star)}")
+    // the clusters themselves: every cluster collapses to its min id
+    assert(star.count { case (rep, n) => rep % 100 == 0 && n >= 4 } >= 18,
+      s"expected ~20 five-doc clusters, got $star")
+  }
+
+  test("q183: under-merges but never over-merges vs pair collapse on chains") {
+    import spark.implicits._
+    // A–B similar, B–C similar, A–C not: pair collapse may link all
+    // three through B; the star tier guarantees it never merges MORE
+    // than the pair graph does (its edges are a subset) — the law that
+    // makes it a safe dedup substitute (it only keeps extra docs).
+    def alpha(n: Int): String = n.toString.map(d => ('a' + (d - '0')).toChar)
+    val words = (0 until 50).map(j => s"ch${alpha(j)}")
+    val docs = Seq(
+      (1L, words.slice(0, 30).mkString(" ")),
+      (2L, words.slice(10, 40).mkString(" ")),
+      (3L, words.slice(20, 50).mkString(" "))
+    ).toDF("doc_id", "text")
+    val starDocs = Similarity.starCollapse(docs)
+      .agg(coalesce(sum("cluster_size"), lit(0L))).collect()(0).getLong(0)
+    val pairTouched = Similarity.portablePairs(docs).select("a_id", "b_id")
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct().count()
+    assert(starDocs <= pairTouched,
+      s"star collapsed $starDocs docs > pair graph's $pairTouched")
+  }
+
   test("winnowing: doc shares fingerprints with its extended copy, not with others") {
     import spark.implicits._
     val docs = Seq(
