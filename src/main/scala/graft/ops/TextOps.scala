@@ -165,7 +165,83 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q184
+  /** q184 — collocation mining by association LIFT: the top bigrams of
+    * the corpus by frequency, each scored with
+    * lift = P(w1 w2) / (P(w1)·P(w2)) = (c_xy·U·U) / (B·c_x·c_y) —
+    * the phrase-mining signal a tokenizer/vocab pipeline ranks merge
+    * candidates with (PMI is ln(lift); ln is deliberately NOT taken:
+    * cross-engine ln() is not bit-reproducible, while lift is integer
+    * products and ONE double division, so the whole query stays
+    * hash-exact). Ordering and the top-100 cut are decided by the
+    * INTEGER key (c_xy desc, w1, w2) — the float never decides a
+    * boundary (the q136/q166 rule); lift is published decoration,
+    * rounded to 6.
+    *
+    * Scale: bigrams explode in-row from the token array (corpus-scan
+    * sized, no shuffle), collapse via map-side partial counts; the
+    * unigram table is vocab-sized, so its two joins broadcast; U and B
+    * are 1-row aggregates cross-joined broadcast. Top-100 is
+    * TakeOrderedAndProject — k-sized state, no global sort. uni/bi are
+    * persisted because each feeds both a total and a join (the q164
+    * lesson: an unpersisted frame referenced twice re-evaluates the
+    * corpus scan per reference). */
+  def q184CollocationLift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanout(Tables.documents(spark, dir).select("text"))
+      .select(filter(split(lower(col("text")), "[^a-z]+"),
+        t => t =!= "").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).persist()
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy")).persist()
+    val u = uni.agg(sum("c").as("uu"))
+    val btot = bi.agg(sum("c_xy").as("bb"))
+    bi.filter(col("c_xy") >= 3)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(u)).crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round((col("c_xy").cast("double") * col("uu") * col("uu"))
+          / (col("bb").cast("double") * col("c_x") * col("c_y")), 6)
+          .as("lift"))
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  private val q184Oracle: String =
+    // mirrors the Spark plan step for step; the lift expression keeps
+    // the SAME association order (numerator product, denominator
+    // product, one division) so every IEEE operation is identical.
+    // DuckDB's sum(BIGINT) is HUGEINT — harmless here because uu/bb
+    // only ever appear inside double arithmetic.
+    """WITH toks AS (SELECT
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |      x -> x <> '') AS t FROM documents),
+      |uni AS (SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+      |  FROM toks WHERE len(t) >= 2),
+      |bi AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_xy
+      |  FROM bg GROUP BY 1, 2),
+      |u AS (SELECT sum(c) AS uu FROM uni),
+      |btot AS (SELECT sum(c_xy) AS bb FROM bi)
+      |SELECT bi.w1, bi.w2, bi.c_xy,
+      |  round((bi.c_xy::DOUBLE * u.uu * u.uu)
+      |        / (btot.bb::DOUBLE * ux.c * uy.c), 6) AS lift
+      |FROM bi
+      |JOIN uni ux ON ux.w = bi.w1
+      |JOIN uni uy ON uy.w = bi.w2
+      |CROSS JOIN u CROSS JOIN btot
+      |WHERE bi.c_xy >= 3
+      |ORDER BY bi.c_xy DESC, bi.w1, bi.w2 LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_collocation_lift" -> (q184CollocationLift _),
     "q47_hash_sample" -> (q47HashSample _),
     "q24_dedup_exact" -> (q24DedupExact _),
     "q27_wordcount_topk" -> (q27WordcountTopK _),
@@ -175,6 +251,7 @@ object TextOps {
     "q37_fingerprint" -> (q37Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "q184_collocation_lift" -> q184Oracle,
     "q47_hash_sample" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,

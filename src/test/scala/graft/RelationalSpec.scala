@@ -182,6 +182,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q184: collocation lift matches an independent count-based recompute") {
+    val rows = graft.ops.TextOps.q184CollocationLift(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // integer key ordering: c_xy desc, then (w1, w2)
+    val keys = rows.map(r => (-r.getLong(2), r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted), "not ordered by (c_xy desc, w1, w2)")
+    // recompute the top row's lift from scratch with plain aggregates
+    val (w1, w2, cxy, lift) = (rows.head.getString(0), rows.head.getString(1),
+      rows.head.getLong(2), rows.head.getDouble(3))
+    val toks = Tables.documents(spark, dir)
+      .select(filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("t"))
+    val uniRows = toks.select(explode(col("t")).as("w"))
+      .filter(col("w").isin(w1, w2)).groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val u = toks.select(explode(col("t")).as("w")).count()
+    val b = toks.select((size(col("t")) - 1).as("nb"))
+      .filter(col("nb") >= 1).agg(sum("nb")).collect()(0).getLong(0)
+    val expect = BigDecimal(
+      (cxy.toDouble * u * u) / (b.toDouble * uniRows(w1) * uniRows(w2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(lift - expect) < 1e-9, s"lift $lift != recomputed $expect")
+  }
+
   test("q44: every segment lists at most 5 names") {
     Relational.q44StringAgg(spark, dir).collect().foreach { r =>
       assert(r.getString(1).split(",").length <= 5)
