@@ -38,6 +38,18 @@ object GraphOps {
           "component labels may be partially merged; raise maxIters")
     }
 
+  /** Both directions of a (src, dst) edge frame from ONE evaluation of
+    * the child: an explode over an inline 2-array, not
+    * `edges.union(edges.select(swap))` — a union evaluates an
+    * unpersisted child once per branch, and for the burst graph that
+    * child is an events self-join (the q164 recompute lesson from the
+    * round-8 100× probe, where the same pattern cost 4× the LSH join). */
+  private def undirect(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+      struct(col("src").as("src"), col("dst").as("dst")),
+      struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   /** Minimum-label propagation to a fixpoint: every vertex repeatedly
     * takes the min label over itself and its neighbors. Converges in
     * O(component diameter) rounds; each round is one shuffle (edges ⋈
@@ -61,9 +73,7 @@ object GraphOps {
     * treated as undirected. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    val und = undirect(edges.select(col("src"), col("dst"))).persist()
     // both directions are present, so src alone covers every endpoint
     val connected = und.select(col("src").as("id")).distinct().persist()
     var labels = connected.select(col("id"), col("id").as("label")).persist()
@@ -134,10 +144,15 @@ object GraphOps {
       (r.getLong(0),
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
-    val connected = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
+    // evaluate the (possibly expensive, caller-owned) edge frame ONCE:
+    // both derivations below are eagerly checkpointed, so the cache is
+    // released before the loop starts
+    val e0 = edges.select("src", "dst").persist()
+    val connected = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
       .pipe(graft.ops.ScaleOps.stageCheckpoint)
-    var e = canon(edges.select("src", "dst")).pipe(graft.ops.ScaleOps.stageCheckpoint)
+    var e = canon(e0).pipe(graft.ops.ScaleOps.stageCheckpoint)
+    e0.unpersist()
     var prev = sig(e)
     var converged = prev._1 == 0L
     var i = 0
@@ -267,8 +282,7 @@ object GraphOps {
     * the only large intermediate and it is aggregated immediately. */
   def q80DegreeDist(spark: SparkSession, dir: String): DataFrame = {
     val edges = burstEdges(spark, dir)
-    val und = edges.union(
-      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = undirect(edges)
     val deg = und.groupBy(col("src").as("event_id"))
       .agg(count(lit(1)).as("degree"))
     Tables.events(spark, dir).select(col("event_id"))
@@ -325,8 +339,7 @@ object GraphOps {
     // edge⋈labels join re-shuffles only the vertex-sized labels side,
     // never the edge frame (without this, 8 rounds = 8 edge shuffles —
     // measured 3× slower at sf0.1)
-    val und = edges.union(edges.select(col("dst").as("src"),
-      col("src").as("dst"))).repartition(col("dst")).persist()
+    val und = undirect(edges).repartition(col("dst")).persist()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     var i = 0
@@ -511,8 +524,7 @@ object GraphOps {
     * canonical edge frame (spec: a star graph is exactly −1). */
   private[graft] def assortativityOf(edges0: DataFrame): DataFrame = {
     val edges = edges0.select("src", "dst").distinct()
-    val und = edges.union(edges.select(col("dst").as("src"),
-      col("src").as("dst"))).persist()
+    val und = undirect(edges).persist()
     val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
       .select(col("src").as("id"), col("d"))
     val ends = und
@@ -559,9 +571,11 @@ object GraphOps {
     * (src, dst) edge frame: returns (id, r) unrounded for every
     * edge-touching vertex. Exposed for spec closed-form checks. */
   private[graft] def pagerankRanks(edges0: DataFrame, iters: Int): DataFrame = {
-    val edges = edges0.select("src", "dst").distinct()
-    val und = edges.union(edges.select(col("dst").as("src"),
-      col("src").as("dst")))
+    // persist the canonical edge frame: und is referenced by BOTH deg
+    // and wed below, and without the cache each reference re-evaluates
+    // the caller's (events-self-join-sized) edge derivation
+    val edges = edges0.select("src", "dst").distinct().persist()
+    val und = undirect(edges)
     val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
       .select(col("src").as("id"), col("d"))
     // und ⋈ deg is loop-invariant: join it ONCE and persist the
@@ -594,6 +608,7 @@ object GraphOps {
     val out = ranks.localCheckpoint(true)
     wed.unpersist()
     ids.unpersist()
+    edges.unpersist()
     out
   }
 
