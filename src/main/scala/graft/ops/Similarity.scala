@@ -505,10 +505,13 @@ object Similarity {
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / K, 6).as("est_jaccard"))
+        // native codegen'd component match count: the SAME integer the
+        // aggregate(zip_with(when(x===y,1,0)), acc+x) chain produced —
+        // two interpreted HOFs per CANDIDATE PAIR were the hot loop at
+        // the 100× probe — so /16.0 + round(6) and every downstream
+        // oracle hash are unchanged (SigMatchCountSpec pins equality)
+        round(graft.functions.SigMatchCount.sigMatchCount(
+          col("sig_a"), col("sig_b")).cast("double") / K, 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
       .distinct()
   }
@@ -863,10 +866,9 @@ object Similarity {
       .orderBy(col("est_jaccard").desc, col("old_id"))
     newSide.join(oldSide, Seq("band_idx", "band_key"))
       .select(col("new_id"), col("old_id"),
-        round(aggregate(
-          zip_with(col("sig_n"), col("sig_o"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / K, 6)
+        // native match count — same integer as the HOF chain (q25 note)
+        round(graft.functions.SigMatchCount.sigMatchCount(
+          col("sig_n"), col("sig_o")).cast("double") / K, 6)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .distinct()
@@ -993,10 +995,9 @@ object Similarity {
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / K, 6).as("est"))
+        // native match count — same integer as the HOF chain (q25 note)
+        round(graft.functions.SigMatchCount.sigMatchCount(
+          col("sig_a"), col("sig_b")).cast("double") / K, 6).as("est"))
       .filter(col("est") >= minEst)
       .select("a_id", "b_id")
     // q164's one-hop min-pointer collapse, single-pass members (one
