@@ -44,6 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"jaccard_sorted expects 2 arguments, got ${args.length}")
         functions.JaccardSorted(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sig_match_count"),
+      new ExpressionInfo(classOf[functions.SigMatchCount].getName,
+        "sig_match_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"sig_match_count expects 2 arguments, got ${args.length}")
+        functions.SigMatchCount(args.head, args(1))
+      }))
     // zorder_key(a, b): the Morton interleave ladder from
     // LayoutOps.zorderKey, exposed to SQL. The builder runs inside the
     // analyzer, so it must emit RESOLVED catalyst nodes directly — a

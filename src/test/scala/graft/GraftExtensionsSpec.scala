@@ -39,6 +39,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("injectFunction: sig_match_count is callable from SQL") {
+    withExtensionSession { s2 =>
+      val r = s2.sql(
+        """SELECT sig_match_count(array('aa','bb','cc'),
+          |                       array('aa','xx','cc')) AS n
+          |""".stripMargin).collect().head
+      assert(r.getInt(0) == 2)
+    }
+  }
+
   test("injectFunction: zorder_key is callable from SQL and matches the Column API") {
     withExtensionSession { s2 =>
       val r = s2.sql(
