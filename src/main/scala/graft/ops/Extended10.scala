@@ -1,0 +1,341 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q185–q189 — round-8 batch 2: the data-selection / mixing / noising
+  * operators a pretraining-data pipeline runs AFTER dedup and quality
+  * filtering, each with a named public design it re-expresses:
+  *
+  *  - q185/q186 DSIR-shape importance weighting (Xie et al. 2023,
+  *    "Data Selection for Language Models via Importance Resampling"):
+  *    hashed bigram bucket counts target-vs-raw, then per-document
+  *    importance scores and a top-k selection — integerized so both
+  *    stages are DuckDB-hash-exact.
+  *  - q187 SemDeDup-shape semantic dedup (Abbas et al. 2023): k-means
+  *    coarse cells bound the pairwise work, cosine threshold inside a
+  *    cell, connected components, keep the minimum id. Rows-only
+  *    (floats end to end); SemDedupSpec pins planted-duplicate
+  *    recovery.
+  *  - q188 UniMax language budget allocation (Chung et al. 2023):
+  *    epoch-capped waterfilling over per-language character counts,
+  *    integer division only, oracle = recursive CTE.
+  *  - q189 T5-shape span-corruption accounting (Raffel et al. 2020):
+  *    deterministic md5-bucket noise mask per token position, span
+  *    runs counted in-row — the bookkeeping half of span corruption,
+  *    exactly replayable cross-engine.
+  */
+object Extended10 {
+
+  /** Shared tokenizer — identical to q184's (lower, split on runs of
+    * non-letters, drop empties) so the collocation and selection
+    * families agree on what a "word" is. */
+  private def toks(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+
+  private val tokSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  /** DSIR hashed feature: word bigram → one of 10 000 buckets via the
+    * first 6 hex digits of md5 (portable md5 pattern, q47/q72/q94 —
+    * 16^6 < 2^31 so the int cast is safe on both engines). */
+  private def bigramBuckets(doc: DataFrame): DataFrame =
+    doc.withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= 2)
+      .select(col("*"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => pmod(conv(substring(md5(
+          concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1)).cast("binary")), 1, 6), 16, 10)
+          .cast("int"), lit(10000)))).as("bucket"))
+      .drop("t")
+
+  /** Oracle mirror of [[bigramBuckets]] keeping `cols`: same
+    * tokenizer, same two words joined by one space, same 6-hex-digit
+    * md5 bucket; unnest stays in the SELECT list (q184 pattern). */
+  private def bigramBucketSql(cols: String): String =
+    s"""SELECT $cols, unnest(list_transform(generate_series(1, len(t) - 1),
+       |    i -> CAST('0x' || substring(md5(t[i] || ' ' || t[i + 1]), 1, 6)
+       |         AS INTEGER) % 10000)) AS bucket
+       |  FROM (SELECT *, $tokSql AS t FROM documents)
+       |  WHERE len(t) >= 2""".stripMargin
+
+  // ---------------------------------------------------------------- q185
+  /** q185 — DSIR bucket statistics: for every hashed bigram bucket,
+    * how often it occurs in the TARGET slice (lang = 'en', standing in
+    * for the high-quality target domain) vs the RAW corpus. This is
+    * the sufficient statistic DSIR's importance weights are built
+    * from; emitting it as its own query makes the weight table
+    * independently hash-checked before q186 consumes the same shape.
+    *
+    * Scale: bigrams explode IN-ROW under the scan (no shuffle before
+    * the partial aggregate); the only exchange is the final 10 000-key
+    * hash aggregate — bucket-sized, not corpus-sized. Counts are
+    * integers; nothing floats. */
+  def q185DsirBuckets(spark: SparkSession, dir: String): DataFrame =
+    bigramBuckets(Tables.fanout(
+        Tables.documents(spark, dir).select("text", "lang")))
+      .groupBy("bucket")
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_target"),
+        count(lit(1)).as("c_raw"))
+      .orderBy("bucket")
+
+  private val q185Oracle: String =
+    s"""SELECT bucket,
+       |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_target,
+       |  count(*) AS c_raw
+       |FROM (${bigramBucketSql("lang")})
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q186
+  /** q186 — DSIR document selection: score every document by the sum
+    * of its bigram-bucket importance weights and keep the top 50 by
+    * LENGTH-NORMALIZED score. The weight is integerized so the
+    * selection boundary is never a float (the q136/q166 rule): DSIR's
+    * log-ratio log(p_target/p_raw) is order-isomorphic to the ratio
+    * itself, so we publish
+    *   w(b) = (1 000 000 · (c_target(b)+1)) div (c_raw(b)+1)
+    * (add-one smoothing, millionths precision, BIGINT div — exact on
+    * both engines), and score(d) = Σ_instances w(bucket), normalized
+    * as score div n_bigrams. Ranking and the top-50 cut are decided by
+    * (norm_score, score, doc_id) — all integers.
+    *
+    * Scale: the weight table is bucket-sized (≤10 000 rows) and
+    * BROADCAST to the exploded bigram stream; per-doc scores collapse
+    * through map-side partial sums on doc_id; the cut is
+    * TakeOrderedAndProject (k-sized state, no global sort). The
+    * corpus is touched twice (once to build weights, once to score) —
+    * at 100 TB the weight pass would be sampled or cached, but the
+    * weight table itself never grows past 10 000 rows. */
+  def q186DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanout(
+      Tables.documents(spark, dir).select("doc_id", "text", "lang"))
+    val weights = bigramBuckets(docs.select(col("text"), col("lang")))
+      .groupBy("bucket")
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .select(col("bucket"),
+        expr("(1000000 * (ct + 1)) div (cr + 1)").as("w"))
+    bigramBuckets(docs.select(col("doc_id"), col("text")))
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("w").as("score"))
+      .select(col("doc_id"), col("n_bigrams"), col("score"),
+        expr("score div n_bigrams").as("norm_score"))
+      .orderBy(col("norm_score").desc, col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  private val q186Oracle: String =
+    s"""WITH bb AS MATERIALIZED (
+       |  SELECT doc_id, lang, bucket
+       |  FROM (${bigramBucketSql("doc_id, lang")})),
+       |w AS (SELECT bucket,
+       |    (1000000 * (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1))
+       |      // (count(*) + 1) AS w
+       |  FROM bb GROUP BY bucket),
+       |s AS (SELECT bb.doc_id, count(*) AS n_bigrams,
+       |    sum(w.w)::BIGINT AS score
+       |  FROM bb JOIN w ON w.bucket = bb.bucket
+       |  GROUP BY bb.doc_id)
+       |SELECT doc_id, n_bigrams, score,
+       |  (score // n_bigrams)::BIGINT AS norm_score
+       |FROM s
+       |ORDER BY norm_score DESC, score DESC, doc_id LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q187
+  /** q187 — SemDeDup-shape semantic deduplication over the embeddings
+    * table: k-means cells (the [[Clustering.kmeansFit]] machinery —
+    * the same coarse quantizer the IVF index trains) bound the
+    * pairwise work to WITHIN-cell pairs; inside a cell, pairs with
+    * cosine ≥ 0.99 are duplicate edges; connected components over
+    * those edges ([[GraphOps.connectedComponents]] — near-dup edge
+    * sets are tiny and low-diameter, so min-label propagation
+    * converges in a few rounds) pick the minimum id as the keeper.
+    * Emits the per-cell audit (members, dropped).
+    *
+    * Rows-only by design: k-means and cosine are iterative/float —
+    * SemDedupSpec pins planted-exact-duplicate recovery and the
+    * no-false-positive side on well-separated vectors.
+    *
+    * Scale: this is the published SemDeDup trade — k grows with n so
+    * the per-cell member count stays bounded and pairwise-within-cell
+    * is O(n·cell); the edge set and the CC state are duplicate-sized,
+    * not corpus-sized; the cosine is the native codegen cosine_sim
+    * expression. Driver-held state is the k·d centroid array only. */
+  def q187SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.fanout(Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("e")))
+    semDedupCells(emb, k = 8, dim = 64, tau = 0.99)
+  }
+
+  /** Core of q187, parameterized for the spec: returns per-cell
+    * (cid, n_members, n_dropped). */
+  private[graft] def semDedupCells(emb: DataFrame, k: Int, dim: Int,
+      tau: Double): DataFrame = {
+    val cents: Array[(Long, Array[Double])] =
+      Clustering.kmeansFit(emb, k = k, dim = dim, maxIters = 6)
+        .select(col("cid"), col("ce")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // same in-row argmin (metric + lower-cid tie rule) as kmeansFit's
+    // assignment loop — k·d doubles ride the closure, not a join
+    val assignUdf = udf { (e: Seq[Double]) =>
+      var bc = cents(0)._1; var bd = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val ce = cents(c)._2
+        var d = 0.0; var j = 0
+        val n = math.min(ce.length, e.length)
+        while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
+        if (d < bd) { bd = d; bc = cents(c)._1 }
+        c += 1
+      }
+      bc
+    }
+    val asg = emb.select(col("id"), col("e"), assignUdf(col("e")).as("cid"))
+      .persist()
+    val a = asg.select(col("cid"), col("id").as("src"), col("e").as("ea"))
+    val b = asg.select(col("cid"), col("id").as("dst"), col("e").as("eb"))
+    val edges = a.join(b, Seq("cid"))
+      .filter(col("src") < col("dst"))
+      .filter(graft.functions.CosineSim.cosineSim(col("ea"), col("eb"))
+        >= tau)
+      .select(col("src"), col("dst"))
+    val dropped = GraphOps.connectedComponents(
+        asg.select(col("id")), edges)
+      .filter(col("label") =!= col("id"))
+      .join(asg.select(col("id"), col("cid")), "id")
+      .groupBy("cid").agg(count(lit(1)).as("nd"))
+    val out = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"))
+      .orderBy("cid")
+    val materialized = out.localCheckpoint()
+    asg.unpersist()
+    materialized
+  }
+
+  // ---------------------------------------------------------------- q188
+  /** q188 — UniMax language budget allocation: spend a character
+    * budget (half the corpus) across languages, visiting languages in
+    * ASCENDING size order and giving each min(cap·size, fair share of
+    * what remains) with cap = 3 epochs — UniMax's waterfilling, which
+    * upsamples small languages to at most `cap` repetitions and
+    * splits the surplus over the bigger ones. Every quantity is a
+    * BIGINT and every division is integer division, so the whole
+    * allocation is exact; the oracle replays it as a recursive CTE
+    * (the q179 AS-MATERIALIZED lesson).
+    *
+    * Scale: the per-language totals are one partial-aggregated
+    * corpus pass; the waterfill itself runs on the DRIVER over the
+    * language list — languages are an audit-sized dimension (dozens),
+    * the same bounded-collect class as k·d centroids, and the loop is
+    * inherently sequential in language order. */
+  def q188UnimaxMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perLang = Tables.fanout(
+        Tables.documents(spark, dir).select("lang", "n_chars"))
+      .groupBy("lang").agg(sum("n_chars").as("cnt"))
+      .as[(String, Long)].collect()
+      .sortBy { case (lang, cnt) => (cnt, lang) }
+    val total = perLang.map(_._2).sum
+    var remaining = total / 2
+    val cap = 3L
+    val rows = perLang.zipWithIndex.map { case ((lang, cnt), i) =>
+      val share = remaining / (perLang.length - i)
+      val alloc = math.min(cap * cnt, share)
+      remaining -= alloc
+      (lang, cnt, alloc)
+    }
+    rows.toSeq.toDF("lang", "cnt", "alloc").orderBy("lang")
+  }
+
+  private val q188Oracle: String =
+    // same waterfill as a recursive CTE: `it` carries (rank, budget
+    // remaining BEFORE the next language); the projection recomputes
+    // each language's allocation from the state row that precedes it
+    """WITH RECURSIVE l AS MATERIALIZED (
+      |  SELECT lang, sum(n_chars)::BIGINT AS cnt,
+      |    row_number() OVER (ORDER BY sum(n_chars), lang) AS rn,
+      |    count(*) OVER () AS nl
+      |  FROM documents GROUP BY lang),
+      |b AS MATERIALIZED (
+      |  SELECT (sum(cnt) // 2)::BIGINT AS budget, max(nl) AS nl FROM l),
+      |it AS (
+      |  SELECT 0::BIGINT AS rn, (SELECT budget FROM b) AS remaining
+      |  UNION ALL
+      |  SELECT l.rn::BIGINT,
+      |    it.remaining - LEAST(3 * l.cnt,
+      |      it.remaining // ((SELECT nl FROM b) - it.rn))
+      |  FROM it JOIN l ON l.rn = it.rn + 1)
+      |SELECT l.lang, l.cnt,
+      |  LEAST(3 * l.cnt,
+      |    it.remaining // ((SELECT nl FROM b) - it.rn))::BIGINT AS alloc
+      |FROM it JOIN l ON l.rn = it.rn + 1
+      |ORDER BY l.lang""".stripMargin
+
+  // ---------------------------------------------------------------- q189
+  /** q189 — span-corruption accounting (T5 shape): per document,
+    * decide a deterministic 15% noise mask over token positions
+    * (md5 bucket of "doc_id:position" — the q47/q158 portable-draw
+    * pattern) and report how many tokens are masked and how many
+    * contiguous noise SPANS they form (span count = sentinel count =
+    * the length overhead span corruption adds). Everything is
+    * integers on md5 draws, so the query is hash-exact cross-engine.
+    *
+    * Scale: pure in-row map under the scan — no shuffle, no state;
+    * the mask never materializes outside the row. */
+  def q189SpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val draw = (i: Column) => pmod(conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("int"), lit(100))
+    Tables.fanout(Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"))
+      .withColumn("m", when(col("n") > 0,
+        transform(sequence(lit(1), col("n")),
+          i => draw(i) < 15)).otherwise(array().cast("array<boolean>")))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        size(filter(col("m"), x => x)).cast("long").as("n_masked"),
+        (when(col("n") > 0 && element_at(col("m"), 1), 1)
+          .otherwise(0) +
+          when(col("n") >= 2,
+            size(filter(sequence(lit(2), greatest(col("n"), lit(2))),
+              i => element_at(col("m"), i) &&
+                !element_at(col("m"), i - 1)))).otherwise(0))
+          .cast("long").as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  private val q189Oracle: String =
+    s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |m AS (SELECT doc_id, len(t) AS n_tokens,
+       |    list_transform(generate_series(1, len(t)),
+       |      i -> CAST('0x' || substring(
+       |             md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 4)
+       |           AS INTEGER) % 100 < 15) AS mk
+       |  FROM d)
+       |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       |  len(list_filter(mk, x -> x))::BIGINT AS n_masked,
+       |  (CASE WHEN n_tokens > 0 AND mk[1] THEN 1 ELSE 0 END +
+       |   CASE WHEN n_tokens >= 2 THEN len(list_filter(
+       |     generate_series(2, n_tokens), i -> mk[i] AND NOT mk[i - 1]))
+       |   ELSE 0 END)::BIGINT AS n_spans
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_dsir_buckets" -> (q185DsirBuckets _),
+    "q186_dsir_select" -> (q186DsirSelect _),
+    "q187_semdedup" -> (q187SemDedup _),
+    "q188_unimax_mixture" -> (q188UnimaxMixture _),
+    "q189_span_corruption" -> (q189SpanCorruption _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q185_dsir_buckets" -> q185Oracle,
+    "q186_dsir_select" -> q186Oracle,
+    "q188_unimax_mixture" -> q188Oracle,
+    "q189_span_corruption" -> q189Oracle)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.Extended10
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the round-8 selection/mixing/noising family (q185–q189).
+  * q185/q186/q188/q189 are DuckDB-oracle-checked in t2; the pins here
+  * are the LAWS each algorithm guarantees (so a future refactor that
+  * stays hash-consistent but breaks the semantics still fails), plus
+  * planted-recovery for the no-oracle SemDeDup (q187).
+  */
+class Extended10Spec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  // ------------------------------------------------------------- q187
+  /** Three well-separated cones in 8-dim: cluster c's members are
+    * 10·e_c + 3·e_j (pairwise cosine ≈ 0.917 < 0.99 within a cone,
+    * ≈ 0 across cones), plus planted EXACT copies (cosine 1). */
+  private def planted(dups: Int) = {
+    val base = for {
+      c <- 0 until 3
+      j <- 4 until 8
+    } yield {
+      val v = Array.fill(8)(0.0)
+      v(c) = 10.0; v(j) = 3.0
+      v.toSeq
+    }
+    // interleave so kmeansFit's first-k init sees all three cones
+    val ordered = (0 until 4).flatMap(j => (0 until 3).map(c => base(c * 4 + j)))
+    val copies = ordered.take(dups)
+    (ordered ++ copies).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "e")
+  }
+
+  test("q187 semantic dedup drops exactly the planted exact copies") {
+    val out = Extended10.semDedupCells(planted(dups = 4), k = 3, dim = 8,
+      tau = 0.99).collect()
+    assert(out.map(_.getLong(1)).sum == 16, "every vector audited once")
+    assert(out.map(_.getLong(2)).sum == 4,
+      s"planted 4 exact copies; got ${out.map(_.getLong(2)).sum} drops")
+  }
+
+  test("q187 no false positives on well-separated vectors") {
+    val out = Extended10.semDedupCells(planted(dups = 0), k = 3, dim = 8,
+      tau = 0.99).collect()
+    assert(out.map(_.getLong(2)).sum == 0, "nothing to drop")
+  }
+
+  test("q187 over embeddings: every vector in exactly one cell") {
+    val out = Extended10.q187SemDedup(spark, SparkTest.sfDir).collect()
+    val total = Tables.embeddings(spark, SparkTest.sfDir).count()
+    assert(out.map(_.getLong(1)).sum == total)
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1)))
+  }
+
+  // ------------------------------------------------------------- q186
+  test("q186 ranking is the declared integer key, norm is integer div") {
+    val rows = Extended10.q186DsirSelect(spark, SparkTest.sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) / r.getLong(1),
+        "norm_score must be score div n_bigrams")
+    }
+    val key = rows.map(r => (-r.getLong(3), -r.getLong(2), r.getLong(0)))
+    assert(key.sameElements(key.sorted), "descending (norm, score), id asc")
+  }
+
+  // ------------------------------------------------------------- q185
+  test("q185 bucket domain and target-within-raw") {
+    val rows = Extended10.q185DsirBuckets(spark, SparkTest.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) < 10000)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2),
+        "target slice counts are a subset of raw counts")
+    }
+  }
+
+  // ------------------------------------------------------------- q188
+  test("q188 allocation replays the waterfill exactly and respects its laws") {
+    val rows = Extended10.q188UnimaxMixture(spark, SparkTest.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent reimplementation of the epoch-capped waterfill
+    val asc = rows.sortBy { case (lang, cnt, _) => (cnt, lang) }
+    var remaining = rows.map(_._2).sum / 2
+    val expect = asc.zipWithIndex.map { case ((lang, cnt, _), i) =>
+      val a = math.min(3L * cnt, remaining / (asc.length - i))
+      remaining -= a
+      (lang, a)
+    }.toMap
+    rows.foreach { case (lang, cnt, alloc) =>
+      assert(alloc == expect(lang), s"$lang: $alloc != ${expect(lang)}")
+      assert(alloc <= 3L * cnt, "epoch cap")
+    }
+    assert(rows.map(_._3).sum <= rows.map(_._2).sum / 2, "budget respected")
+  }
+
+  // ------------------------------------------------------------- q189
+  test("q189 mask accounting laws and ~15% corpus rate") {
+    val rows = Extended10.q189SpanCorruption(spark, SparkTest.sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, m, s) =>
+      assert(m <= n, "masked within tokens")
+      assert(s <= m, "every span has at least one masked token")
+      assert((s == 0) == (m == 0), "spans iff masked")
+    }
+    val rate = rows.map(_._2).sum.toDouble / rows.map(_._1).sum
+    assert(rate > 0.10 && rate < 0.20, s"corpus mask rate $rate not ~15%")
+  }
+}
