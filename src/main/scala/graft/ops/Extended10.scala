@@ -92,14 +92,17 @@ object Extended10 {
   /** q186 — DSIR document selection: score every document by the sum
     * of its bigram-bucket importance weights and keep the top 50 by
     * LENGTH-NORMALIZED score. The weight is integerized so the
-    * selection boundary is never a float (the q136/q166 rule): DSIR's
-    * log-ratio log(p_target/p_raw) is order-isomorphic to the ratio
-    * itself, so we publish
+    * selection boundary is never a float (the q136/q166 rule): each
+    * bucket's weight is the smoothed count RATIO in millionths,
     *   w(b) = (1 000 000 · (c_target(b)+1)) div (c_raw(b)+1)
-    * (add-one smoothing, millionths precision, BIGINT div — exact on
-    * both engines), and score(d) = Σ_instances w(bucket), normalized
-    * as score div n_bigrams. Ranking and the top-50 cut are decided by
-    * (norm_score, score, doc_id) — all integers.
+    * (BIGINT div — exact on both engines), and
+    * score(d) = Σ_instances w(bucket), normalized as
+    * score div n_bigrams. This is the LINEAR-SPACE variant of DSIR's
+    * log-importance (summing ratios instead of log-ratios — per-bucket
+    * the transform is order-isomorphic; the document sum is a defined,
+    * deterministic importance of its own, chosen so every ranking
+    * boundary is integer-decided). Ranking and the top-50 cut are
+    * decided by (norm_score, score, doc_id) — all integers.
     *
     * Scale: the weight table is bucket-sized (≤10 000 rows) and
     * BROADCAST to the exploded bigram stream; per-doc scores collapse
@@ -326,7 +329,114 @@ object Extended10 {
        |   ELSE 0 END)::BIGINT AS n_spans
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+  /** q190 — BM25 top-10 retrieval (k1 = 1.2, b = 0.75), INTEGERIZED:
+    * the ranking step that completes the retrieval story (q165 builds
+    * the index, q168 evaluates a ranker, this IS a ranker). Queries
+    * are the first four tokens of the five lowest-id documents
+    * (deterministic, corpus-derived); candidates are every document
+    * sharing a query term.
+    *
+    * Every boundary is integer-decided (the q136/q166 rule). With
+    * N = #docs, L = Σ doc lengths, dl = doc length, the floats of
+    * textbook BM25 are replaced by staged integer divisions:
+    *   sdl    = (1000·dl·N) div L                 — dl/avgdl in ‰
+    *   idf_s  = (10⁶·(2(N−df)+1)) div (2df+1)     — (N−df+½)/(df+½) in millionths
+    *   tfp_s  = (44·10⁶·tf) div (20000·tf + 6000 + 18·sdl)
+    *            — 1000 · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)), exact algebra:
+    *            divide through by 20000 to recover the textbook form
+    *   score  = Σ_terms idf_s · tfp_s             — BIGINT
+    * The ln of textbook idf is dropped (not cross-engine bit-exact;
+    * per-term the ratio is order-isomorphic, the summed score is a
+    * defined linear-space variant — the q184/q186 precedent). Staging
+    * sdl FIRST keeps every product within BIGINT at any corpus size
+    * (no N·L cross terms; 44·10⁶·tf and 18·sdl are scale-safe).
+    *
+    * Scale: term stats (df) are computed ONLY for the ≤20 query terms
+    * — the vocabulary is never aggregated; the query-term table
+    * broadcasts into the per-doc postings stream, so the single
+    * data-sized shuffle is the (doc,term) tf aggregate; the top-10
+    * per query goes through rank-limit pushdown (WindowGroupLimit —
+    * the q153 shape): each map task keeps ≤10 rows per query, so the
+    * rank exchange carries ≤ 10·tasks·queries rows, never the
+    * candidate set. The tokenized corpus is persisted across its
+    * passes and unpersisted after the result materializes. */
+  def q190Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val (out, caches) = q190Plan(spark, dir)
+    val materialized = out.localCheckpoint()
+    caches.foreach(_.unpersist())
+    materialized
+  }
+
+  /** Un-checkpointed q190 plan + the frames it persisted, so the spec
+    * and QPlan can audit the REAL dataflow (the declared query
+    * localCheckpoints, which hides the plan behind an RDD scan). */
+  private[graft] def q190Plan(spark: SparkSession,
+      dir: String): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.fanout(Tables.documents(spark, dir)
+        .select("doc_id", "text"))
+      .select(col("doc_id"), toks(col("text")).as("t")).persist()
+    val stats = d.agg(count(lit(1)).as("n"),
+      sum(size(col("t")).cast("long")).as("l"))
+    val tf = d.select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("w"))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+      .persist()
+    val qterms = d.orderBy("doc_id").limit(5)
+      .select(col("doc_id").as("q_id"), explode(slice(col("t"), 1, 4))
+        .as("w")).distinct()
+    val dfq = tf.join(broadcast(qterms.select("w").distinct()), "w")
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val out = tf.join(broadcast(qterms), "w")
+      .join(broadcast(dfq), "w")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        (expr("(1000000 * (2 * (n - df) + 1)) div (2 * df + 1)") *
+          expr("""(44000000 * tf) div
+                 (20000 * tf + 6000 + 18 * ((1000 * dl * n) div l))"""))
+          .as("term_score"))
+      .groupBy("q_id", "doc_id").agg(sum("term_score").as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("score"))
+      .orderBy("q_id", "rnk")
+    (out, Seq(tf, d))
+  }
+
+  private val q190Oracle: String =
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, $tokSql AS t FROM documents),
+       |stats AS (SELECT count(*)::BIGINT AS n,
+       |  sum(len(t))::BIGINT AS l FROM d),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, dl, w, count(*) AS tf FROM (
+       |    SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS w FROM d)
+       |  GROUP BY doc_id, dl, w),
+       |qterms AS (SELECT DISTINCT q_id, w FROM (
+       |  SELECT doc_id AS q_id, unnest(t[1:4]) AS w
+       |  FROM (SELECT * FROM d ORDER BY doc_id LIMIT 5))),
+       |dfq AS (SELECT w, count(*)::BIGINT AS df FROM tf
+       |  WHERE w IN (SELECT w FROM qterms) GROUP BY w),
+       |scored AS (
+       |  SELECT q.q_id, tf.doc_id,
+       |    sum(((1000000 * (2 * (s.n - dfq.df) + 1)) // (2 * dfq.df + 1)) *
+       |        ((44000000 * tf.tf) //
+       |         (20000 * tf.tf + 6000 + 18 * ((1000 * tf.dl * s.n) // s.l))))
+       |      ::BIGINT AS score
+       |  FROM tf JOIN qterms q ON q.w = tf.w
+       |  JOIN dfq ON dfq.w = tf.w CROSS JOIN stats s
+       |  GROUP BY q.q_id, tf.doc_id)
+       |SELECT q_id, rnk, doc_id, score FROM (
+       |  SELECT q_id, doc_id, score, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, doc_id)::BIGINT AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_bm25" -> (q190Bm25 _),
     "q185_dsir_buckets" -> (q185DsirBuckets _),
     "q186_dsir_select" -> (q186DsirSelect _),
     "q187_semdedup" -> (q187SemDedup _),
@@ -334,6 +444,7 @@ object Extended10 {
     "q189_span_corruption" -> (q189SpanCorruption _))
 
   val oracleSql: Map[String, String] = Map(
+    "q190_bm25" -> q190Oracle,
     "q185_dsir_buckets" -> q185Oracle,
     "q186_dsir_select" -> q186Oracle,
     "q188_unimax_mixture" -> q188Oracle,

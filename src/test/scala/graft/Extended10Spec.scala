@@ -97,6 +97,46 @@ class Extended10Spec extends AnyFunSuite {
     assert(rows.map(_._3).sum <= rows.map(_._2).sum / 2, "budget respected")
   }
 
+  // ------------------------------------------------------------- q190
+  test("q190 BM25: dense ranks, monotone scores, positive term overlap") {
+    val rows = Extended10.q190Bm25(spark, SparkTest.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.keySet.forall(_ < 50),
+      "queries are the five lowest doc ids")
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length),
+        s"q$q ranks not dense")
+      assert(sorted.sliding(2).forall { p =>
+        p.length < 2 || {
+          val (a, b) = (p(0), p(1))
+          a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        }
+      }, s"q$q not ordered by (score desc, doc_id)")
+      assert(rs.forall(_._4 > 0), "every retrieved doc shares a term")
+      assert(rs.length <= 10, s"q$q returned more than 10 docs")
+      // NOT asserted: self-retrieval at rank 1 — dl-normalization can
+      // legitimately rank a shorter doc with the same terms above the
+      // query doc (observed live: q0's winner was doc 367)
+    }
+  }
+
+  test("q190 plan: rank-limit pushdown, broadcast term joins, no cartesian") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val (out, caches) = Extended10.q190Plan(spark, SparkTest.sfDir)
+    val plan: SparkPlan = out.queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      "top-10 per query must go through rank-limit pushdown")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      "query-term and df joins must broadcast")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    caches.foreach(_.unpersist())
+  }
+
   // ------------------------------------------------------------- q189
   test("q189 mask accounting laws and ~15% corpus rate") {
     val rows = Extended10.q189SpanCorruption(spark, SparkTest.sfDir)
