@@ -379,15 +379,18 @@ object Extended10 {
       .select(col("doc_id"), toks(col("text")).as("t")).persist()
     val stats = d.agg(count(lit(1)).as("n"),
       sum(size(col("t")).cast("long")).as("l"))
-    val tf = d.select(col("doc_id"), size(col("t")).cast("long").as("dl"),
-        explode(col("t")).as("w"))
-      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-      .persist()
     val qterms = d.orderBy("doc_id").limit(5)
       .select(col("doc_id").as("q_id"), explode(slice(col("t"), 1, 4))
         .as("w")).distinct()
-    val dfq = tf.join(broadcast(qterms.select("w").distinct()), "w")
-      .groupBy("w").agg(count(lit(1)).as("df"))
+    // the broadcast query-term filter sits BELOW the tf aggregate, so
+    // the only shuffle carries matching (doc, term) instances — never
+    // the corpus vocabulary (tf/df for non-query terms is dead work)
+    val tf = d.select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("w"))
+      .join(broadcast(qterms.select("w").distinct()), "w")
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val out = tf.join(broadcast(qterms), "w")
       .join(broadcast(dfq), "w")
       .crossJoin(broadcast(stats))
