@@ -111,9 +111,14 @@ object Extended10 {
     * corpus is touched twice (once to build weights, once to score) —
     * at 100 TB the weight pass would be sampled or cached, but the
     * weight table itself never grows past 10 000 rows. */
-  def q186DsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.fanout(
-      Tables.documents(spark, dir).select("doc_id", "text", "lang"))
+  def q186DsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelect(Tables.fanout(
+      Tables.documents(spark, dir).select("doc_id", "text", "lang")))
+
+  /** Core of q186 over any (doc_id, text, lang) frame — the property
+    * spec drives it with generated corpora against a driver-side
+    * reimplementation. */
+  private[graft] def dsirSelect(docs: DataFrame): DataFrame = {
     val weights = bigramBuckets(docs.select(col("text"), col("lang")))
       .groupBy("bucket")
       .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
@@ -247,18 +252,24 @@ object Extended10 {
     val perLang = Tables.fanout(
         Tables.documents(spark, dir).select("lang", "n_chars"))
       .groupBy("lang").agg(sum("n_chars").as("cnt"))
-      .as[(String, Long)].collect()
-      .sortBy { case (lang, cnt) => (cnt, lang) }
-    val total = perLang.map(_._2).sum
-    var remaining = total / 2
-    val cap = 3L
-    val rows = perLang.zipWithIndex.map { case ((lang, cnt), i) =>
-      val share = remaining / (perLang.length - i)
+      .as[(String, Long)].collect().toSeq
+    unimaxAlloc(perLang, cap = 3L, budget = perLang.map(_._2).sum / 2)
+      .toDF("lang", "cnt", "alloc").orderBy("lang")
+  }
+
+  /** The pure waterfill q188 runs on the driver: visit languages in
+    * ascending (count, name) order, give each min(cap·count, fair
+    * share of what remains). Exposed for the property spec. */
+  private[graft] def unimaxAlloc(perLang: Seq[(String, Long)], cap: Long,
+      budget: Long): Seq[(String, Long, Long)] = {
+    val asc = perLang.sortBy { case (lang, cnt) => (cnt, lang) }
+    var remaining = budget
+    asc.zipWithIndex.map { case ((lang, cnt), i) =>
+      val share = remaining / (asc.length - i)
       val alloc = math.min(cap * cnt, share)
       remaining -= alloc
       (lang, cnt, alloc)
     }
-    rows.toSeq.toDF("lang", "cnt", "alloc").orderBy("lang")
   }
 
   private val q188Oracle: String =
@@ -296,11 +307,18 @@ object Extended10 {
     *
     * Scale: pure in-row map under the scan — no shuffle, no state;
     * the mask never materializes outside the row. */
-  def q189SpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+  def q189SpanCorruption(spark: SparkSession, dir: String): DataFrame =
+    spanCorruption(Tables.fanout(
+      Tables.documents(spark, dir).select("doc_id", "text")))
+
+  /** Core of q189 over any (doc_id, text) frame — the property spec
+    * drives it with generated docs against a driver-side md5
+    * reimplementation. */
+  private[graft] def spanCorruption(docs: DataFrame): DataFrame = {
     val draw = (i: Column) => pmod(conv(substring(md5(
       concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))
         .cast("binary")), 1, 4), 16, 10).cast("int"), lit(100))
-    Tables.fanout(Tables.documents(spark, dir).select("doc_id", "text"))
+    docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).as("n"))
       .withColumn("m", when(col("n") > 0,
@@ -377,11 +395,16 @@ object Extended10 {
     * and QPlan can audit the REAL dataflow (the declared query
     * localCheckpoints, which hides the plan behind an RDD scan). */
   private[graft] def q190Plan(spark: SparkSession,
-      dir: String): (DataFrame, Seq[DataFrame]) = {
+      dir: String): (DataFrame, Seq[DataFrame]) =
+    bm25Plan(Tables.fanout(
+      Tables.documents(spark, dir).select("doc_id", "text")))
+
+  /** Core of q190 over any (doc_id, text) frame — the property spec
+    * drives it with generated corpora against a driver-side BM25
+    * reimplementation. */
+  private[graft] def bm25Plan(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.fanout(Tables.documents(spark, dir)
-        .select("doc_id", "text"))
-      .select(col("doc_id"), toks(col("text")).as("t")).persist()
+    val d = docs.select(col("doc_id"), toks(col("text")).as("t")).persist()
     val stats = d.agg(count(lit(1)).as("n"),
       sum(size(col("t")).cast("long")).as("l"))
     val qterms = d.orderBy("doc_id").limit(5)
