@@ -2,7 +2,60 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** Bottom-k (KMV) distinct-value sketch as a typed Aggregator: the
+  * buffer is the ≤k smallest DISTINCT hash values seen, kept sorted
+  * ascending. Mergeable (sorted-merge + dedup + truncate), so Spark
+  * runs it with map-side partial aggregation and the shuffle carries
+  * ≤ k longs per group regardless of group size — the Apache
+  * DataSketches theta-sketch posture. Unlike HLL (q17), two KMV
+  * sketches support set INTERSECTION estimates; and while the buffer
+  * is not full the sketch IS the distinct set, so small-group answers
+  * are exact — the property q191's oracle relies on. */
+class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+  def zero: Array[Long] = Array.empty[Long]
+  def reduce(b: Array[Long], v: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(b, v)
+    if (pos >= 0) b                                   // already present
+    else if (b.length < k) {                          // growing: insert
+      val ins = -pos - 1
+      val out = new Array[Long](b.length + 1)
+      System.arraycopy(b, 0, out, 0, ins)
+      out(ins) = v
+      System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+      out
+    } else if (v >= b(k - 1)) b                       // full: above max
+    else {                                            // full: displace max
+      val ins = -pos - 1
+      val out = new Array[Long](k)
+      System.arraycopy(b, 0, out, 0, ins)
+      out(ins) = v
+      System.arraycopy(b, ins, out, ins + 1, k - 1 - ins)
+      out
+    }
+  }
+  def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    // sorted merge, dedup, truncate at k
+    val out = new Array[Long](math.min(b1.length + b2.length, k))
+    var i = 0; var j = 0; var n = 0
+    var last = Long.MinValue; var first = true
+    while (n < out.length && (i < b1.length || j < b2.length)) {
+      val v = if (j >= b2.length || (i < b1.length && b1(i) <= b2(j))) {
+        val x = b1(i); i += 1; x
+      } else { val x = b2(j); j += 1; x }
+      if (first || v != last) { out(n) = v; n += 1; last = v; first = false }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+  def finish(b: Array[Long]): Seq[Long] = b.toSeq
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
 
 /** q185–q189 — round-8 batch 2: the data-selection / mixing / noising
   * operators a pretraining-data pipeline runs AFTER dedup and quality
@@ -466,7 +519,92 @@ object Extended10 {
        |  FROM scored)
        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q191
+  /** q191 — pairwise source VOCABULARY overlap via mergeable bottom-k
+    * (KMV) sketches: the scale tier of q143's exact overlap, the same
+    * exact-tier/scale-tier pattern as q164/q183. q143 joins the full
+    * (source, token) vocabulary against itself; at 100 TB the
+    * vocabulary is billions of rows and that join is the bottleneck.
+    * Here each source collapses to a ≤k-long sketch ([[KmvAgg]],
+    * k = 2048) with map-side partial merge — the shuffle carries
+    * ≤ k longs per source — and the pair stage is a self-join of
+    * |sources| sketch rows, bounded forever.
+    *
+    * Regimes: while a source's vocabulary < k the sketch IS its
+    * distinct hash set, so d1/d2/shared are EXACT integers — the
+    * testdata regime, which is why this query is DuckDB-oracle-checked
+    * (hashes are portable 60-bit md5 prefixes; the oracle counts
+    * distinct hashes so a collision cannot diverge the compare).
+    * When a sketch saturates, [[kmvPairStats]] switches to the KMV
+    * estimators (D ≈ (k−1)/M_k, |A∩B| ≈ ρ·D_union) — floats, but only
+    * in the regime the oracle never sees; the estimator is pinned by
+    * Extended10Spec on planted 10k-token vocabularies (the q17 HLL
+    * precedent for sketch-regime verification). */
+  def q191KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new KmvAgg(2048))
+    val sk = Tables.fanout(Tables.documents(spark, dir)
+        .select("source", "text"))
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .select(col("source"),
+        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("source").agg(kmv(col("h")).as("sk"))
+    val a = sk.select(col("source").as("s1"), col("sk").as("k1"))
+    val b = sk.select(col("source").as("s2"), col("sk").as("k2"))
+    a.join(broadcast(b), col("s1") < col("s2"))
+      .select(col("s1"), col("s2"),
+        kmvPairStats(col("k1"), col("k2")).as("st"))
+      .select(col("s1"), col("s2"), col("st._1").as("d1"),
+        col("st._2").as("d2"), col("st._3").as("shared"))
+      .orderBy("s1", "s2")
+  }
+
+  /** Pair statistics from two bottom-k sketches (k = 2048): exact
+    * while both buffers are un-saturated, KMV estimates otherwise.
+    * Hash values are 60-bit uniform (md5 prefix), so M_k/2^60 is the
+    * k-th order statistic of U(0,1). */
+  private[graft] val kmvPairStats =
+    udf { (a: Seq[Long], b: Seq[Long]) =>
+      val k = 2048
+      val sa = a.toSet
+      if (a.length < k && b.length < k)
+        (a.length.toLong, b.length.toLong, b.count(sa).toLong)
+      else {
+        val sb = b.toSet
+        val scale = math.pow(2.0, 60)
+        def dEst(s: Seq[Long]): Long =
+          if (s.length < k) s.length.toLong
+          else math.round((k - 1).toDouble * scale / s.last.toDouble)
+        val union = (a ++ b).distinct.sorted.take(k)
+        val dU =
+          if (sa.size + sb.size - b.count(sa) < k)
+            union.length.toDouble
+          else (k - 1).toDouble * scale / union.last.toDouble
+        val rho = union.count(v => sa(v) && sb(v)).toDouble / union.length
+        (dEst(a), dEst(b), math.round(rho * dU))
+      }
+    }
+
+  private val q191Oracle: String =
+    // exact-regime mirror: distinct 60-bit md5-prefix hashes per
+    // source, pair intersection counts; 15 hex digits < 2^63 so the
+    // BIGINT cast is safe on both engines
+    s"""WITH sv AS MATERIALIZED (
+       |  SELECT DISTINCT source,
+       |    CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT source, unnest($tokSql) AS w FROM documents)),
+       |d AS (SELECT source, count(*) AS d FROM sv GROUP BY source),
+       |sh AS (SELECT x.source AS s1, y.source AS s2, count(*) AS shared
+       |  FROM sv x JOIN sv y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY x.source, y.source)
+       |SELECT a.source AS s1, b.source AS s2, a.d AS d1, b.d AS d2,
+       |  coalesce(sh.shared, 0)::BIGINT AS shared
+       |FROM d a JOIN d b ON a.source < b.source
+       |LEFT JOIN sh ON sh.s1 = a.source AND sh.s2 = b.source
+       |ORDER BY s1, s2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_kmv_overlap" -> (q191KmvOverlap _),
     "q190_bm25" -> (q190Bm25 _),
     "q185_dsir_buckets" -> (q185DsirBuckets _),
     "q186_dsir_select" -> (q186DsirSelect _),
@@ -475,6 +613,7 @@ object Extended10 {
     "q189_span_corruption" -> (q189SpanCorruption _))
 
   val oracleSql: Map[String, String] = Map(
+    "q191_kmv_overlap" -> q191Oracle,
     "q190_bm25" -> q190Oracle,
     "q185_dsir_buckets" -> q185Oracle,
     "q186_dsir_select" -> q186Oracle,

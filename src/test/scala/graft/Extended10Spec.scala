@@ -137,6 +137,56 @@ class Extended10Spec extends AnyFunSuite {
     caches.foreach(_.unpersist())
   }
 
+  // ------------------------------------------------------------- q191
+  test("KmvAgg: bottom-k sketch is the exact distinct bottom-k, partition-invariant") {
+    import graft.ops.KmvAgg
+    val kmv = udaf(new KmvAgg(16))
+    // duplicated values across skewed partitions: dedup + truncation
+    val vals = (1L to 200L).map(i => (i * 37) % 101) ++ (1L to 50L)
+    val expect = vals.distinct.sorted.take(16)
+    Seq(1, 3, 13).foreach { p =>
+      val got = vals.toDF("h").repartition(p)
+        .agg(kmv(col("h"))).head().getSeq[Long](0)
+      assert(got == expect, s"partitions=$p: $got")
+    }
+  }
+
+  test("q191 sketch regime: KMV estimates within 15% on planted 12k vocabularies") {
+    import graft.ops.{Extended10, KmvAgg}
+    val kmv = udaf(new KmvAgg(2048))
+    // two sources, 12k distinct tokens each, 6k shared; hashes drawn
+    // through the SAME portable md5 route production uses
+    val rows = (0 until 18000).map { i =>
+      val srcs = if (i < 6000) Seq("a", "b")
+        else if (i < 12000) Seq("a") else Seq("b")
+      (srcs, s"tok$i")
+    }
+    val sk = rows.toDF("srcs", "w")
+      .select(explode(col("srcs")).as("source"),
+        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("source").agg(kmv(col("h")).as("sk"))
+    val a = sk.filter(col("source") === "a").select(col("sk").as("k1"))
+    val b = sk.filter(col("source") === "b").select(col("sk").as("k2"))
+    val st = a.crossJoin(b)
+      .select(Extended10.kmvPairStats(col("k1"), col("k2")).as("st"))
+      .select("st._1", "st._2", "st._3").head()
+    val (d1, d2, shared) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    assert(math.abs(d1 - 12000) < 1800, s"d1=$d1")
+    assert(math.abs(d2 - 12000) < 1800, s"d2=$d2")
+    assert(math.abs(shared - 6000) < 900, s"shared=$shared")
+  }
+
+  test("q191 over documents: exact regime, symmetric bounds") {
+    val rows = graft.ops.Extended10.q191KmvOverlap(spark, SparkTest.sfDir)
+      .collect()
+    assert(rows.length == 190, "20 sources -> 190 ordered pairs")
+    rows.foreach { r =>
+      val (d1, d2, sh) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sh >= 0 && sh <= math.min(d1, d2))
+    }
+  }
+
   // ------------------------------------------------------------- q189
   test("q189 mask accounting laws and ~15% corpus rate") {
     val rows = Extended10.q189SpanCorruption(spark, SparkTest.sfDir)
