@@ -262,11 +262,54 @@ object StreamingOps {
       .orderBy("ws_us")
   }
 
+  // ---------------------------------------------------------------- q192
+  /** q192 — STREAMING distinct-vocabulary sketch: the [[KmvAgg]]
+    * bottom-k sketch (q191) running as a Structured Streaming
+    * aggregation — per-source distinct token counts maintained
+    * incrementally as document files arrive. The typed Aggregator is
+    * mergeable, so streaming state per source is the ≤k-long sketch
+    * (bounded forever — the property that makes a DISTINCT count
+    * streamable at all; a naive distinct holds the whole vocabulary
+    * in state). AvailableNow + Complete mode drains the current
+    * directory and finishes with exactly the batch answer, so the
+    * driver's hash-compare covers the streaming path (the q172
+    * pattern); in the unsaturated regime the published count is
+    * exact, hence the DuckDB oracle. At scale the same code runs
+    * unbounded with the sketch as the only state.
+    */
+  def q192StreamingKmv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val kmv = udaf(new KmvAgg(2048))
+    val agg = raw
+      .select(col("source"), explode(Extended10.toks(col("text"))).as("w"))
+      .select(col("source"),
+        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("source").agg(kmv(col("h")).as("sk"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-q192").toString
+    val memName = "q192_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val sq = agg.writeStream.format("memory").queryName(memName)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    spark.table(memName)
+      .select(col("source"), size(col("sk")).cast("long").as("d"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_tumbling" -> (q28Tumbling _),
     "q29_sliding" -> (q29Sliding _),
     "q30_session" -> (q30Session _),
-    "q172_streaming_availablenow" -> (q172StreamingAvailableNow _))
+    "q172_streaming_availablenow" -> (q172StreamingAvailableNow _),
+    "q192_streaming_kmv" -> (q192StreamingKmv _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_tumbling" ->
@@ -274,6 +317,16 @@ object StreamingOps {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY ws_us""".stripMargin,
+    // unsaturated regime (vocab ≪ k=2048): the sketch IS the distinct
+    // hash set, so the streaming sketch size equals the exact distinct
+    // token count — collision probability over a 60-bit hash is
+    // negligible at any testdata vocab
+    "q192_streaming_kmv" ->
+      """SELECT source, count(DISTINCT w)::BIGINT AS d
+        |FROM (SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // the streaming run finishes with exactly the batch answer (Complete
     // mode, AvailableNow) — same oracle as q28
     "q172_streaming_availablenow" ->

@@ -187,6 +187,27 @@ class Extended10Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- q192
+  test("q192 streaming sketch finishes with exactly the batch answer") {
+    import graft.ops.KmvAgg
+    val streamed = graft.ops.StreamingOps
+      .q192StreamingKmv(spark, SparkTest.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val kmv = udaf(new KmvAgg(2048))
+    val batch = Tables.documents(spark, SparkTest.sfDir)
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("w"))
+      .select(col("source"),
+        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("source").agg(kmv(col("h")).as("sk"))
+      .select(col("source"), size(col("sk")).cast("long").as("d"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+  }
+
   // ------------------------------------------------------------- q189
   test("q189 mask accounting laws and ~15% corpus rate") {
     val rows = Extended10.q189SpanCorruption(spark, SparkTest.sfDir)
