@@ -57,9 +57,10 @@ class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
     ExpressionEncoder[Seq[Long]]()
 }
 
-/** q185–q189 — round-8 batch 2: the data-selection / mixing / noising
-  * operators a pretraining-data pipeline runs AFTER dedup and quality
-  * filtering, each with a named public design it re-expresses:
+/** q185–q191 — round-8 batch 2: the data-selection / mixing / noising
+  * / retrieval operators a pretraining-data pipeline runs AFTER dedup
+  * and quality filtering, each with a named public design it
+  * re-expresses:
   *
   *  - q185/q186 DSIR-shape importance weighting (Xie et al. 2023,
   *    "Data Selection for Language Models via Importance Resampling"):
@@ -69,7 +70,7 @@ class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
   *  - q187 SemDeDup-shape semantic dedup (Abbas et al. 2023): k-means
   *    coarse cells bound the pairwise work, cosine threshold inside a
   *    cell, connected components, keep the minimum id. Rows-only
-  *    (floats end to end); SemDedupSpec pins planted-duplicate
+  *    (floats end to end); Extended10Spec pins planted-duplicate
   *    recovery.
   *  - q188 UniMax language budget allocation (Chung et al. 2023):
   *    epoch-capped waterfilling over per-language character counts,
@@ -78,6 +79,15 @@ class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
   *    deterministic md5-bucket noise mask per token position, span
   *    runs counted in-row — the bookkeeping half of span corruption,
   *    exactly replayable cross-engine.
+  *  - q190 integerized BM25 top-k retrieval (Robertson & Zaragoza's
+  *    Okapi weighting): staged BIGINT divisions, broadcast query
+  *    terms, rank-limit pushdown.
+  *  - q191 KMV distinct-overlap matrix over [[KmvAgg]] (the Apache
+  *    DataSketches theta posture); its streaming form is
+  *    `StreamingOps.q192StreamingKmv`.
+  *
+  * Extended10PropertySpec pins q186/q188/q189/q190 against independent
+  * driver-side reimplementations on generated corpora.
   */
 object Extended10 {
 
@@ -217,7 +227,7 @@ object Extended10 {
     * Emits the per-cell audit (members, dropped).
     *
     * Rows-only by design: k-means and cosine are iterative/float —
-    * SemDedupSpec pins planted-exact-duplicate recovery and the
+    * Extended10Spec pins planted-exact-duplicate recovery and the
     * no-false-positive side on well-separated vectors.
     *
     * Scale: this is the published SemDeDup trade — k grows with n so
