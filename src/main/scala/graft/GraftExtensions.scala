@@ -53,6 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"sig_match_count expects 2 arguments, got ${args.length}")
         functions.SigMatchCount(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_bucket"),
+      new ExpressionInfo(classOf[functions.Md5Bucket].getName,
+        "md5_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"md5_bucket expects 3 arguments, got ${args.length}")
+        functions.Md5Bucket(args.head, args(1), args(2))
+      }))
     // zorder_key(a, b): the Morton interleave ladder from
     // LayoutOps.zorderKey, exposed to SQL. The builder runs inside the
     // analyzer, so it must emit RESOLVED catalyst nodes directly — a

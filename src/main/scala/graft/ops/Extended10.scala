@@ -102,16 +102,20 @@ object Extended10 {
 
   /** DSIR hashed feature: word bigram → one of 10 000 buckets via the
     * first 6 hex digits of md5 (portable md5 pattern, q47/q72/q94 —
-    * 16^6 < 2^31 so the int cast is safe on both engines). */
+    * 16^6 < 2^31 so the int cast is safe on both engines). The draw is
+    * the native [[graft.functions.Md5Bucket]] expression —
+    * value-identical to the hex-string chain the oracle replays
+    * (Md5BucketSpec pins the equality), with no hex string
+    * materialized per bigram. */
   private def bigramBuckets(doc: DataFrame): DataFrame =
     doc.withColumn("t", toks(col("text")))
       .filter(size(col("t")) >= 2)
       .select(col("*"), explode(transform(
         sequence(lit(1), size(col("t")) - 1),
-        i => pmod(conv(substring(md5(
+        i => graft.functions.Md5Bucket.md5Bucket(
           concat_ws(" ", element_at(col("t"), i),
-            element_at(col("t"), i + 1)).cast("binary")), 1, 6), 16, 10)
-          .cast("int"), lit(10000)))).as("bucket"))
+            element_at(col("t"), i + 1)), 6, 10000).cast("int")))
+        .as("bucket"))
       .drop("t")
 
   /** Oracle mirror of [[bigramBuckets]] keeping `cols`: same
@@ -378,9 +382,10 @@ object Extended10 {
     * drives it with generated docs against a driver-side md5
     * reimplementation. */
   private[graft] def spanCorruption(docs: DataFrame): DataFrame = {
-    val draw = (i: Column) => pmod(conv(substring(md5(
-      concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))
-        .cast("binary")), 1, 4), 16, 10).cast("int"), lit(100))
+    // native md5_bucket draw ≡ the oracle's hex chain (Md5BucketSpec)
+    val draw = (i: Column) => graft.functions.Md5Bucket.md5Bucket(
+      concat(col("doc_id").cast("string"), lit(":"), i.cast("string")),
+      4, 100)
     docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).as("n"))
@@ -556,8 +561,7 @@ object Extended10 {
         .select("source", "text"))
       .select(col("source"), explode(toks(col("text"))).as("w"))
       .select(col("source"),
-        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        graft.functions.Md5Bucket.md5Bucket(col("w"), 15, 0).as("h"))
       .groupBy("source").agg(kmv(col("h")).as("sk"))
     val a = sk.select(col("source").as("s1"), col("sk").as("k1"))
     val b = sk.select(col("source").as("s2"), col("sk").as("k2"))

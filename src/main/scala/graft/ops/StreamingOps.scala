@@ -286,8 +286,7 @@ object StreamingOps {
     val agg = raw
       .select(col("source"), explode(Extended10.toks(col("text"))).as("w"))
       .select(col("source"),
-        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        graft.functions.Md5Bucket.md5Bucket(col("w"), 15, 0).as("h"))
       .groupBy("source").agg(kmv(col("h")).as("sk"))
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-ckpt-q192").toString
