@@ -36,6 +36,32 @@ object MultimodalOps {
         octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
         col("source").as("origin")).as("meta"))
 
+  /** Real media INGESTION path: a directory of raw files through
+    * Spark's `binaryFile` source — one row per file (path, length,
+    * modificationTime, content), emitted in the [[mediaTable]] shape
+    * so everything downstream (decode/resize/feature-extract) is
+    * source-agnostic. `pathGlobFilter` prunes at LISTING time (files
+    * that miss the glob are never opened) and recursive lookup walks
+    * the usual object-store layout. Scale: the source packs small
+    * files up to spark.sql.files.maxPartitionBytes per task and never
+    * splits one file across tasks, so a 100 TB media lake partitions
+    * by byte budget with no tiny-file task explosion; media ids are
+    * the file paths (unique by construction). */
+  def readMediaDir(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        col("path").as("media_id"),
+        col("content").as("bytes"),
+        struct(
+          lit("application/octet-stream").as("mime"),
+          col("length").as("byte_len"),
+          regexp_extract(col("path"), "([^/]+)$", 1).as("origin"))
+          .as("meta"))
+
   /** STUB: deterministic fake decode — real codecs are absent from the
     * container. Dimensions are arithmetic on byte length; a production
     * impl would replace ONLY this function body (signature and batch
