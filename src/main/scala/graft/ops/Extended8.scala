@@ -292,9 +292,15 @@ object Extended8 {
     * driver comparator hashes scalar columns only (the BASELINE.md
     * output-type rule), and a sorted join is information-preserving
     * for integer ids. */
-  def q165InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+  def q165InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables.fanout(
+      Tables.documents(spark, dir).select("doc_id", "text")))
+
+  /** Core of q165 over any (doc_id, text) frame — the cross-impl
+    * property spec drives it with generated corpora. */
+  private[graft] def invertedIndex(docs: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
-    Tables.fanout(Tables.documents(spark, dir).select("doc_id", "text"))
+    docs
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(array_distinct(

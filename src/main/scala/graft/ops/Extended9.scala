@@ -136,10 +136,16 @@ object Extended9 {
     * vanishes entirely — same construction on both engines. The order
     * key bounds segment starts at 10⁷ per document (10⁶ tokens);
     * beyond that widen the multiplier. */
-  def q174SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+  def q174SegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedup(Tables.fanout(
+      Tables.documents(spark, dir).select("doc_id", "text")))
+
+  /** Core of q174 over any (doc_id, text) frame — the cross-impl
+    * property spec drives it with generated corpora. */
+  private[graft] def segmentDedup(docs: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
-    val segs = Tables.fanout(Tables.documents(spark, dir)
-        .select(col("doc_id"), toks.as("toks")))
+    val segs = docs
+      .select(col("doc_id"), toks.as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .filter(col("n") >= 1L)
       .select(col("doc_id"),

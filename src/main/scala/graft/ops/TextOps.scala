@@ -186,8 +186,14 @@ object TextOps {
     * persisted because each feeds both a total and a join (the q164
     * lesson: an unpersisted frame referenced twice re-evaluates the
     * corpus scan per reference). */
-  def q184CollocationLift(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.fanout(Tables.documents(spark, dir).select("text"))
+  def q184CollocationLift(spark: SparkSession, dir: String): DataFrame =
+    collocationLift(Tables.fanout(
+      Tables.documents(spark, dir).select("text")))
+
+  /** Core of q184 over any (text) frame — the cross-impl property
+    * spec drives it with generated corpora. */
+  private[graft] def collocationLift(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(filter(split(lower(col("text")), "[^a-z]+"),
         t => t =!= "").as("t"))
     val uni = toks.select(explode(col("t")).as("w"))
