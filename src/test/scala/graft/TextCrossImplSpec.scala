@@ -83,6 +83,41 @@ class TextCrossImplSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  // ------------------------------------ portable MinHash/LSH core
+  test("portablePairs matches a first-principles reimplementation") {
+    val docs = corpus(44L, 100)
+    val got = graft.ops.Similarity.portablePairs(
+        docs.toDF("doc_id", "text"), minEst = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // reference: 3-shingles → 4 md5s per shingle ("j:s") → 16
+    // component mins of 8-hex words → 4 band keys (md5 of 4 joined
+    // components) → band-equality candidates → matches/16
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sigs = docs.map { case (id, text) =>
+      val t = tokensOf(text)
+      val sh = if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(t.mkString(" "))
+      val comps = for { j <- 0 until 4; w <- 0 until 4 } yield
+        sh.map(s => md5hex(s"$j:$s").substring(w * 8, w * 8 + 8)).min
+      val bandKeys = (0 until 4).map(b =>
+        md5hex(comps.slice(b * 4, b * 4 + 4).mkString("")))
+      (id, comps, bandKeys)
+    }
+    val expect = (for {
+      (ida, ca, ba) <- sigs; (idb, cb, bb) <- sigs
+      if ida < idb && ba.zip(bb).exists { case (x, y) => x == y }
+    } yield {
+      val matches = ca.zip(cb).count { case (x, y) => x == y }
+      (ida, idb, new java.math.BigDecimal(matches / 16.0)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }).filter(_._3 >= 0.5).toSet
+    assert(expect.nonEmpty, "generator must produce near-dup pairs")
+    assert(got == expect)
+  }
+
   // ------------------------------------------------------------- q174
   test("q174 segment dedup matches an independent reimplementation") {
     val docs = corpus(33L, 120)
