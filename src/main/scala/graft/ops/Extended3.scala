@@ -316,10 +316,16 @@ object Extended3 {
     * hash-partitioned on the digest; benchmark-side shingles are
     * distinct-ified before the join (bounded by the eval-suite size).
     */
-  def q99DecontaminateNgram(spark: SparkSession, dir: String): DataFrame = {
+  def q99DecontaminateNgram(spark: SparkSession, dir: String): DataFrame =
+    decontaminateNgram(Tables.documents(spark, dir)
+      .select("doc_id", "text"))
+
+  /** Core of q99 over any (doc_id, text) frame — the cross-impl
+    * property spec drives it with generated corpora. */
+  private[graft] def decontaminateNgram(docs: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"),
       x => x =!= "")
-    val base = Tables.documents(spark, dir)
+    val base = docs
       .select(col("doc_id"), toks.as("t"))
       .withColumn("n", size(col("t")).cast("long"))
     def shingles(df: DataFrame): DataFrame = df

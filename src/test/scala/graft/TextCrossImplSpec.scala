@@ -118,6 +118,37 @@ class TextCrossImplSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  // ------------------------------------------------------------- q99
+  test("q99 hashed 8-gram decontamination matches an independent reimplementation") {
+    // re-id to 0..n so the doc_id % 97 == 0 bench slice is non-trivial;
+    // pad the bench docs to ≥8 tokens (a 1-chunk doc has only 5) so
+    // the slice always contributes grams
+    val docs = corpus(55L, 150).zipWithIndex
+      .map { case ((_, t), i) =>
+        val id = i.toLong
+        (id, if (id % 97 == 0) t + " " + chunks(0) + " " + chunks(1) else t)
+      }
+    val got = graft.ops.Extended3.decontaminateNgram(
+        docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // reference: 8-token windows (the gram identity is the joined
+    // string itself — md5 is injective here), bench = id % 97 == 0,
+    // per-doc DISTINCT overlapping grams
+    def grams(t: Vector[String]): Seq[String] =
+      if (t.length >= 8) t.sliding(8).map(_.mkString(" ")).toSeq else Nil
+    val bench = docs.filter(_._1 % 97 == 0)
+      .flatMap(d => grams(tokensOf(d._2))).toSet
+    assert(bench.nonEmpty, "generator must produce a bench slice")
+    val expect = docs
+      .map { case (id, t) =>
+        (id, grams(tokensOf(t)).distinct.count(bench).toLong) }
+      .filter(_._2 > 0)
+      .sortBy(_._1)
+    assert(got == expect)
+    assert(expect.exists(x => x._1 % 97 != 0),
+      "chunk pool must contaminate non-bench docs")
+  }
+
   // ------------------------------------------------------------- q174
   test("q174 segment dedup matches an independent reimplementation") {
     val docs = corpus(33L, 120)
