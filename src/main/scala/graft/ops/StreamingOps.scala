@@ -225,6 +225,23 @@ object StreamingOps {
     * end-to-end, not just spec assertions). Checkpoint lives in a fresh
     * java.io.tmpdir directory (no driver contract needed; AvailableNow
     * finishes, so the checkpoint is single-use by construction). */
+  /** File-stream a parquet table that may be a single FILE (shipped
+    * testdata) or a DIRECTORY of part files (any Spark-written table,
+    * e.g. the QScale probes). The source requires a directory path:
+    * for a file, stream the parent glob-filtered down to the table;
+    * for a directory, stream the directory itself — a glob on the
+    * parent would match nothing there, because pathGlobFilter tests
+    * LEAF file paths (part-*.parquet), silently producing an empty
+    * stream (found live by the 1000× probe on q192). */
+  private def tableStream(spark: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val rdr = spark.readStream.schema(schema)
+    if (fs.getFileStatus(path).isDirectory) rdr.parquet(path.toString)
+    else rdr.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   def q172StreamingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -232,10 +249,7 @@ object StreamingOps {
     // the nanos testdata generation; every graft entrypoint pins it at
     // session build (no order dependence on Tables.events — ADVICE r7)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file-stream source requires a DIRECTORY; glob-filter it down
-    // to the events table so sibling tables don't enter the stream
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val raw = tableStream(spark, dir, "events", schema)
     // same two-generation normalization contract as Tables.events
     val ev = schema("ts").dataType match {
       case LongType =>
@@ -280,8 +294,7 @@ object StreamingOps {
   def q192StreamingKmv(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val raw = tableStream(spark, dir, "documents", schema)
     val kmv = udaf(new KmvAgg(2048))
     val agg = raw
       .select(col("source"), explode(Extended10.toks(col("text"))).as("w"))

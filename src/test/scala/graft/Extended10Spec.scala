@@ -208,6 +208,19 @@ class Extended10Spec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("q192 streams directory-shaped tables too (the 1000x-probe regression)") {
+    // Spark-written tables are DIRECTORIES named documents.parquet; a
+    // pathGlobFilter on the parent matches no leaf files there and the
+    // stream silently empties — found live at the 1000× probe
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dirtab")
+    Tables.documents(spark, SparkTest.sfDir).limit(40)
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = graft.ops.StreamingOps.q192StreamingKmv(spark, tmp.toString)
+      .collect()
+    assert(out.nonEmpty && out.map(_.getLong(1)).sum > 0,
+      "directory-shaped table must stream rows")
+  }
+
   // ------------------------------------------------------------- q189
   test("q189 mask accounting laws and ~15% corpus rate") {
     val rows = Extended10.q189SpanCorruption(spark, SparkTest.sfDir)
