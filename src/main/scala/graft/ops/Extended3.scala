@@ -83,10 +83,16 @@ object Extended3 {
     * For huge phrase sets the same query swaps `contains` for an
     * n-gram-hash equi-join (the q25 LSH shape).
     */
-  def q89Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def q89Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminatePhrases(Tables.documents(spark, dir)
+      .select("doc_id", "text"))
+
+  /** Core of q89 over any (doc_id, text) frame — the cross-impl
+    * property spec drives it with generated corpora. */
+  private[graft] def decontaminatePhrases(docs: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"),
       x => x =!= "")
-    val norm = Tables.documents(spark, dir)
+    val norm = docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         concat_ws(" ", col("toks")).as("norm"), size(col("toks")).as("nt"))

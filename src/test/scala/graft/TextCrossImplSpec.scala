@@ -149,6 +149,34 @@ class TextCrossImplSpec extends AnyFunSuite {
       "chunk pool must contaminate non-bench docs")
   }
 
+  // ------------------------------------------------------------- q89
+  test("q89 phrase decontamination matches an independent reimplementation") {
+    val docs = corpus(66L, 150).zipWithIndex
+      .map { case ((_, t), i) =>
+        val id = i.toLong
+        (id, if (id % 97 == 0) t + " " + chunks(2) + " " + chunks(3) else t)
+      }
+    val got = graft.ops.Extended3.decontaminatePhrases(
+        docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // reference: phrase = first 8 normalized tokens of each bench doc
+    // (id % 97 == 0, ≥8 tokens); a doc hits when its normalized text
+    // CONTAINS the phrase as a substring (the declared semantics —
+    // substring, not token-aligned)
+    val norm = docs.map { case (id, t) => (id, tokensOf(t)) }
+    val phrases = norm
+      .filter { case (id, t) => id % 97 == 0 && t.length >= 8 }
+      .map(_._2.take(8).mkString(" ")).distinct
+    assert(phrases.nonEmpty)
+    val expect = norm
+      .map { case (id, t) =>
+        val s = t.mkString(" ")
+        (id, phrases.count(s.contains).toLong) }
+      .filter(_._2 > 0)
+      .sortBy(_._1)
+    assert(got == expect)
+  }
+
   // ------------------------------------------------------------- q174
   test("q174 segment dedup matches an independent reimplementation") {
     val docs = corpus(33L, 120)
