@@ -64,6 +64,34 @@ object Clustering {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** THE in-row nearest-centroid argmin over driver-held centroids —
+    * shared by the Lloyd update loop and SemDeDup's full-corpus
+    * assignment (ADVICE r8: it was duplicated). Centroids are scanned
+    * in ascending-cid order with a strict improvement test, so the tie
+    * rule is lower-cid and the metric is the ascending-index IEEE
+    * squared-L2 — identical to [[assign]]'s min_by form, which
+    * ClusteringSpec pins. Returns (cid, d2); k·d doubles ride the
+    * closure, the corpus never shuffles. */
+  private[graft] def nearestCentroid(
+      cents: Array[(Long, Array[Double])])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val local = cents.sortBy(_._1)
+    udf { (e: Seq[Double]) =>
+      var bc = local(0)._1; var bd = Double.MaxValue
+      var c = 0
+      while (c < local.length) {
+        val ce = local(c)._2
+        var d = 0.0
+        var j = 0
+        val n = math.min(ce.length, e.length)
+        while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
+        if (d < bd) { bd = d; bc = local(c)._1 }
+        c += 1
+      }
+      (bc, bd)
+    }
+  }
+
   /** Nearest-centroid id per vector (tie → lower cid) against a
     * broadcast centroid table (cid, ce). */
   private def assign(emb: DataFrame, cents: DataFrame): DataFrame =
@@ -107,24 +135,7 @@ object Clustering {
     var i = 0
     var done = cents.isEmpty
     while (i < maxIters && !done) {
-      // in-row nearest cell: same metric (ascending-index IEEE sum)
-      // and same tie rule (lower cid) as [[assign]] — ClusteringSpec
-      // pins the agreement
-      val local = cents
-      val assignUdf = udf { (e: Seq[Double]) =>
-        var bc = local(0)._1; var bd = Double.MaxValue
-        var c = 0
-        while (c < local.length) {
-          val ce = local(c)._2
-          var d = 0.0
-          var j = 0
-          val n = math.min(ce.length, e.length)
-          while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
-          if (d < bd) { bd = d; bc = local(c)._1 }
-          c += 1
-        }
-        (bc, bd)
-      }
+      val assignUdf = nearestCentroid(cents)
       // ONE job per round, and its k-row result IS the next centroid
       // set and the convergence cost — no per-round checkpoint, no
       // second action

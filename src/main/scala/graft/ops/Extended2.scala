@@ -175,9 +175,15 @@ object Extended2 {
     * exact sample, which is what a training-data lineage audit needs
     * (q47's stratified sampler adopted the same pattern in round 4).
     * Shuffle carries only (segment, key, name). */
-  def q72Md5Sample(spark: SparkSession, dir: String): DataFrame = {
+  def q72Md5Sample(spark: SparkSession, dir: String): DataFrame =
+    md5Sample(Tables.customer(spark, dir))
+
+  /** Core of q72 over any (c_mktsegment, c_custkey, c_name) frame —
+    * SamplingCrossImplSpec pins it against an independent driver-side
+    * reimplementation on generated skewed/singleton segments. */
+  private[graft] def md5Sample(cust: DataFrame): DataFrame = {
     val w = Window.partitionBy("c_mktsegment").orderBy("h", "c_custkey")
-    Tables.customer(spark, dir)
+    cust
       .select(col("c_mktsegment"), col("c_custkey"), col("c_name"),
         md5(col("c_custkey").cast("string").cast("binary")).as("h"))
       .withColumn("rnk", row_number().over(w).cast("long"))

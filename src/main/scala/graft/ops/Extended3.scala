@@ -216,9 +216,14 @@ object Extended3 {
     * changes when other docs arrive). Emits the per-source × split
     * audit counts.
     */
-  def q94TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+  def q94TrainSplit(spark: SparkSession, dir: String): DataFrame =
+    trainSplit(Tables.documents(spark, dir))
+
+  /** Core of q94 over any (doc_id, source) frame — cross-impl-pinned
+    * by SamplingCrossImplSpec on generated corpora. */
+  private[graft] def trainSplit(docs: DataFrame): DataFrame = {
     val h = substring(md5(col("doc_id").cast("string")), 1, 4)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"),
         when(h < "cccd", "train")
           .when(h < "e666", "val")

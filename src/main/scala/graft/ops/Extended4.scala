@@ -520,10 +520,15 @@ object Extended4 {
     * window family where per-partition sort is safe at 100 TB because
     * the hash bounds the partition, not the data's own skew); writing
     * shard files afterwards is a partitionBy("shard") append. */
-  def q129EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+  def q129EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(spark, dir))
+
+  /** Core of q129 over any frame with a doc_id — cross-impl-pinned by
+    * SamplingCrossImplSpec on generated corpora. */
+  private[graft] def epochShuffle(docs: DataFrame): DataFrame = {
     val h = md5(col("doc_id").cast("string").cast("binary"))
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), h.as("h"))
       .withColumn("shard", substring(col("h"), 1, 1))
       .withColumn("pos", row_number().over(w).cast("long"))

@@ -224,9 +224,15 @@ object Extended5 {
     * over documents (a ≤10-reducer scale-killer, PlanAuditSpec):
     * [[ScaleOps.shardedMd5Rank]] decomposes the rank md5-prefix-wise
     * and n_lang is a broadcast aggregate join. */
-  def q136StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.fanout(Tables.documents(spark, dir)
-      .select("doc_id", "lang"))
+  def q136StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.fanout(Tables.documents(spark, dir)
+      .select("doc_id", "lang")))
+
+  /** Core of q136 over any (doc_id, lang) frame — cross-impl-pinned
+    * by SamplingCrossImplSpec: the sharded rank must equal a plain
+    * per-stratum (md5, id) rank on corpora with singleton and
+    * boundary-sized strata. */
+  private[graft] def stratifiedSample(d: DataFrame): DataFrame = {
     val totals = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
     ScaleOps.shardedMd5Rank(d, "lang", "doc_id")
       .join(broadcast(totals), "lang")

@@ -329,10 +329,15 @@ object Extended8 {
     * the draw is [[ScaleOps.shardedMd5Rank]] — per-source md5 rank
     * without a source-partitioned window over documents (≤10 reducers
     * otherwise; PlanAuditSpec forbids it). */
-  def q166TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+  def q166TemperatureSample(spark: SparkSession, dir: String): DataFrame =
+    temperatureSample(Tables.fanout(Tables.documents(spark, dir)
+      .select("doc_id", "source")))
+
+  /** Core of q166 over any (doc_id, source) frame — cross-impl-pinned
+    * by SamplingCrossImplSpec (skewed + singleton sources, budgets at
+    * integer-division boundaries). */
+  private[graft] def temperatureSample(d: DataFrame): DataFrame = {
     val budgetTotal = 100L
-    val d = Tables.fanout(Tables.documents(spark, dir)
-      .select("doc_id", "source"))
     val weights = d.groupBy("source").agg(count(lit(1)).as("n_s"))
       .withColumn("w", floor(sqrt(col("n_s"))).cast("long"))
     val wTot = weights.agg(sum("w").as("w_tot"))

@@ -242,8 +242,38 @@ object StreamingOps {
     else rdr.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
-  def q172StreamingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+  /** Drain an AvailableNow query through a memory sink and CLEAN UP:
+    * run to completion, materialize `finish(sinkTable)` off the sink
+    * (the results here are bounded — window/source dimension rows —
+    * so the localCheckpoint is audit-sized), then drop the sink's
+    * temp view and delete the single-use checkpoint directory.
+    * Before this helper each invocation leaked both — repeated
+    * bench/oracle runs accumulated registered temp tables and
+    * on-disk checkpoints (ADVICE r8). */
+  private def drainAndClean(spark: SparkSession, agg: DataFrame,
+      name: String)(finish: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
+    val memName = s"${name}_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val sq = agg.writeStream.format("memory").queryName(memName)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      sq.awaitTermination()
+      finish(spark.table(memName)).localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(memName)
+      val walked = java.nio.file.Files.walk(ckpt)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
+  def q172StreamingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // the raw schema probe needs spark.sql.legacy.parquet.nanosAsLong on
     // the nanos testdata generation; every graft entrypoint pins it at
@@ -260,20 +290,10 @@ object StreamingOps {
     val agg = ev
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"), sumValue)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-ckpt-q172").toString
-    val memName = "q172_mem_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val sq = agg.writeStream.format("memory").queryName(memName)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
-    spark.table(memName)
-      .select(unix_micros(col("w.start")).as("ws_us"),
-        col("n_events"), col("sum_value"))
-      .orderBy("ws_us")
+    drainAndClean(spark, agg, "q172")(
+      _.select(unix_micros(col("w.start")).as("ws_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("ws_us"))
   }
 
   // ---------------------------------------------------------------- q192
@@ -292,7 +312,6 @@ object StreamingOps {
     * unbounded with the sketch as the only state.
     */
   def q192StreamingKmv(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val raw = tableStream(spark, dir, "documents", schema)
     val kmv = udaf(new KmvAgg(2048))
@@ -301,19 +320,9 @@ object StreamingOps {
       .select(col("source"),
         graft.functions.Md5Bucket.md5Bucket(col("w"), 15, 0).as("h"))
       .groupBy("source").agg(kmv(col("h")).as("sk"))
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-ckpt-q192").toString
-    val memName = "q192_mem_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val sq = agg.writeStream.format("memory").queryName(memName)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
-    spark.table(memName)
-      .select(col("source"), size(col("sk")).cast("long").as("d"))
-      .orderBy("source")
+    drainAndClean(spark, agg, "q192")(
+      _.select(col("source"), size(col("sk")).cast("long").as("d"))
+        .orderBy("source"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

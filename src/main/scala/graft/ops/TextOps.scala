@@ -152,12 +152,18 @@ object TextOps {
     * was Spark-specific and rows-only). Per-language rates via a
     * literal map. At 100 TB this is a pure narrow filter on the scan —
     * no shuffle, no sampling pass. */
-  def q47HashSample(spark: SparkSession, dir: String): DataFrame = {
+  def q47HashSample(spark: SparkSession, dir: String): DataFrame =
+    hashSample(Tables.documents(spark, dir))
+
+  /** Core of q47 over any (doc_id, lang) frame — SamplingCrossImplSpec
+    * drives it with generated corpora (rate-map misses, skewed langs)
+    * against an independent driver-side reimplementation. */
+  private[graft] def hashSample(docs: DataFrame): DataFrame = {
     val rates = map(
       lit("en"), lit(50), lit("es"), lit(30),
       lit("fr"), lit(30), lit("de"), lit(30))
     val h = md5(col("doc_id").cast("string").cast("binary"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"),
         pmod(conv(substring(h, 1, 4), 16, 10).cast("int"), lit(100))
           .as("bucket"))
