@@ -94,7 +94,7 @@ object Extended10 {
   /** Shared tokenizer — identical to q184's (lower, split on runs of
     * non-letters, drop empties) so the collocation and selection
     * families agree on what a "word" is. */
-  private[ops] def toks(text: Column): Column =
+  private[graft] def toks(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), t => t =!= "")
 
   private val tokSql =

@@ -292,7 +292,7 @@ object Similarity {
 
   /** Band keys over a portable signature: band b = md5 of its 4
     * concatenated component strings (md5(m0||m1||m2||m3) in SQL). */
-  private def portableBandKeys(sig: Column): Column =
+  private[graft] def portableBandKeys(sig: Column): Column =
     array((0 until 4).map(b =>
       md5(array_join(slice(sig, b * 4 + 1, 4), ""))): _*)
 
@@ -409,7 +409,7 @@ object Similarity {
   /** documents ∪ near-duplicate copies (suffix-perturbed, doc_id+1e6) —
     * planted so the near-dup surface has guaranteed positives on the
     * synthetic corpus (all driver texts are mutually distant). */
-  private def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select("doc_id", "text")
     Tables.fanout(base.unionByName(base.select(
       (col("doc_id") + 1000000L).as("doc_id"),
