@@ -66,10 +66,16 @@ object Extended4 {
     * across engines). A doc with w ≥ stride can contain several
     * boundaries; n_hits records multiplicity (upweighting, like any
     * PPS estimator). */
-  def q122PpsSample(spark: SparkSession, dir: String): DataFrame = {
+  def q122PpsSample(spark: SparkSession, dir: String): DataFrame =
+    ppsSample(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("w")))
+
+  /** Core of q122 over any (doc_id, w) frame — cross-impl-pinned by
+    * SamplingCrossImplSpec on generated weights incl. zero-weight
+    * docs, a giant doc spanning multiple strides, and a total < k
+    * corpus (the stride-1 guard regime). */
+  private[graft] def ppsSample(docs: DataFrame): DataFrame = {
     val k = 20
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
     val cum = ScaleOps.shardedCumSum(docs, "doc_id", "w", "cum_w", 16)
     // stride boundaries at s, 2s, ..., ks with s = total div k (integer);
     // doc owns (cum_w - w, cum_w] — it is sampled once per boundary inside.
@@ -419,11 +425,18 @@ object Extended4 {
     * an exact 48-bit numeric (lexicographic ≡ numeric for fixed-width
     * lowercase hex, so the DuckDB oracle orders by the same prefix
     * string; doc_id breaks the ~2⁻⁴⁸ prefix ties identically). */
-  def q126SourceCap(spark: SparkSession, dir: String): DataFrame = {
+  def q126SourceCap(spark: SparkSession, dir: String): DataFrame =
+    sourceCap(Tables.documents(spark, dir))
+
+  /** Core of q126 over any (source, doc_id) frame — cross-impl-pinned
+    * by SamplingCrossImplSpec (sources under the cap, singleton
+    * sources): TopKAgg's bounded heap must equal a full sort-take. */
+  private[graft] def sourceCap(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val k = 10
     val topk = new graft.ops.TopKAgg(k).toColumn
-    Tables.documents(spark, dir)
+    docs
       .select(col("source"), col("doc_id"),
         // negated: TopKAgg keeps LARGEST ord, the cap wants smallest hash
         -conv(substring(

@@ -134,6 +134,57 @@ class SamplingCrossImplSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  // ------------------------------------------------------------ q122
+  test("q122 PPS sample matches an independent reimplementation") {
+    // adversarial weights: zeros (never sampled), a giant doc spanning
+    // many strides (n_hits > 1 — systematic PPS samples it repeatedly),
+    // ordinary docs
+    val g = Gen.chooseNum(0L, 50L)
+    val docs = (0 until 200).map(i => (i.toLong * 11 + 3,
+        g(Gen.Parameters.default, Seed(606L + i)).get)) ++
+      Seq((100003L, 0L), (100019L, 5000L), (100043L, 0L))
+    val got = graft.ops.Extended4.ppsSample(docs.toDF("doc_id", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val total = docs.map(_._2).sum
+    val stride = math.max(1L, total / 20)
+    var cum = 0L
+    val expect = docs.sortBy(_._1).map { case (id, w) =>
+      cum += w
+      (id, w, cum, cum / stride - (cum - w) / stride)
+    }.filter(_._4 > 0)
+    assert(expect.exists(_._4 > 1), "giant doc must be sampled repeatedly")
+    assert(got == expect)
+  }
+
+  test("q122 PPS sample stride-1 guard on a total < k corpus") {
+    // total weight below k=20: stride clamps to 1 and every doc is
+    // sampled w times (the div-0 guard regime, ADVICE r4)
+    val docs = Seq((3L, 1L), (17L, 0L), (29L, 2L), (41L, 1L), (53L, 3L))
+    val got = graft.ops.Extended4.ppsSample(docs.toDF("doc_id", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == Seq((3L, 1L), (29L, 2L), (41L, 1L), (53L, 3L)))
+  }
+
+  // ------------------------------------------------------------ q126
+  test("q126 source cap matches an independent reimplementation") {
+    val docs = corpus(707L, 240)
+    val got = graft.ops.Extended4.sourceCap(docs.toDF("doc_id", "source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    def h48(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 12), 16)
+    val expect = docs.groupBy(_._2).toSeq
+      .flatMap { case (src, xs) =>
+        xs.map(_._1).sortBy(id => (h48(id), id)).take(10).zipWithIndex
+          .map { case (id, i) => (src, (i + 1).toLong, id) } }
+      .sortBy(x => (x._1, x._2))
+    // under-cap sources keep everything: solo keeps 1, duo keeps 2
+    assert(expect.count(_._1 == "solo") == 1 &&
+      expect.count(_._1 == "duo") == 2)
+    assert(got == expect)
+  }
+
   // ------------------------------------------------------------- q72
   test("q72 md5 sample matches an independent reimplementation") {
     // synthetic customers: a large segment, a singleton (rnk 1 only),
