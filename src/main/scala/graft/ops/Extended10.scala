@@ -57,6 +57,31 @@ class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
     ExpressionEncoder[Seq[Long]]()
 }
 
+/** Fixed-size Bloom bitset as a typed Aggregator: input = bit
+  * positions, buffer = the bitset words themselves. Mergeable by OR,
+  * so Spark builds the filter with map-side partials and the shuffle
+  * carries one `words`-long array per task — the filter's size is a
+  * CONSTANT of the query, independent of how many elements were
+  * inserted (the property that distinguishes it from the broadcast
+  * phrase set of q89, which grows with the benchmark). */
+class BitsetAgg(words: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+  def zero: Array[Long] = new Array[Long](words)
+  def reduce(b: Array[Long], p: Long): Array[Long] = {
+    b((p >>> 6).toInt) |= 1L << (p & 63L)
+    b
+  }
+  def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+  def finish(b: Array[Long]): Seq[Long] = b.toSeq
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
 /** q185–q191 — round-8 batch 2: the data-selection / mixing / noising
   * / retrieval operators a pretraining-data pipeline runs AFTER dedup
   * and quality filtering, each with a named public design it
@@ -640,7 +665,123 @@ object Extended10 {
        |LEFT JOIN sh ON sh.s1 = a.source AND sh.s2 = b.source
        |ORDER BY s1, s2""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+  /** q193 — Bloom-filter 13-gram decontamination (the GPT-3 appendix-C
+    * / The-Pile recipe): compress the benchmark set's sliding 13-grams
+    * into a FIXED-SIZE bit array and probe every corpus document with
+    * a zero-shuffle narrow map. Third tier of the decontamination
+    * family: q89 broadcasts the phrase STRINGS (grows with the
+    * benchmark), q99 equi-joins 16-byte digests (shuffles the corpus
+    * gram stream), q193's probe side touches NO join and NO shuffle —
+    * the filter is m = 2^17 bits (2 KB × 8 = 2048 longs) no matter how
+    * many benchmark grams were inserted, and membership is four word
+    * lookups per gram.
+    *
+    * Hashing is the portable md5 scheme: one 60-bit md5 prefix per
+    * gram, split into h1 (top 30 bits) and h2 (low 30 bits, forced
+    * odd), with bit positions h1 + j·h2 mod m for j = 0..3 — the
+    * Kirsch–Mitzenmacher double-hashing construction (one digest per
+    * gram, not k). Every step is integer arithmetic both engines
+    * replay exactly, so the DuckDB oracle reproduces the FILTER
+    * itself, false positives included — the compare is hash-exact even
+    * where the Bloom answer and the exact answer differ.
+    *
+    * False-positive posture: m must be sized to the benchmark
+    * (m ≫ k·n_grams). At sf0.01 fill ≈ 2% → FP ≈ 10⁻⁷; a deployment
+    * with a bigger eval suite raises mBits (the core is
+    * parameterized). BloomDecontamSpec pins the no-false-NEGATIVE law
+    * (flags ⊇ exact matches — a Bloom can only over-flag) and exact
+    * agreement with an independent driver-side reimplementation on
+    * generated corpora.
+    *
+    * Scale: the build side aggregates benchmark positions into one
+    * 16 KB row ([[BitsetAgg]], OR-mergeable partials); the probe is
+    * docs × that 1-row broadcast (BroadcastNestedLoopJoin of one row —
+    * the q184 scalar-cross pattern) followed by an in-row count of
+    * Bloom-positive distinct grams. Only flagged (doc_id, n_hits)
+    * rows ever leave the map. */
+  def q193BloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminate(Tables.fanout(
+      Tables.documents(spark, dir).select("doc_id", "text")))
+
+  /** Core of q193 over any (doc_id, text) frame — cross-impl-pinned by
+    * BloomDecontamSpec on generated corpora (planted contamination,
+    * disjoint corpora, empty benchmark). Benchmark = doc_id % 97 == 0,
+    * the q89/q99 convention. */
+  private[graft] def bloomDecontaminate(docs: DataFrame,
+      mBits: Int = 131072): DataFrame = {
+    require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    val m = lit(mBits.toLong)
+    // variable-amount unsigned shift: functions.shiftrightunsigned only
+    // takes a literal amount, but the bit index is a column
+    def shru(a: Column, n: Column): Column =
+      org.apache.spark.sql.GraftShims.column(
+        org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned(
+          org.apache.spark.sql.GraftShims.expression(a),
+          org.apache.spark.sql.GraftShims.expression(n.cast("int"))))
+    // Kirsch–Mitzenmacher positions of one gram: j = 0..3
+    def positions(g: Column): Column = {
+      val h = graft.functions.Md5Bucket.md5Bucket(g, 15, 0)
+      val h1 = shiftrightunsigned(h, 30)
+      val h2 = (h % lit(1073741824L)).bitwiseOR(lit(1L))
+      transform(sequence(lit(0L), lit(3L)), j => (h1 + j * h2) % m)
+    }
+    // distinct sliding 13-grams, computed in-row from the token array
+    val grams13 = array_distinct(transform(
+      sequence(lit(1L), col("n") - 12L),
+      i => concat_ws(" ", slice(col("t"), i.cast("int"), lit(13)))))
+    val base = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") >= 13L)
+    val bloomAgg = udaf(new BitsetAgg(mBits / 64))
+    val bits = base
+      .filter(pmod(col("doc_id"), lit(97L)) === 0L)
+      .select(explode(grams13).as("g")).distinct()
+      .select(explode(positions(col("g"))).as("p")).distinct()
+      .agg(bloomAgg(col("p")).as("bits"))
+    def bloomHit(g: Column): Column =
+      forall(positions(g), p =>
+        shru(element_at(col("bits"),
+            shiftrightunsigned(p, 6).cast("int") + 1),
+          p.bitwiseAND(lit(63L)))
+          .bitwiseAND(lit(1L)) === lit(1L))
+    base
+      .crossJoin(broadcast(bits))
+      .select(col("doc_id"),
+        size(filter(grams13, g => bloomHit(g))).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0L)
+      .orderBy("doc_id")
+  }
+
+  private val q193Oracle: String =
+    // the oracle replays the FILTER itself: same tokenizer, same
+    // 13-gram windows, same md5-split double hashing, same m — a
+    // false positive in Spark is the same false positive here
+    s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
+       |s AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 13),
+       |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, CAST(n AS INT) - 12),
+       |    i -> array_to_string(list_slice(l, i, i + 12), ' ')))) AS g
+       |  FROM s),
+       |gh AS (SELECT g,
+       |    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT DISTINCT g FROM dg)),
+       |gp AS (SELECT g, unnest(list_transform([0, 1, 2, 3],
+       |    j -> ((h >> 30) + j * ((h % 1073741824) | 1)) % 131072)) AS p
+       |  FROM gh),
+       |bbits AS (SELECT DISTINCT p FROM gp
+       |  WHERE g IN (SELECT g FROM dg WHERE doc_id % 97 = 0)),
+       |ghit AS (SELECT gpp.g
+       |  FROM (SELECT DISTINCT g, p FROM gp) gpp
+       |  LEFT JOIN bbits b ON gpp.p = b.p
+       |  GROUP BY gpp.g HAVING count(*) = count(b.p))
+       |SELECT doc_id, count(*)::BIGINT AS n_hits
+       |FROM dg JOIN ghit USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_bloom_decontaminate" -> (q193BloomDecontaminate _),
     "q191_kmv_overlap" -> (q191KmvOverlap _),
     "q190_bm25" -> (q190Bm25 _),
     "q185_dsir_buckets" -> (q185DsirBuckets _),
@@ -650,6 +791,7 @@ object Extended10 {
     "q189_span_corruption" -> (q189SpanCorruption _))
 
   val oracleSql: Map[String, String] = Map(
+    "q193_bloom_decontaminate" -> q193Oracle,
     "q191_kmv_overlap" -> q191Oracle,
     "q190_bm25" -> q190Oracle,
     "q185_dsir_buckets" -> q185Oracle,

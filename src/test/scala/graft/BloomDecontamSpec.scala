@@ -1,0 +1,122 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-implementation pins for q193 Bloom 13-gram decontamination:
+  * generated corpora run through the Spark core AND an independent
+  * driver-side reimplementation (Scala collections + java
+  * MessageDigest only — no shared code with the operator), outputs
+  * compared exactly. The corpora are adversarial where the testdata
+  * is not: planted verbatim 13-token windows (true positives), a
+  * benchmark-free corpus (empty filter), a 13-token boundary doc,
+  * and a deliberately UNDERSIZED filter (m = 64) whose false
+  * positives are real — the pin proves Spark and the
+  * reimplementation produce the SAME false positives, which is the
+  * property the DuckDB oracle relies on. The no-false-NEGATIVE law
+  * (Bloom flags ⊇ exact 13-gram matches) is asserted separately
+  * against a from-scratch exact matcher.
+  */
+class BloomDecontamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // --- independent reimplementation (mirrors the q193 CONTRACT, not
+  // --- its code: tokenize, distinct sliding 13-grams, one 60-bit md5
+  // --- prefix split h1/h2, Kirsch–Mitzenmacher positions, bitset)
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z]+").toSeq.filter(_.nonEmpty)
+  private def grams13(text: String): Seq[String] = {
+    val t = toks(text)
+    if (t.size < 13) Nil else t.sliding(13).map(_.mkString(" ")).toSeq.distinct
+  }
+  private def positions(g: String, m: Long): Seq[Long] = {
+    val h = java.lang.Long.parseLong(md5hex(g).substring(0, 15), 16)
+    val h1 = h >>> 30
+    val h2 = (h % 1073741824L) | 1L
+    (0L to 3L).map(j => (h1 + j * h2) % m)
+  }
+  private def reimpl(docs: Seq[(Long, String)], m: Long): Seq[(Long, Long)] = {
+    val bits = docs.filter(_._1 % 97 == 0)
+      .flatMap(d => grams13(d._2)).distinct
+      .flatMap(positions(_, m)).toSet
+    docs.flatMap { case (id, text) =>
+      val nh = grams13(text).count(g => positions(g, m).forall(bits))
+      if (nh > 0) Some((id, nh.toLong)) else None
+    }.sortBy(_._1)
+  }
+
+  private def run(docs: Seq[(Long, String)], m: Int): Seq[(Long, Long)] =
+    graft.ops.Extended10.bloomDecontaminate(
+        docs.toDF("doc_id", "text"), mBits = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  /** Word-soup corpus with planted contamination: benchmark docs at
+    * ids divisible by 97; `planted` docs embed a verbatim 13-token
+    * window copied from a benchmark doc between random padding. */
+  private def corpus(seed: Long): Seq[(Long, String)] = {
+    val vocab = Vector("alpha", "bravo", "carol", "delta", "echoes",
+      "foxtrot", "golf", "hotel", "india", "julie", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo")
+    def words(n: Int, s: Long): Seq[String] =
+      (0 until n).map(i => Gen.oneOf(vocab)(
+        Gen.Parameters.default, Seed(s + i)).get)
+    val benchA = (97L, words(30, seed).mkString(" "))
+    val benchB = (194L, words(25, seed + 1000).mkString(" "))
+    val window = toks(benchA._2).slice(8, 21) // 13 contiguous tokens
+    val plantedMid = (11L,
+      (words(5, seed + 2000) ++ window ++ words(4, seed + 3000)).mkString(" "))
+    val plantedExact = (23L, window.mkString(" "))    // exactly 13 tokens
+    val tooShort = (31L, toks(benchA._2).slice(8, 20).mkString(" ")) // 12
+    val clean = (0 until 40).map(i =>
+      (200L + i * 3, words(20, seed + 10000 + i * 100).mkString(" ")))
+    Seq(benchA, benchB, plantedMid, plantedExact, tooShort) ++ clean
+  }
+
+  test("q193 matches an independent reimplementation (planted contamination)") {
+    val docs = corpus(424L)
+    val got = run(docs, 131072)
+    val expect = reimpl(docs, 131072L)
+    // the planted docs and the benchmark docs themselves must flag
+    assert(Seq(11L, 23L, 97L, 194L).forall(id => expect.exists(_._1 == id)))
+    // the 12-token prefix doc cannot contain any 13-gram
+    assert(!expect.exists(_._1 == 31L))
+    assert(got == expect)
+  }
+
+  test("q193 never misses an exact 13-gram match (no-false-negative law)") {
+    val docs = corpus(777L)
+    val flagged = run(docs, 131072).map(_._1).toSet
+    // from-scratch exact matcher: docs sharing ANY 13-gram with bench
+    val bench = docs.filter(_._1 % 97 == 0).flatMap(d => grams13(d._2)).toSet
+    val exact = docs.filter(d => grams13(d._2).exists(bench)).map(_._1).toSet
+    assert(exact.subsetOf(flagged),
+      s"missed exact matches: ${exact -- flagged}")
+  }
+
+  test("q193 with an undersized filter reproduces the SAME false positives") {
+    // m = 64 bits over dozens of benchmark grams: heavy saturation,
+    // most clean grams collide into set bits — the regime where a
+    // semantic mismatch between engines would surface instantly
+    val docs = corpus(515L)
+    val got = run(docs, 64)
+    val expect = reimpl(docs, 64L)
+    val exact = {
+      val bench = docs.filter(_._1 % 97 == 0).flatMap(d => grams13(d._2)).toSet
+      docs.filter(d => grams13(d._2).exists(bench)).map(_._1).toSet
+    }
+    assert(expect.map(_._1).toSet.diff(exact).nonEmpty,
+      "undersized filter must produce real false positives")
+    assert(got == expect)
+  }
+
+  test("q193 with no benchmark docs flags nothing") {
+    val docs = corpus(606L).filter(_._1 % 97 != 0)
+    assert(run(docs, 131072).isEmpty)
+  }
+}
