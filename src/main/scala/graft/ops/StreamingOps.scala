@@ -251,13 +251,14 @@ object StreamingOps {
     * bench/oracle runs accumulated registered temp tables and
     * on-disk checkpoints (ADVICE r8). */
   private def drainAndClean(spark: SparkSession, agg: DataFrame,
-      name: String)(finish: DataFrame => DataFrame): DataFrame = {
+      name: String, outputMode: String = "complete")(
+      finish: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
     val memName = s"${name}_mem_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val sq = agg.writeStream.format("memory").queryName(memName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -273,27 +274,98 @@ object StreamingOps {
     }
   }
 
-  def q172StreamingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+  /** The events table as a ts-normalized file STREAM — the readStream
+    * twin of `Tables.events`: raw-schema probe (the nanosAsLong
+    * session flag covers the nanos generation — ADVICE r7), then the
+    * same two-generation normalization contract. Shared by every
+    * declared streaming query over events (q172/q194/q195/q196). */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    // the raw schema probe needs spark.sql.legacy.parquet.nanosAsLong on
-    // the nanos testdata generation; every graft entrypoint pins it at
-    // session build (no order dependence on Tables.events — ADVICE r7)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = tableStream(spark, dir, "events", schema)
-    // same two-generation normalization contract as Tables.events
-    val ev = schema("ts").dataType match {
+    schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
-    val agg = ev
+  }
+
+  def q172StreamingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"), sumValue)
     drainAndClean(spark, agg, "q172")(
       _.select(unix_micros(col("w.start")).as("ws_us"),
           col("n_events"), col("sum_value"))
         .orderBy("ws_us"))
+  }
+
+  // ---------------------------------------------------------------- q194
+  /** q194 — STREAMING session windows, oracle-checked: q30's per-user
+    * session aggregation (30-minute gap) running as a real
+    * `session_window` streaming aggregation — the state store merges
+    * overlapping session fragments as batches arrive. AvailableNow +
+    * Complete mode drains the table and finishes with exactly q30's
+    * batch answer, so the driver's t2 hash-compare covers streaming
+    * session state end-to-end (the q172 pattern); before this the
+    * session-window streaming builder was spec-only. At scale the
+    * same code runs unbounded with a watermark bounding session
+    * state; Complete here keeps the finite-drain answer total. */
+  def q194StreamingSession(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
+    drainAndClean(spark, agg, "q194")(
+      _.select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "start_us"))
+  }
+
+  // ---------------------------------------------------------------- q195
+  /** q195 — STREAMING stream-stream interval join, oracle-checked:
+    * the [[streamingIntervalJoin]] builder (clicks ⋈ purchases of the
+    * same user within 1 hour after the click, both sides watermarked,
+    * append mode — the only shape Spark permits for stream-stream
+    * joins) driven by two file streams over the SAME events table and
+    * drained with AvailableNow. Inner-join matches emit as they are
+    * found (the watermark bounds STATE, it never withholds an inner
+    * match), so the finished sink holds exactly the batch range-join
+    * answer and the driver hash-compares the stream-stream join path.
+    *
+    * Multi-batch caveat (documented, not hit here): if the source
+    * splits into several micro-batches, rows arriving more than the
+    * watermark delay out of event-time order can be dropped from
+    * state before their match arrives — the shipped single-file
+    * tables drain in one batch, and an unbounded deployment relies on
+    * the same bounded-disorder contract every watermark query does. */
+  def q195StreamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = () => eventStream(spark, dir)
+    val joined = streamingIntervalJoin(
+      ev().filter(col("event_type") === "click"),
+      ev().filter(col("event_type") === "purchase"))
+    drainAndClean(spark, joined, "q195", outputMode = "append")(
+      _.orderBy("c_id", "p_id"))
+  }
+
+  // ---------------------------------------------------------------- q196
+  /** q196 — STREAMING stream-static enrichment, oracle-checked: the
+    * [[streamingStaticEnrich]] shape — each micro-batch of events
+    * broadcast-joins the STATIC customer dimension (re-planned per
+    * batch; the streaming analog of q12) — aggregated per market
+    * segment. The join is stateless; the only streaming state is the
+    * segment-sized aggregate, and AvailableNow + Complete finishes
+    * with the batch join+group answer for the driver's hash-compare. */
+  def q196StreamingEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventStream(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
+    drainAndClean(spark, agg, "q196")(
+      _.select(col("c_mktsegment"), col("n_events"), col("sum_value"))
+        .orderBy("c_mktsegment"))
   }
 
   // ---------------------------------------------------------------- q192
@@ -330,7 +402,10 @@ object StreamingOps {
     "q29_sliding" -> (q29Sliding _),
     "q30_session" -> (q30Session _),
     "q172_streaming_availablenow" -> (q172StreamingAvailableNow _),
-    "q192_streaming_kmv" -> (q192StreamingKmv _))
+    "q192_streaming_kmv" -> (q192StreamingKmv _),
+    "q194_streaming_session" -> (q194StreamingSession _),
+    "q195_streaming_interval_join" -> (q195StreamingIntervalJoin _),
+    "q196_streaming_enrich" -> (q196StreamingEnrich _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_tumbling" ->
@@ -365,6 +440,41 @@ object StreamingOps {
         |         value
         |  FROM events)
         |GROUP BY ws ORDER BY ws_us""".stripMargin,
+    // the streaming session drain finishes with exactly the batch
+    // session answer (Complete mode, AvailableNow) — q30's oracle
+    "q194_streaming_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+    // inner interval-join matches emit as found — the drained sink is
+    // the batch range join
+    "q195_streaming_interval_join" ->
+      """SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id,
+        |       epoch_us(c.ts) AS c_ts_us, epoch_us(p.ts) AS p_ts_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+        |ORDER BY c_id, p_id""".stripMargin,
+    "q196_streaming_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q30_session" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

@@ -49,6 +49,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("q194 AvailableNow session-window stream equals batch q30 exactly") {
+    val streamed = StreamingOps
+      .q194StreamingSession(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = StreamingOps.q30Session(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("q195 AvailableNow stream-stream interval join equals the batch range join") {
+    val streamed = StreamingOps
+      .q195StreamingIntervalJoin(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, SparkTest.sfDir)
+    val batch = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+            col("ts").as("p_ts")),
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("c_id"), col("p_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        unix_micros(col("p_ts")).as("p_ts_us"))
+      .orderBy("c_id", "p_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("q196 AvailableNow stream-static enrich equals the batch join+group") {
+    val streamed = StreamingOps
+      .q196StreamingEnrich(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, SparkTest.sfDir)
+      .join(Tables.customer(spark, SparkTest.sfDir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("c_mktsegment")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup drops within-watermark repeats, keeps distinct keys") {
     val input = MemoryStream[EventIn](spark)
     val q = StreamingOps.streamingDedup(input.toDF())
