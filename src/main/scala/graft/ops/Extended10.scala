@@ -780,7 +780,174 @@ object Extended10 {
        |FROM dg JOIN ghit USING (g)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q197
+  /** q197 — hybrid retrieval fused by Reciprocal Rank Fusion (RRF,
+    * Cormack/Clarke/Büttcher SIGIR'09 — the fusion behind
+    * Elasticsearch/OpenSearch hybrid search): q190's integerized BM25
+    * top-10 (lexical) and an int8-code dot-product top-10 (dense) are
+    * combined per query by score = Σ_lists 1/(60 + rank), and the
+    * fused top-10 is emitted with both source ranks.
+    *
+    * Every boundary stays integer-decided (the q136/q166 rule). The
+    * dense score is an exact BIGINT dot product of q114's per-vector
+    * affine int8 codes (round-half-away agrees cross-engine on
+    * non-negative values; dim·255² ≈ 10⁷ per pair — no overflow). The
+    * RRF score is kept as the exact fraction num/den — both lists:
+    * (120+r_l+r_d)/((60+r_l)(60+r_d)); one list: 1/(60+r) — and
+    * ORDERED by rrf_s = (10¹²·num) div den: distinct fractions with
+    * den ≤ 4900 differ by at least 1/4900² ≈ 4·10⁻⁸, so the 10¹²
+    * scaling preserves their exact order (ties → doc_id). A corollary
+    * of k=60 with depth-10 lists: ANY doc on both lists outranks ANY
+    * single-list doc (worst both = 2/70 > best single = 1/61) —
+    * RrfSpec pins that law plus exact agreement with an independent
+    * BigInt-rational driver reimplementation on generated corpora.
+    *
+    * Scale: the lexical list inherits q190's posture (query-term
+    * filter below the tf aggregate; WindowGroupLimit top-10). The
+    * dense list broadcasts the 5 query code vectors over one corpus
+    * scan with the same rank-limit pushdown — the q26/q168 shape; at
+    * real scale the dense candidate generation swaps to q45's IVF
+    * cells while the fusion stage is unchanged (it sees ≤ 20 rows per
+    * query forever). The fusion join is a ≤(10+10)·queries-row full
+    * outer — dimension-sized at any corpus size. */
+  def q197RrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val (out, caches) = rrfPlan(
+      Tables.fanout(Tables.documents(spark, dir).select("doc_id", "text")),
+      Tables.fanout(Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e0"))))
+    val materialized = out.localCheckpoint()
+    caches.foreach(_.unpersist())
+    materialized
+  }
+
+  /** Core of q197 over any (doc_id, text) docs frame and (vec_id, e0)
+    * embedding frame (vec_id aligns with doc_id) — RrfSpec drives it
+    * with generated corpora against a driver-side reimplementation.
+    * Returns the fused frame plus the frames bm25Plan persisted. */
+  private[graft] def rrfPlan(docs: DataFrame,
+      emb: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val (lexTop, caches) = bm25Plan(docs)
+    val lex = lexTop.select(col("q_id"), col("doc_id"),
+      col("rnk").as("lex_rank"))
+    // q114's affine int8 map; flat vectors (max == min) are unrankable
+    // and drop out, exactly as in q114
+    val codes = emb
+      .filter(array_max(col("e0")) > array_min(col("e0")))
+      .select(col("vec_id"), transform(col("e0"), x =>
+        round((x - array_min(col("e0"))) * lit(255.0) /
+          (array_max(col("e0")) - array_min(col("e0")))).cast("long"))
+        .as("c"))
+    // the SAME five queries as the lexical side (5 lowest doc_ids —
+    // q190's derivation), joined to their code vectors
+    val qv = docs.select(col("doc_id").as("q_id")).orderBy("q_id").limit(5)
+      .join(codes, col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("c").as("qc"))
+    // exact integer dot product; the len guard keeps zip_with total
+    val dots = codes.join(broadcast(qv), size(col("c")) === size(col("qc")))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        aggregate(zip_with(col("qc"), col("c"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+    val dense = dots
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dot").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("doc_id"),
+        col("rnk").cast("long").as("dense_rank"))
+    val fused = lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_num",
+        when(col("lex_rank").isNotNull && col("dense_rank").isNotNull,
+          lit(120L) + col("lex_rank") + col("dense_rank"))
+          .otherwise(lit(1L)))
+      .withColumn("rrf_den",
+        when(col("lex_rank").isNotNull && col("dense_rank").isNotNull,
+          (lit(60L) + col("lex_rank")) * (lit(60L) + col("dense_rank")))
+          .otherwise(lit(60L) +
+            coalesce(col("lex_rank"), col("dense_rank"))))
+      .withColumn("rrf_s", expr("(1000000000000 * rrf_num) div rrf_den"))
+    val out = fused
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rrf_s").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk").cast("long").as("rrf_rank"),
+        col("doc_id"), col("rrf_s"), col("lex_rank"), col("dense_rank"))
+      .orderBy("q_id", "rrf_rank")
+    (out, caches)
+  }
+
+  private val q197Oracle: String =
+    // lexical CTEs are q190's oracle verbatim; the dense side replays
+    // q114's quantizer and the same integer dot/fusion staging
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, $tokSql AS t FROM documents),
+       |stats AS (SELECT count(*)::BIGINT AS n,
+       |  sum(len(t))::BIGINT AS l FROM d),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, dl, w, count(*) AS tf FROM (
+       |    SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS w FROM d)
+       |  GROUP BY doc_id, dl, w),
+       |qterms AS (SELECT DISTINCT q_id, w FROM (
+       |  SELECT doc_id AS q_id, unnest(t[1:4]) AS w
+       |  FROM (SELECT * FROM d ORDER BY doc_id LIMIT 5))),
+       |dfq AS (SELECT w, count(*)::BIGINT AS df FROM tf
+       |  WHERE w IN (SELECT w FROM qterms) GROUP BY w),
+       |scored AS (
+       |  SELECT q.q_id, tf.doc_id,
+       |    sum(((1000000 * (2 * (s.n - dfq.df) + 1)) // (2 * dfq.df + 1)) *
+       |        ((44000000 * tf.tf) //
+       |         (20000 * tf.tf + 6000 + 18 * ((1000 * tf.dl * s.n) // s.l))))
+       |      ::BIGINT AS score
+       |  FROM tf JOIN qterms q ON q.w = tf.w
+       |  JOIN dfq ON dfq.w = tf.w CROSS JOIN stats s
+       |  GROUP BY q.q_id, tf.doc_id),
+       |lex AS (SELECT q_id, doc_id, rnk AS lex_rank FROM (
+       |  SELECT q_id, doc_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, doc_id)::BIGINT AS rnk
+       |  FROM scored) WHERE rnk <= 10),
+       |codes AS (SELECT vec_id, list_transform(e0, x ->
+       |    CAST(round((x - list_min(e0)) * 255.0 /
+       |      (list_max(e0) - list_min(e0))) AS BIGINT)) AS c
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0
+       |        FROM embeddings)
+       |  WHERE list_max(e0) > list_min(e0)),
+       |qv AS (SELECT q.q_id, c.c AS qc
+       |  FROM (SELECT doc_id AS q_id FROM d ORDER BY doc_id LIMIT 5) q
+       |  JOIN codes c ON c.vec_id = q.q_id),
+       |dots AS (SELECT qv.q_id, c.vec_id AS doc_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(c.c)),
+       |      i -> qv.qc[i] * c.c[i])) AS BIGINT) AS dot
+       |  FROM qv JOIN codes c ON len(c.c) = len(qv.qc)),
+       |dense AS (SELECT q_id, doc_id, drnk AS dense_rank FROM (
+       |  SELECT q_id, doc_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY dot DESC, doc_id)::BIGINT AS drnk
+       |  FROM dots) WHERE drnk <= 10),
+       |fused AS (SELECT
+       |    coalesce(l.q_id, dn.q_id) AS q_id,
+       |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
+       |    l.lex_rank, dn.dense_rank,
+       |    CAST(CASE WHEN l.lex_rank IS NOT NULL
+       |              AND dn.dense_rank IS NOT NULL
+       |      THEN 120 + l.lex_rank + dn.dense_rank ELSE 1 END
+       |      AS BIGINT) AS rrf_num,
+       |    CAST(CASE WHEN l.lex_rank IS NOT NULL
+       |              AND dn.dense_rank IS NOT NULL
+       |      THEN (60 + l.lex_rank) * (60 + dn.dense_rank)
+       |      ELSE 60 + coalesce(l.lex_rank, dn.dense_rank) END
+       |      AS BIGINT) AS rrf_den
+       |  FROM lex l FULL OUTER JOIN dense dn
+       |    ON l.q_id = dn.q_id AND l.doc_id = dn.doc_id)
+       |SELECT q_id, rrf_rank, doc_id, rrf_s, lex_rank, dense_rank FROM (
+       |  SELECT q_id, doc_id, lex_rank, dense_rank,
+       |    (1000000000000 * rrf_num) // rrf_den AS rrf_s,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY (1000000000000 * rrf_num) // rrf_den DESC, doc_id)
+       |      ::BIGINT AS rrf_rank
+       |  FROM fused)
+       |WHERE rrf_rank <= 10 ORDER BY q_id, rrf_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_rrf_hybrid" -> (q197RrfHybrid _),
     "q193_bloom_decontaminate" -> (q193BloomDecontaminate _),
     "q191_kmv_overlap" -> (q191KmvOverlap _),
     "q190_bm25" -> (q190Bm25 _),
@@ -791,6 +958,7 @@ object Extended10 {
     "q189_span_corruption" -> (q189SpanCorruption _))
 
   val oracleSql: Map[String, String] = Map(
+    "q197_rrf_hybrid" -> q197Oracle,
     "q193_bloom_decontaminate" -> q193Oracle,
     "q191_kmv_overlap" -> q191Oracle,
     "q190_bm25" -> q190Oracle,

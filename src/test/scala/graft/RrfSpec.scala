@@ -1,0 +1,250 @@
+package graft
+
+import graft.ops.Extended10
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-implementation pins for q197 hybrid RRF: fixed-seed generated
+  * corpora (docs + aligned embedding vectors, including flat vectors,
+  * missing vectors, and wrong-dimension vectors) run through
+  * [[Extended10.rrfPlan]] and through an independent driver-side
+  * reimplementation (Scala collections + BigDecimal/BigInt — no Spark
+  * expressions shared), outputs compared exactly. Also pins the k=60
+  * depth-10 fusion law (any doc on both lists outranks any single-list
+  * doc) and that the 10^12-scaled integer ordering key reproduces the
+  * EXACT rational RRF order.
+  */
+class RrfSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  // ---------------------------------------------------- reference bits
+  private def tokensOf(text: String): Vector[String] =
+    text.toLowerCase.split("[^a-z]+").iterator
+      .filter(_.nonEmpty).toVector
+
+  private val words = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa", "mu", "nu")
+
+  private def corpus(seed: Long, n: Int): Seq[(Long, String)] = {
+    val g = for {
+      len <- Gen.chooseNum(0, 24)
+      ws <- Gen.listOfN(len, Gen.oneOf(words))
+    } yield ws.mkString(" ")
+    (0 until n).map { i =>
+      (i.toLong * 7 + 3, g(Gen.Parameters.default, Seed(seed + i)).get)
+    }
+  }
+
+  /** Vectors aligned to doc ids: mostly dim 8, ~1/10 flat (quantizer
+    * drops them), ~1/10 dim 6 (len guard excludes them from a dim-8
+    * query's candidates), ~1/10 absent entirely. Values k/16 are
+    * binary-exact doubles, so the affine map is the same IEEE tree on
+    * both sides. */
+  private def vectors(seed: Long,
+      ids: Seq[Long]): Map[Long, Vector[Double]] = {
+    val g = for {
+      kind <- Gen.chooseNum(0, 9)
+      dim = if (kind == 1) 6 else 8
+      vs <- Gen.listOfN(dim, Gen.chooseNum(0, 64))
+    } yield kind match {
+      case 0 => None                                    // absent
+      case 2 => Some(Vector.fill(dim)(vs.head / 16.0))  // flat
+      case _ => Some(vs.map(_ / 16.0).toVector)
+    }
+    ids.flatMap { id =>
+      g(Gen.Parameters.default, Seed(seed + id)).get.map(id -> _)
+    }.toMap
+  }
+
+  // -------------------------------------------- driver reimplementation
+  private def codesOf(v: Vector[Double]): Option[Vector[Long]] = {
+    val lo = v.min
+    val hi = v.max
+    if (!(hi > lo)) None
+    else Some(v.map(x => BigDecimal((x - lo) * 255.0 / (hi - lo))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+  }
+
+  /** Integerized BM25 top-10 per query (the Extended10PropertySpec q190
+    * reimplementation, kept verbatim so the two pins agree on the
+    * lexical list). */
+  private def lexLists(docs: Seq[(Long, String)])
+      : Map[Long, Seq[(Long, Long)]] = {
+    val toks = docs.map { case (id, t) => id -> tokensOf(t) }.toMap
+    val n = docs.size.toLong
+    val l = toks.values.map(_.length.toLong).sum
+    val qterms = docs.map(_._1).sorted.take(5)
+      .flatMap(q => toks(q).take(4).distinct.map(w => (q, w))).distinct
+    val qws = qterms.map(_._2).toSet
+    val tf = toks.toSeq.flatMap { case (id, t) =>
+      t.filter(qws).groupBy(identity).map { case (w, xs) =>
+        (id, t.length.toLong, w, xs.size.toLong)
+      }
+    }
+    val df = tf.groupBy(_._3).map { case (w, xs) => w -> xs.size.toLong }
+    qterms.flatMap { case (q, w) =>
+      tf.filter(_._3 == w).map { case (id, dl, _, f) =>
+        val sdl = (1000L * dl * n) / l
+        val idf = (1000000L * (2 * (n - df(w)) + 1)) / (2 * df(w) + 1)
+        val tfp = (44000000L * f) / (20000L * f + 6000L + 18L * sdl)
+        (q, id, idf * tfp)
+      }
+    }.groupBy(x => (x._1, x._2)).map { case ((q, id), xs) =>
+      (q, id, xs.map(_._3).sum)
+    }.toSeq.groupBy(_._1).map { case (q, xs) =>
+      q -> xs.sortBy(x => (-x._3, x._2)).take(10).zipWithIndex
+        .map { case ((_, id, _), i) => (id, i + 1L) }
+    }
+  }
+
+  private def denseLists(docs: Seq[(Long, String)],
+      vecs: Map[Long, Vector[Double]]): Map[Long, Seq[(Long, Long)]] = {
+    val codes = vecs.flatMap { case (id, v) => codesOf(v).map(id -> _) }
+    docs.map(_._1).sorted.take(5).flatMap { q =>
+      codes.get(q).map { qc =>
+        val dots = codes.toSeq.collect {
+          case (id, c) if c.length == qc.length =>
+            (id, qc.zip(c).map { case (a, b) => a * b }.sum)
+        }
+        q -> dots.sortBy(x => (-x._2, x._1)).take(10).zipWithIndex
+          .map { case ((id, _), i) => (id, i + 1L) }
+      }
+    }.toMap
+  }
+
+  /** Exact-rational RRF fusion; returns rows in the engine's output
+    * shape AND asserts the scaled-integer key reproduces the exact
+    * BigInt fraction order. */
+  private def fuse(lex: Map[Long, Seq[(Long, Long)]],
+      dense: Map[Long, Seq[(Long, Long)]])
+      : Seq[(Long, Long, Long, Long, Option[Long], Option[Long])] = {
+    val qs = (lex.keySet ++ dense.keySet).toSeq.sorted
+    qs.flatMap { q =>
+      val lr = lex.getOrElse(q, Nil).toMap
+      val dr = dense.getOrElse(q, Nil).toMap
+      val fusedDocs = (lr.keySet ++ dr.keySet).toSeq
+      val scoredRows = fusedDocs.map { doc =>
+        val (num, den) = (lr.get(doc), dr.get(doc)) match {
+          case (Some(a), Some(b)) => (120L + a + b, (60L + a) * (60L + b))
+          case (Some(a), None) => (1L, 60L + a)
+          case (None, Some(b)) => (1L, 60L + b)
+          case _ => sys.error("unreachable")
+        }
+        (doc, num, den, 1000000000000L * num / den)
+      }
+      val byScaled = scoredRows.sortBy(x => (-x._4, x._1))
+      // exact rational comparison: num1/den1 vs num2/den2 by
+      // cross-multiplication in BigInt — no precision ceiling
+      val byExact = scoredRows.sortWith { (a, b) =>
+        val cmp = (BigInt(a._2) * b._3).compare(BigInt(b._2) * a._3)
+        if (cmp != 0) cmp > 0 else a._1 < b._1
+      }
+      assert(byScaled.map(_._1) == byExact.map(_._1),
+        s"q$q: 10^12-scaled order diverges from the exact rational order")
+      byScaled.take(10).zipWithIndex.map { case ((doc, _, _, s), i) =>
+        (q, i + 1L, doc, s, lr.get(doc), dr.get(doc))
+      }
+    }
+  }
+
+  private def runEngine(docs: Seq[(Long, String)],
+      vecs: Map[Long, Vector[Double]])
+      : Seq[(Long, Long, Long, Long, Option[Long], Option[Long])] = {
+    val embDf = vecs.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "e0")
+    val (out, caches) = Extended10.rrfPlan(
+      docs.toDF("doc_id", "text"), embDf)
+    val got = out.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }.toSeq
+    caches.foreach(_.unpersist())
+    got
+  }
+
+  // --------------------------------------------------------------- pins
+  test("q197 RRF matches an independent rational reimplementation") {
+    Seq(501L, 502L).foreach { seed =>
+      val docs = corpus(seed, 80)
+      val vecs = vectors(seed * 13, docs.map(_._1))
+      val got = runEngine(docs, vecs)
+      val expect = fuse(lexLists(docs), denseLists(docs, vecs))
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
+  test("k=60 depth-10 law: a doc on both lists outranks any single-list doc") {
+    val docs = corpus(503L, 80)
+    val vecs = vectors(977L, docs.map(_._1))
+    val got = runEngine(docs, vecs)
+    val sawBoth = got.exists(r => r._5.isDefined && r._6.isDefined)
+    val sawSingle = got.exists(r => r._5.isDefined != r._6.isDefined)
+    assert(sawBoth && sawSingle,
+      "generated corpus must exercise both fusion regimes")
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val worstBoth = rows.filter(r => r._5.isDefined && r._6.isDefined)
+        .map(_._2).maxOption
+      val bestSingle = rows.filter(r => r._5.isDefined != r._6.isDefined)
+        .map(_._2).minOption
+      (worstBoth, bestSingle) match {
+        case (Some(wb), Some(bs)) =>
+          assert(wb < bs, s"q$q: both-lists doc at rank $wb does not " +
+            s"beat single-list doc at rank $bs")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q197 plan: rank-limit pushdown on both windows, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val (out, caches) = Extended10.rrfPlan(
+      graft.Tables.documents(spark, SparkTest.sfDir)
+        .select("doc_id", "text"),
+      graft.Tables.embeddings(spark, SparkTest.sfDir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e0")))
+    val plan = out.queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowGroupLimitExec => w }.size >= 2,
+      "dense top-10 and fused top-10 must both go through " +
+        "rank-limit pushdown")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      .nonEmpty, "query code vectors must broadcast over the corpus scan")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    caches.foreach(_.unpersist())
+  }
+
+  test("planted twin fuses to the top: query doc leads both lists") {
+    // each query doc is BUILT to lead both lists: a unique term no
+    // other doc contains (lexical list = self alone, df = 1) and a
+    // one-hot code vector orthogonal to every other query's (self dot
+    // 255² vs 0 cross); non-query vectors are flat, so the quantizer
+    // drops them and cannot perturb the dense list
+    val ids = (0 until 40).map(_.toLong * 7 + 3)
+    val qids = ids.sorted.take(5)
+    val qwords = Vector("quu", "qvv", "qww", "qxx", "qyy")
+    val docs = ids.map { id =>
+      val k = qids.indexOf(id)
+      if (k >= 0) (id, Seq.fill(5)(qwords(k)).mkString(" "))
+      else (id, "alpha beta gamma delta")
+    }
+    val vecs = ids.map { id =>
+      val k = qids.indexOf(id)
+      if (k >= 0)
+        id -> Vector.tabulate(8)(i => if (i == k) 2.0 / 16 else 1.0 / 16)
+      else id -> Vector.fill(8)(1.0 / 16)
+    }.toMap
+    val got = runEngine(docs, vecs)
+    qids.foreach { q =>
+      val top = got.filter(_._1 == q).minBy(_._2)
+      assert(top._3 == q && top._5.contains(1L) && top._6.contains(1L),
+        s"query $q: expected self leading both lists at rrf_rank 1, " +
+          s"got $top")
+    }
+  }
+}
