@@ -242,35 +242,52 @@ object StreamingOps {
     else rdr.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
-  /** Drain an AvailableNow query through a memory sink and CLEAN UP:
-    * run to completion, materialize `finish(sinkTable)` off the sink
-    * (the results here are bounded — window/source dimension rows —
-    * so the localCheckpoint is audit-sized), then drop the sink's
-    * temp view and delete the single-use checkpoint directory.
-    * Before this helper each invocation leaked both — repeated
-    * bench/oracle runs accumulated registered temp tables and
-    * on-disk checkpoints (ADVICE r8). */
-  private def drainAndClean(spark: SparkSession, agg: DataFrame,
+  /** Drain an AvailableNow query DISTRIBUTED and CLEAN UP: foreachBatch
+    * writes each trigger's result to a temp parquet dir on the
+    * EXECUTORS (Complete overwrites with the full result, append
+    * appends the newly-emitted rows), the drained table is read back
+    * with the aggregate's own schema, `finish` materializes off it,
+    * and the single-use checkpoint + sink dirs are deleted (the
+    * leak fix, ADVICE r8).
+    *
+    * Until round 9 this used the MEMORY sink — a hidden
+    * collect-to-driver: Complete mode retains the entire result in
+    * driver memory, which is fine for dimension-sized results
+    * (q172's 720 windows, q192's 20 sketches, q196's 5 segments) but
+    * OOMs spark.driver.maxResultSize the moment the result is
+    * data-sized — the 100× probe killed q194 (per-user sessions,
+    * 1 GB of task results) exactly there, masked at sf scales by
+    * small outputs. foreachBatch keeps the whole drain path
+    * distributed, the posture every other operator already has. */
+  private[graft] def drainAndClean(spark: SparkSession, agg: DataFrame,
       name: String, outputMode: String = "complete")(
       finish: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
-    val memName = s"${name}_mem_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val sq = agg.writeStream.format("memory").queryName(memName)
+    val sink = java.nio.file.Files.createTempDirectory(s"graft-sink-$name")
+    val writeMode = if (outputMode == "append") "append" else "overwrite"
+    val sq = agg.writeStream
       .outputMode(outputMode)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode(writeMode).parquet(sink.toString)
+      }
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     try {
       sq.awaitTermination()
-      finish(spark.table(memName)).localCheckpoint()
+      // explicit schema: a drain whose every batch emitted zero rows
+      // leaves no part files to infer from
+      finish(spark.read.schema(agg.schema).parquet(sink.toString))
+        .localCheckpoint()
     } finally {
-      spark.catalog.dropTempView(memName)
-      val walked = java.nio.file.Files.walk(ckpt)
-      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walked.close()
+      Seq(ckpt, sink).foreach { d =>
+        val walked = java.nio.file.Files.walk(d)
+        try walked
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walked.close()
+      }
     }
   }
 
@@ -279,7 +296,7 @@ object StreamingOps {
     * session flag covers the nanos generation — ADVICE r7), then the
     * same two-generation normalization contract. Shared by every
     * declared streaming query over events (q172/q194/q195/q196). */
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = tableStream(spark, dir, "events", schema)

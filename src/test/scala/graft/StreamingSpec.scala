@@ -408,4 +408,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch == streamed)
     } finally q.stop()
   }
+
+  test("distributed drain survives zero-row results (append and complete)") {
+    // the r9 drain rewrite (memory sink was a hidden collect-to-driver,
+    // OOM'd at 100×) reads the sink dir back with an explicit schema —
+    // this pins the edge the memory sink never had: a drain whose every
+    // batch emits nothing leaves no part files to infer from
+    val none = StreamingOps.eventStream(spark, SparkTest.sfDir)
+      .filter(col("event_type") === "no_such_type")
+    val completeOut = StreamingOps.drainAndClean(spark,
+      none.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      "drain_empty_c")(identity)
+    assert(completeOut.count() == 0 &&
+      completeOut.columns.toSeq == Seq("event_type", "n"))
+    val appendOut = StreamingOps.drainAndClean(spark,
+      StreamingOps.streamingTumbling(none), "drain_empty_a",
+      outputMode = "append")(identity)
+    assert(appendOut.count() == 0 &&
+      appendOut.columns.contains("n_events"))
+  }
 }
