@@ -265,7 +265,11 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
     val sink = java.nio.file.Files.createTempDirectory(s"graft-sink-$name")
-    val writeMode = if (outputMode == "append") "append" else "overwrite"
+    // Complete re-emits the FULL result each trigger → keep the last;
+    // append and update emit per-trigger deltas → keep them all (an
+    // overwrite here would silently drop every key not touched by the
+    // final batch of a multi-batch drain)
+    val writeMode = if (outputMode == "complete") "overwrite" else "append"
     val sq = agg.writeStream
       .outputMode(outputMode)
       .foreachBatch { (df: DataFrame, _: Long) =>
@@ -329,15 +333,19 @@ object StreamingOps {
     * session-window streaming builder was spec-only. At scale the
     * same code runs unbounded with a watermark bounding session
     * state; Complete here keeps the finite-drain answer total. */
-  def q194StreamingSession(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStream(spark, dir)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n_events"), sumValue)
-    drainAndClean(spark, agg, "q194")(
-      _.select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
-          col("n_events"), col("sum_value"))
-        .orderBy("user_id", "start_us"))
-  }
+  def q194StreamingSession(spark: SparkSession, dir: String): DataFrame =
+    // per-user session state is DATA-sized → RocksDB store (the
+    // on-heap default OOM'd the 1000× probe at ~10M sessions)
+    withRocksDbState(spark) {
+      val agg = eventStream(spark, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sumValue)
+      drainAndClean(spark, agg, "q194")(
+        _.select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "start_us"))
+    }
 
   // ---------------------------------------------------------------- q195
   /** q195 — STREAMING stream-stream interval join, oracle-checked:
@@ -414,6 +422,61 @@ object StreamingOps {
         .orderBy("source"))
   }
 
+  // ---------------------------------------------------------------- q198
+  /** q198 — STREAMING keyed upsert on transformWithState, oracle-
+    * checked: the reference's Redis merge (R10 — latest event per
+    * (user_id, event_type), strictly-later wins, ties keep existing)
+    * running as REAL arbitrary streaming state — RocksDB-backed
+    * [[LatestEventProcessor]] via [[statefulUpsertTws]], driven by
+    * the events file stream and drained with AvailableNow in Update
+    * mode. Update mode re-emits a key's current winner each batch it
+    * is touched, and strictly-later-wins makes the per-key emission
+    * sequence MONOTONE in ts_us (an equal-ts arrival keeps existing,
+    * so its re-emission is the identical row) — the final winner is
+    * therefore the max-ts_us emission, recovered by one argmax window
+    * over the drained (keys × batches)-sized frame. The shipped data
+    * has no max-ts tie on any key (checked at every sf), so the
+    * answer is the plain per-key argmax the oracle replays.
+    *
+    * transformWithState requires the RocksDB state store provider;
+    * the conf is scoped to the drain and restored after (the
+    * StreamingSpec pattern). Before this the transformWithState
+    * builder was spec-only — this closes the last spec-only
+    * streaming capability. */
+  def q198StreamingUpsert(spark: SparkSession, dir: String): DataFrame =
+    withRocksDbState(spark) {
+      import org.apache.spark.sql.expressions.Window
+      val agg = statefulUpsertTws(eventStream(spark, dir))
+      drainAndClean(spark, agg, "q198", outputMode = "update") { df =>
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts_us").desc, col("event_id"))
+        df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("user_id", "event_type")
+      }
+    }
+
+  /** Scope the RocksDB state store provider to one drain and restore
+    * the session default after. Two users: transformWithState REQUIRES
+    * it (q198), and any query whose state is DATA-sized needs it at
+    * scale — the default HDFSBackedStateStore keeps every partition's
+    * full state map ON-HEAP, which the 1000× probe caught OOM-ing
+    * q194's ~10M-session state (100M events); RocksDB keeps state
+    * off-heap/on-disk, the standard production posture for large
+    * state. Dimension-sized state (q172/q192/q196) stays on the
+    * default store — no native-lib overhead for 20-row state. */
+  private def withRocksDbState[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_tumbling" -> (q28Tumbling _),
     "q29_sliding" -> (q29Sliding _),
@@ -422,9 +485,20 @@ object StreamingOps {
     "q192_streaming_kmv" -> (q192StreamingKmv _),
     "q194_streaming_session" -> (q194StreamingSession _),
     "q195_streaming_interval_join" -> (q195StreamingIntervalJoin _),
-    "q196_streaming_enrich" -> (q196StreamingEnrich _))
+    "q196_streaming_enrich" -> (q196StreamingEnrich _),
+    "q198_streaming_upsert" -> (q198StreamingUpsert _))
 
   val oracleSql: Map[String, String] = Map(
+    // latest event per (user_id, event_type); the shipped data has no
+    // max-ts tie on any key (verified at every sf), so the arrival-
+    // order tie rule never fires and the argmax is the exact answer
+    "q198_streaming_upsert" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        |FROM (SELECT user_id, event_type, event_id, ts, row_number()
+        |    OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q28_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
         |       count(*) AS n_events,

@@ -409,6 +409,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q198 AvailableNow transformWithState upsert equals the batch argmax") {
+    val streamed = StreamingOps
+      .q198StreamingUpsert(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us").desc, col("event_id"))
+    val batch = Tables.events(spark, SparkTest.sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the RocksDB provider conf is restored after the drain
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("distributed drain survives zero-row results (append and complete)") {
     // the r9 drain rewrite (memory sink was a hidden collect-to-driver,
     // OOM'd at 100×) reads the sink dir back with an explicit schema —
