@@ -285,6 +285,19 @@ object StreamingOps {
       finish(spark.read.schema(agg.schema).parquet(sink.toString))
         .localCheckpoint()
     } finally {
+      // Unload the query's state store providers BEFORE deleting its
+      // dirs / letting the JVM exit: Spark keeps providers (and their
+      // maintenance + RocksDB background compaction threads) loaded
+      // after the query stops, so at JVM shutdown the temp-dir hooks
+      // delete the working dirs under a live compaction, the thread
+      // logs "background compaction error", and the JNI logger
+      // (LoggerJniCallback) dereferences a null env — AttachCurrentThread
+      // fails post-DestroyJavaVM — and SIGSEGVs the exit (observed 3×
+      // at the 1000× q194 probe, hs_err 2026-08-15, AFTER the drain
+      // had already produced its correct answer). stop() closes every
+      // provider gracefully and the next streaming query restarts the
+      // maintenance pool lazily.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       Seq(ckpt, sink).foreach { d =>
         val walked = java.nio.file.Files.walk(d)
         try walked
@@ -464,16 +477,37 @@ object StreamingOps {
     * q194's ~10M-session state (100M events); RocksDB keeps state
     * off-heap/on-disk, the standard production posture for large
     * state. Dimension-sized state (q172/q192/q196) stays on the
-    * default store — no native-lib overhead for 20-row state. */
+    * default store — no native-lib overhead for 20-row state.
+    *
+    * The log4j level for Spark's RocksDB wrapper class is pinned to
+    * ERROR for the drain: Spark derives the NATIVE info-log level
+    * from that logger's isWarnEnabled/isInfoEnabled (RocksDB.scala
+    * createLogger — ERROR_LEVEL unless log4j says more), and
+    * rocksdb's free Log() filters against that level BEFORE the JNI
+    * LoggerJniCallback hop. With the level at WARN, background
+    * compaction/flush threads (native, unattached) crossed the JNI
+    * logger and SIGSEGV'd reproducibly at the 1000× probe
+    * (LoggerJniCallback::Logv, hs_err 2026-08-15 ×2); at ERROR the
+    * callback is never entered on those paths. State-store ERRORs
+    * still surface — and any real failure also fails the query. */
   private def withRocksDbState[T](spark: SparkSession)(body: => T): T = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
+    val logName = "org.apache.spark.sql.execution.streaming.state.RocksDB"
+    val prevLevel = LogManager.getLogger(logName)
+      .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Configurator.setLevel(logName, Level.ERROR)
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally {
+      Configurator.setLevel(logName, prevLevel)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 
