@@ -484,11 +484,13 @@ object StreamingOps {
     * from that logger's isWarnEnabled/isInfoEnabled (RocksDB.scala
     * createLogger — ERROR_LEVEL unless log4j says more), and
     * rocksdb's free Log() filters against that level BEFORE the JNI
-    * LoggerJniCallback hop. With the level at WARN, background
-    * compaction/flush threads (native, unattached) crossed the JNI
-    * logger and SIGSEGV'd reproducibly at the 1000× probe
-    * (LoggerJniCallback::Logv, hs_err 2026-08-15 ×2); at ERROR the
-    * callback is never entered on those paths. State-store ERRORs
+    * LoggerJniCallback hop — so routine compaction/flush chatter from
+    * RocksDB's native (JVM-unattached) background threads never
+    * crosses JNI. This is hardening only: the 1000× exit SIGSEGV it
+    * was first aimed at still reproduced at ERROR (the dying message
+    * was itself ERROR-level — "background compaction error" against
+    * shutdown-deleted dirs) and was actually fixed by the
+    * StateStore.stop() teardown in drainAndClean. State-store ERRORs
     * still surface — and any real failure also fails the query. */
   private def withRocksDbState[T](spark: SparkSession)(body: => T): T = {
     import org.apache.logging.log4j.{Level, LogManager}
