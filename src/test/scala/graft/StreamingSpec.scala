@@ -429,6 +429,96 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.contains("RocksDB")))
   }
 
+  test("q198 RocksDB state survives a checkpoint restart") {
+    // The production property nothing else covers: kill the query,
+    // restart from the SAME checkpoint, and the per-key ValueState
+    // must come back from the RocksDB snapshot/changelog. The probe
+    // is a key touched in phase 2 by an event OLDER than its phase-1
+    // winner: with recovered state the processor re-emits the
+    // phase-1 winner; with lost state it would emit the old event.
+    // (The end-to-end argmax over the whole sink would MASK state
+    // loss — the phase-1 winner is already in the sink — so the
+    // assertion reads the phase-2 files alone.)
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-q198-restart")
+    val streamDir = Files.createDirectory(root.resolve("events"))
+    val ckpt = root.resolve("ckpt")
+    val sink = Files.createDirectory(root.resolve("sink"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    def addFile(name: String, rows: Seq[(Long, String, Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-q198-restart-w")
+      rows.toDF("user_id", "event_type", "event_id", "us")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, streamDir.resolve(name))
+      val walked = Files.walk(tmp)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walked.close()
+    }
+    def drain(): Unit = {
+      val ev = spark.readStream
+        .schema("user_id BIGINT, event_type STRING, event_id BIGINT, ts TIMESTAMP")
+        .parquet(streamDir.toString)
+      val q = StreamingOps.statefulUpsertTws(ev)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink.toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sinkFiles(): Set[String] = Files.list(sink).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+
+    try {
+      // phase 1: two keys get their winners into state
+      addFile("b1.parquet", Seq(
+        (1L, "click", 101L, 100000000L), (2L, "click", 102L, 200000000L)))
+      drain()
+      val phase1Files = sinkFiles()
+      // phase 2, same checkpoint: key 1 touched by an OLDER event
+      // (the state-recovery probe) and a fresh key 3
+      addFile("b2.parquet", Seq(
+        (1L, "click", 103L, 50000000L), (3L, "click", 104L, 10000000L)))
+      drain()
+      val phase2 = spark.read.parquet(
+          (sinkFiles() -- phase1Files).map(f => sink.resolve(f).toString).toSeq: _*)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      // recovered state: key 1 re-emits winner 101 (not the older 103)
+      assert(phase2 == Set((1L, 101L, 100000000L), (3L, 104L, 10000000L)),
+        s"phase-2 emissions $phase2 — 103 here means state was lost on restart")
+      // and the full-sink argmax gives the overall winners
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").desc, col("event_id"))
+      val finalWinners = spark.read.parquet(sink.toString)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(finalWinners == Set((1L, 101L), (2L, 102L), (3L, 104L)))
+    } finally {
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      val walked = Files.walk(root)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
   test("distributed drain survives zero-row results (append and complete)") {
     // the r9 drain rewrite (memory sink was a hidden collect-to-driver,
     // OOM'd at 100×) reads the sink dir back with an explicit schema —
