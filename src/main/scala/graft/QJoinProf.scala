@@ -18,36 +18,26 @@ object QJoinProf {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val parts = if (args.length > 1) args(1) else
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master("local[32]")
+    // core count tracks SPARK_GRAFT_CPUS like QStreamProf/QBandCap —
+    // a hardcoded local[32] with parts=8 would oversubscribe the host
+    // and make the stream/batch ratio incomparable across the tools
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-
-    def eventStream(): org.apache.spark.sql.DataFrame = {
-      val schema = spark.read.parquet(s"$dir/events.parquet").schema
-      val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-      val rdr = spark.readStream.schema(schema)
-      val raw =
-        if (fs.getFileStatus(path).isDirectory) rdr.parquet(path.toString)
-        else rdr.option("pathGlobFilter", "events.parquet").parquet(dir)
-      schema("ts").dataType match {
-        case LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        case TimestampNTZType =>
-          raw.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => raw
-      }
-    }
 
     // ---- streaming pass: the q195 dataflow, instrumented ----
+    // the REAL loader, not a copy: eventStream is package-visible and
+    // carries the glob-vs-directory branch + two-generation ts contract
     val joined = ops.StreamingOps.streamingIntervalJoin(
-      eventStream().filter(col("event_type") === "click"),
-      eventStream().filter(col("event_type") === "purchase"))
+      ops.StreamingOps.eventStream(spark, dir)
+        .filter(col("event_type") === "click"),
+      ops.StreamingOps.eventStream(spark, dir)
+        .filter(col("event_type") === "purchase"))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-jprof")
     val t0 = System.nanoTime()
     val sq = joined.writeStream.format("memory").queryName("jprof_mem")

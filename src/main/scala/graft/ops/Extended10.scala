@@ -328,9 +328,8 @@ object Extended10 {
       .select(col("cid"), col("n_members"),
         coalesce(col("nd"), lit(0L)).as("n_dropped"))
       .orderBy("cid")
-    val materialized = out.localCheckpoint()
-    asg.unpersist()
-    materialized
+    try out.localCheckpoint()
+    finally asg.unpersist()
   }
 
   // ---------------------------------------------------------------- q188
@@ -494,9 +493,8 @@ object Extended10 {
     * passes and unpersisted after the result materializes. */
   def q190Bm25(spark: SparkSession, dir: String): DataFrame = {
     val (out, caches) = q190Plan(spark, dir)
-    val materialized = out.localCheckpoint()
-    caches.foreach(_.unpersist())
-    materialized
+    try out.localCheckpoint()
+    finally caches.foreach(_.unpersist())
   }
 
   /** Un-checkpointed q190 plan + the frames it persisted, so the spec
@@ -615,9 +613,10 @@ object Extended10 {
       .select(col("s1"), col("s2"), col("st._1").as("d1"),
         col("st._2").as("d2"), col("st._3").as("shared"))
       .orderBy("s1", "s2")
-    val materialized = out.localCheckpoint()
-    sk.unpersist()
-    materialized
+    // finally: a mid-materialization failure must not leave the corpus
+    // aggregate pinned in the shared long-lived session (review r9)
+    try out.localCheckpoint()
+    finally sk.unpersist()
   }
 
   /** Pair statistics from two bottom-k sketches (k = 2048): exact
@@ -816,9 +815,8 @@ object Extended10 {
       Tables.fanout(Tables.embeddings(spark, dir)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("e0"))))
-    val materialized = out.localCheckpoint()
-    caches.foreach(_.unpersist())
-    materialized
+    try out.localCheckpoint()
+    finally caches.foreach(_.unpersist())
   }
 
   /** Core of q197 over any (doc_id, text) docs frame and (vec_id, e0)

@@ -265,20 +265,24 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
     val sink = java.nio.file.Files.createTempDirectory(s"graft-sink-$name")
-    // Complete re-emits the FULL result each trigger → keep the last;
-    // append and update emit per-trigger deltas → keep them all (an
-    // overwrite here would silently drop every key not touched by the
-    // final batch of a multi-batch drain)
-    val writeMode = if (outputMode == "complete") "overwrite" else "append"
-    val sq = agg.writeStream
-      .outputMode(outputMode)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode(writeMode).parquet(sink.toString)
-      }
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // the whole body sits inside the try so an analysis-time start()
+    // failure (unwatermarked append, non-aggregated complete) still
+    // deletes the two dirs just created — otherwise each failed call
+    // leaks a ckpt+sink pair in /tmp
     try {
+      // Complete re-emits the FULL result each trigger → keep the last;
+      // append and update emit per-trigger deltas → keep them all (an
+      // overwrite here would silently drop every key not touched by the
+      // final batch of a multi-batch drain)
+      val writeMode = if (outputMode == "complete") "overwrite" else "append"
+      val sq = agg.writeStream
+        .outputMode(outputMode)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode(writeMode).parquet(sink.toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
       sq.awaitTermination()
       // explicit schema: a drain whose every batch emitted zero rows
       // leaves no part files to infer from
@@ -296,7 +300,13 @@ object StreamingOps {
       // at the 1000× q194 probe, hs_err 2026-08-15, AFTER the drain
       // had already produced its correct answer). stop() closes every
       // provider gracefully and the next streaming query restarts the
-      // maintenance pool lazily.
+      // maintenance pool lazily. stop() is JVM-GLOBAL (there is no
+      // public per-checkpoint unload), so this teardown assumes the
+      // drain contract every caller here has: finite AvailableNow
+      // drains run ONE AT A TIME (Verify/Bench/tests are sequential).
+      // A concurrent long-lived query would have its providers
+      // unloaded mid-run and pay a checkpoint reopen on its next
+      // batch — correct but slow; revisit if drains ever overlap.
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       Seq(ckpt, sink).foreach { d =>
         val walked = java.nio.file.Files.walk(d)
@@ -321,7 +331,13 @@ object StreamingOps {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case TimestampType => raw
+      // fail fast like the batch twin Tables.events — a third physical
+      // generation must be DIAGNOSED here, not surface as an obscure
+      // cast error inside a downstream window aggregation
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected storage type $other — extend eventStream " +
+          "alongside Tables.events (TablesSpec names the loader contract)")
     }
   }
 
