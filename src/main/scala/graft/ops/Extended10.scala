@@ -672,9 +672,9 @@ object Extended10 {
     * family: q89 broadcasts the phrase STRINGS (grows with the
     * benchmark), q99 equi-joins 16-byte digests (shuffles the corpus
     * gram stream), q193's probe side touches NO join and NO shuffle —
-    * the filter is m = 2^17 bits (2 KB × 8 = 2048 longs) no matter how
-    * many benchmark grams were inserted, and membership is four word
-    * lookups per gram.
+    * the filter is a fixed-size bit array (floor m = 2^17 bits =
+    * 16 KB = 2048 longs) and membership is four word lookups per
+    * gram.
     *
     * Hashing is the portable md5 scheme: one 60-bit md5 prefix per
     * gram, split into h1 (top 30 bits) and h2 (low 30 bits, forced
@@ -686,15 +686,24 @@ object Extended10 {
     * where the Bloom answer and the exact answer differ.
     *
     * False-positive posture: m must be sized to the benchmark
-    * (m ≫ k·n_grams). At sf0.01 fill ≈ 2% → FP ≈ 10⁻⁷; a deployment
-    * with a bigger eval suite raises mBits (the core is
-    * parameterized). BloomDecontamSpec pins the no-false-NEGATIVE law
-    * (flags ⊇ exact matches — a Bloom can only over-flag) and exact
+    * (m ≫ k·n_grams), and since round 10 the declared query SIZES IT
+    * — [[bloomSizeBits]] counts the distinct benchmark grams (one
+    * scalar count over the 1/97 benchmark slice) and takes the
+    * smallest power of two ≥ 32·grams, clamped to [2^17, 2^27]. Fill
+    * stays ≤ 1/8 → FP ≤ (1/8)⁴ ≈ 2.4·10⁻⁴ at any benchmark size up
+    * to the cap; the r9 1000× probe's footgun (the fixed 2^17 filter
+    * saturating — every doc flagged) is gone by construction. The
+    * oracle recomputes the identical m from the identical count with
+    * an integer shift-or cascade, so the compare stays hash-exact.
+    * The core remains parameterized (pass Some(mBits) to pin a
+    * width). BloomDecontamSpec pins the no-false-NEGATIVE law
+    * (flags ⊇ exact matches — a Bloom can only over-flag), exact
     * agreement with an independent driver-side reimplementation on
-    * generated corpora.
+    * generated corpora, and the sizing-rule boundaries.
     *
     * Scale: the build side aggregates benchmark positions into one
-    * 16 KB row ([[BitsetAgg]], OR-mergeable partials); the probe is
+    * m/8-byte row (16 KB at the floor — [[BitsetAgg]], OR-mergeable
+    * partials); the probe is
     * docs × that 1-row broadcast (BroadcastNestedLoopJoin of one row —
     * the q184 scalar-cross pattern) followed by an in-row count of
     * Bloom-positive distinct grams. Only flagged (doc_id, n_hits)
@@ -703,14 +712,36 @@ object Extended10 {
     bloomDecontaminate(Tables.fanout(
       Tables.documents(spark, dir).select("doc_id", "text")))
 
+  /** Benchmark-sized Bloom width (VERDICT r9's one footgun): smallest
+    * power of two ≥ 32·nGrams, clamped to [2^17, 2^27] bits
+    * (16 KB–16 MB of filter). 32 bits budgeted per gram with k = 4
+    * probes keeps the fill ≤ 4/32 = 1/8 → FP ≤ (1/8)⁴ ≈ 2.4·10⁻⁴
+    * regardless of benchmark size, where the old fixed 2^17 default
+    * saturated at the 1000× probe (every doc flagged). The shift-or
+    * cascade (not floating log2) is what the DuckDB oracle replays
+    * verbatim, so the width — and therefore every bit position — is
+    * integer-identical cross-engine, clamp boundaries included.
+    * Above the 2^27 cap fill grows again: a deployment with >4M
+    * benchmark grams shards the filter (or raises the cap — the
+    * broadcast is m/8 bytes, 16 MB at the cap). */
+  private[graft] def bloomSizeBits(nGrams: Long): Int = {
+    var v = math.max(32L * nGrams, 1L) - 1L
+    v |= v >> 1; v |= v >> 2; v |= v >> 4
+    v |= v >> 8; v |= v >> 16; v |= v >> 32
+    math.min(1L << 27, math.max(1L << 17, v + 1L)).toInt
+  }
+
   /** Core of q193 over any (doc_id, text) frame — cross-impl-pinned by
     * BloomDecontamSpec on generated corpora (planted contamination,
     * disjoint corpora, empty benchmark). Benchmark = doc_id % 97 == 0,
-    * the q89/q99 convention. */
+    * the q89/q99 convention. mBits = None (the declared default)
+    * auto-sizes the filter to the benchmark via [[bloomSizeBits]] —
+    * one count() over the cached distinct benchmark grams, a scalar
+    * to the driver; Some(b) pins an explicit width (specs, probes). */
   private[graft] def bloomDecontaminate(docs: DataFrame,
-      mBits: Int = 131072): DataFrame = {
-    require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
-    val m = lit(mBits.toLong)
+      mBits: Option[Int] = None): DataFrame = {
+    mBits.foreach(b =>
+      require(b % 64 == 0, s"mBits must be a multiple of 64, got $b"))
     // variable-amount unsigned shift: functions.shiftrightunsigned only
     // takes a literal amount, but the bit index is a column
     def shru(a: Column, n: Column): Column =
@@ -719,11 +750,11 @@ object Extended10 {
           org.apache.spark.sql.GraftShims.expression(a),
           org.apache.spark.sql.GraftShims.expression(n.cast("int"))))
     // Kirsch–Mitzenmacher positions of one gram: j = 0..3
-    def positions(g: Column): Column = {
+    def positions(m: Long)(g: Column): Column = {
       val h = graft.functions.Md5Bucket.md5Bucket(g, 15, 0)
       val h1 = shiftrightunsigned(h, 30)
       val h2 = (h % lit(1073741824L)).bitwiseOR(lit(1L))
-      transform(sequence(lit(0L), lit(3L)), j => (h1 + j * h2) % m)
+      transform(sequence(lit(0L), lit(3L)), j => (h1 + j * h2) % lit(m))
     }
     // distinct sliding 13-grams, computed in-row from the token array
     val grams13 = array_distinct(transform(
@@ -733,14 +764,30 @@ object Extended10 {
       .select(col("doc_id"), toks(col("text")).as("t"))
       .withColumn("n", size(col("t")).cast("long"))
       .filter(col("n") >= 13L)
-    val bloomAgg = udaf(new BitsetAgg(mBits / 64))
-    val bits = base
+    val benchGrams = base
       .filter(pmod(col("doc_id"), lit(97L)) === 0L)
       .select(explode(grams13).as("g")).distinct()
-      .select(explode(positions(col("g"))).as("p")).distinct()
-      .agg(bloomAgg(col("p")).as("bits"))
+    def bitsFor(m: Long, grams: DataFrame): DataFrame = {
+      val bloomAgg = udaf(new BitsetAgg((m / 64).toInt))
+      grams
+        .select(explode(positions(m)(col("g"))).as("p")).distinct()
+        .agg(bloomAgg(col("p")).as("bits"))
+    }
+    val (m, bits) = mBits match {
+      case Some(b) => (b.toLong, bitsFor(b.toLong, benchGrams))
+      case None =>
+        // size to THIS benchmark: cache the distinct grams so the
+        // shuffle is paid once across count + insert; localCheckpoint
+        // is eager, so the one bitset row (≤ 16 MB) is materialized
+        // before the cache is released
+        benchGrams.persist()
+        try {
+          val b = bloomSizeBits(benchGrams.count()).toLong
+          (b, bitsFor(b, benchGrams).localCheckpoint())
+        } finally benchGrams.unpersist()
+    }
     def bloomHit(g: Column): Column =
-      forall(positions(g), p =>
+      forall(positions(m)(g), p =>
         shru(element_at(col("bits"),
             shiftrightunsigned(p, 6).cast("int") + 1),
           p.bitwiseAND(lit(63L)))
@@ -755,19 +802,30 @@ object Extended10 {
 
   private val q193Oracle: String =
     // the oracle replays the FILTER itself: same tokenizer, same
-    // 13-gram windows, same md5-split double hashing, same m — a
-    // false positive in Spark is the same false positive here
+    // 13-gram windows, same md5-split double hashing, and the SAME
+    // benchmark-sized m (bloomSizeBits's shift-or next-pow-2 cascade,
+    // replayed in integer SQL — v0..v6/ms below) — a false positive
+    // in Spark is the same false positive here
     s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
        |s AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 13),
        |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, CAST(n AS INT) - 12),
        |    i -> array_to_string(list_slice(l, i, i + 12), ' ')))) AS g
        |  FROM s),
+       |bn AS (SELECT count(DISTINCT g) AS c FROM dg WHERE doc_id % 97 = 0),
+       |v0 AS (SELECT greatest(32 * c, 1) - 1 AS v FROM bn),
+       |v1 AS (SELECT v | (v >> 1) AS v FROM v0),
+       |v2 AS (SELECT v | (v >> 2) AS v FROM v1),
+       |v3 AS (SELECT v | (v >> 4) AS v FROM v2),
+       |v4 AS (SELECT v | (v >> 8) AS v FROM v3),
+       |v5 AS (SELECT v | (v >> 16) AS v FROM v4),
+       |v6 AS (SELECT v | (v >> 32) AS v FROM v5),
+       |ms AS (SELECT least(134217728, greatest(131072, v + 1)) AS m FROM v6),
        |gh AS (SELECT g,
-       |    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h
-       |  FROM (SELECT DISTINCT g FROM dg)),
+       |    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h, m
+       |  FROM (SELECT DISTINCT g FROM dg) CROSS JOIN ms),
        |gp AS (SELECT g, unnest(list_transform([0, 1, 2, 3],
-       |    j -> ((h >> 30) + j * ((h % 1073741824) | 1)) % 131072)) AS p
+       |    j -> ((h >> 30) + j * ((h % 1073741824) | 1)) % m)) AS p
        |  FROM gh),
        |bbits AS (SELECT DISTINCT p FROM gp
        |  WHERE g IN (SELECT g FROM dg WHERE doc_id % 97 = 0)),

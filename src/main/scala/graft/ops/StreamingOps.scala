@@ -270,23 +270,34 @@ object StreamingOps {
     // deletes the two dirs just created — otherwise each failed call
     // leaks a ckpt+sink pair in /tmp
     try {
-      // Complete re-emits the FULL result each trigger → keep the last;
-      // append and update emit per-trigger deltas → keep them all (an
-      // overwrite here would silently drop every key not touched by the
-      // final batch of a multi-batch drain)
-      val writeMode = if (outputMode == "complete") "overwrite" else "append"
+      // Complete re-emits the FULL result each trigger → keep the last
+      // (overwrite of the sink root); append and update emit
+      // per-trigger deltas → keep them all, each batch in its OWN
+      // batchId-keyed subdirectory written with overwrite. The subdir
+      // makes replay idempotent: foreachBatch writes the sink BEFORE
+      // the WAL commit, so a batch that wrote and died is re-run on
+      // restart with the same batchId — a flat `append` would then
+      // duplicate its rows (harmless inside this single-use
+      // checkpoint, wrong the moment the pattern is copied somewhere
+      // a checkpoint is reused, ADVICE r9). overwrite-into-b<id>
+      // replays to the identical sink state.
+      val complete = outputMode == "complete"
       val sq = agg.writeStream
         .outputMode(outputMode)
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode(writeMode).parquet(sink.toString)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val target = if (complete) sink.toString
+                       else s"$sink/b$batchId"
+          df.write.mode("overwrite").parquet(target)
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       sq.awaitTermination()
       // explicit schema: a drain whose every batch emitted zero rows
-      // leaves no part files to infer from
-      finish(spark.read.schema(agg.schema).parquet(sink.toString))
+      // leaves no part files to infer from; recursive lookup descends
+      // the b<id> subdirs (and is a no-op for complete's flat root)
+      finish(spark.read.schema(agg.schema)
+          .option("recursiveFileLookup", "true").parquet(sink.toString))
         .localCheckpoint()
     } finally {
       // Unload the query's state store providers BEFORE deleting its
@@ -306,7 +317,19 @@ object StreamingOps {
       // drains run ONE AT A TIME (Verify/Bench/tests are sequential).
       // A concurrent long-lived query would have its providers
       // unloaded mid-run and pay a checkpoint reopen on its next
-      // batch — correct but slow; revisit if drains ever overlap.
+      // batch — correct but slow. Nothing structural enforces the
+      // sequential assumption, so check it loudly (ADVICE r9): a
+      // future concurrent caller gets a WARN naming the degradation
+      // instead of a silent slowdown.
+      val stillActive = spark.streams.active
+      if (stillActive.nonEmpty)
+        org.apache.logging.log4j.LogManager.getLogger(getClass)
+          .warn(s"drainAndClean($name): StateStore.stop() is JVM-global " +
+            s"and ${stillActive.length} other streaming quer" +
+            s"${if (stillActive.length == 1) "y is" else "ies are"} active " +
+            s"(${stillActive.map(_.name).mkString(", ")}) — their state " +
+            "providers will be unloaded and reopened from checkpoint on " +
+            "their next batch (correct but slow)")
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       Seq(ckpt, sink).foreach { d =>
         val walked = java.nio.file.Files.walk(d)
@@ -514,6 +537,17 @@ object StreamingOps {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     val logName = "org.apache.spark.sql.execution.streaming.state.RocksDB"
+    // restore-by-removal when the level was INHERITED (ADVICE r9):
+    // Configurator.setLevel materializes a LoggerConfig for logName if
+    // none exists, and re-setting the captured effective level on exit
+    // would PIN it — a later change to the parent's level would no
+    // longer propagate here. Capture whether the logger had its own
+    // config; if not, delete the one setLevel created instead of
+    // setting a level on it.
+    val ctx = LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val hadOwnConfig =
+      ctx.getConfiguration.getLoggerConfig(logName).getName == logName
     val prevLevel = LogManager.getLogger(logName)
       .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel
     spark.conf.set(key,
@@ -521,7 +555,11 @@ object StreamingOps {
     Configurator.setLevel(logName, Level.ERROR)
     try body
     finally {
-      Configurator.setLevel(logName, prevLevel)
+      if (hadOwnConfig) Configurator.setLevel(logName, prevLevel)
+      else {
+        ctx.getConfiguration.removeLogger(logName)
+        ctx.updateLoggers()
+      }
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)

@@ -53,7 +53,7 @@ class BloomDecontamSpec extends AnyFunSuite {
 
   private def run(docs: Seq[(Long, String)], m: Int): Seq[(Long, Long)] =
     graft.ops.Extended10.bloomDecontaminate(
-        docs.toDF("doc_id", "text"), mBits = m)
+        docs.toDF("doc_id", "text"), mBits = Some(m))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
   /** Word-soup corpus with planted contamination: benchmark docs at
@@ -118,5 +118,42 @@ class BloomDecontamSpec extends AnyFunSuite {
   test("q193 with no benchmark docs flags nothing") {
     val docs = corpus(606L).filter(_._1 % 97 != 0)
     assert(run(docs, 131072).isEmpty)
+  }
+
+  test("bloomSizeBits: next-pow-2 of 32·grams, clamped to [2^17, 2^27]") {
+    import graft.ops.Extended10.bloomSizeBits
+    // floor regime (incl. the empty benchmark) and its exact boundary:
+    // 32·4096 = 2^17 stays at the floor, one more gram doubles
+    assert(bloomSizeBits(0L) == 131072)
+    assert(bloomSizeBits(1L) == 131072)
+    assert(bloomSizeBits(4096L) == 131072)
+    assert(bloomSizeBits(4097L) == 262144)
+    // interior: exact power stays, +1 rounds up
+    assert(bloomSizeBits(1L << 15) == (1 << 20))
+    assert(bloomSizeBits((1L << 15) + 1) == (1 << 21))
+    // cap boundary: 32·2^22 = 2^27 is the last unclamped width
+    assert(bloomSizeBits(1L << 22) == (1 << 27))
+    assert(bloomSizeBits((1L << 22) + 1) == (1 << 27))
+    assert(bloomSizeBits(1000000000L) == (1 << 27))
+    // every width divides into longs (BitsetAgg's unit)
+    Seq(0L, 3L, 4097L, 999999L).foreach(n =>
+      assert(bloomSizeBits(n) % 64 == 0))
+  }
+
+  test("q193 auto-sizing equals the explicit width it computes") {
+    // the declared query passes mBits = None; the result must be
+    // byte-identical to pinning the width bloomSizeBits picks (and to
+    // the reimplementation at that width) — i.e. auto-sizing changes
+    // WHO computes m, never the answer
+    val docs = corpus(848L)
+    val nGrams = docs.filter(_._1 % 97 == 0)
+      .flatMap(d => grams13(d._2)).distinct.size.toLong
+    val m = graft.ops.Extended10.bloomSizeBits(nGrams)
+    assert(m == 131072) // word-soup benchmark ≪ 4096 grams → floor
+    val auto = graft.ops.Extended10.bloomDecontaminate(
+        docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(auto == run(docs, m))
+    assert(auto == reimpl(docs, m.toLong))
   }
 }

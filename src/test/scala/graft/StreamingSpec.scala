@@ -469,31 +469,36 @@ class StreamingSpec extends AnyFunSuite {
       val ev = spark.readStream
         .schema("user_id BIGINT, event_type STRING, event_id BIGINT, ts TIMESTAMP")
         .parquet(streamDir.toString)
+      // batchId-keyed overwrite, NOT a flat append: this checkpoint is
+      // REUSED across drains, so a batch that wrote the sink but died
+      // before its WAL commit would be replayed on restart — overwrite
+      // into b<id> replays to the identical sink state where a flat
+      // append would duplicate the batch's rows (ADVICE r9)
       val q = StreamingOps.statefulUpsertTws(ev)
         .writeStream.outputMode("update")
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("append").parquet(sink.toString)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.write.mode("overwrite").parquet(sink.resolve(s"b$batchId").toString)
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    def sinkFiles(): Set[String] = Files.list(sink).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    def sinkBatchDirs(): Set[String] = Files.list(sink).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("b")).toSet
 
     try {
       // phase 1: two keys get their winners into state
       addFile("b1.parquet", Seq(
         (1L, "click", 101L, 100000000L), (2L, "click", 102L, 200000000L)))
       drain()
-      val phase1Files = sinkFiles()
+      val phase1Dirs = sinkBatchDirs()
       // phase 2, same checkpoint: key 1 touched by an OLDER event
       // (the state-recovery probe) and a fresh key 3
       addFile("b2.parquet", Seq(
         (1L, "click", 103L, 50000000L), (3L, "click", 104L, 10000000L)))
       drain()
       val phase2 = spark.read.parquet(
-          (sinkFiles() -- phase1Files).map(f => sink.resolve(f).toString).toSeq: _*)
+          (sinkBatchDirs() -- phase1Dirs).map(f => sink.resolve(f).toString).toSeq: _*)
         .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
       // recovered state: key 1 re-emits winner 101 (not the older 103)
       assert(phase2 == Set((1L, 101L, 100000000L), (3L, 104L, 10000000L)),
@@ -502,7 +507,8 @@ class StreamingSpec extends AnyFunSuite {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id", "event_type")
         .orderBy(col("ts_us").desc, col("event_id"))
-      val finalWinners = spark.read.parquet(sink.toString)
+      val finalWinners = spark.read
+        .option("recursiveFileLookup", "true").parquet(sink.toString)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
       assert(finalWinners == Set((1L, 101L), (2L, 102L), (3L, 104L)))
