@@ -797,6 +797,13 @@ object Extended10 {
       .select(col("doc_id"),
         size(filter(grams13, g => bloomHit(g))).cast("long").as("n_hits"))
       .filter(col("n_hits") > 0L)
+      // materialize the flagged (doc_id, n_hits) rows BEFORE the global
+      // sort: orderBy's range-partitioner sampling pass otherwise
+      // recomputes its child — i.e. the whole 4-probes-per-gram Bloom
+      // scan runs TWICE (QTime at 100×: two ~410 s-CPU stages for one
+      // probe). The checkpoint holds only the flagged output — two
+      // longs per contaminated doc — never the corpus
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 

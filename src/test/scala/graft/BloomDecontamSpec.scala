@@ -140,6 +140,53 @@ class BloomDecontamSpec extends AnyFunSuite {
       assert(bloomSizeBits(n) % 64 == 0))
   }
 
+  test("saturation regime: benchmark-sized m stays selective where 2^17 saturates") {
+    // The regime the r9 1000× probe exposed: a benchmark with ≫4096
+    // distinct grams fills a fixed 2^17-bit filter (fill → 1, FP → 1,
+    // every doc flags). Vocabularies are DISJOINT by construction
+    // (benchmark words start 'a', clean words start 'n'), so every
+    // flagged clean doc is a Bloom false positive, exactly countable.
+    // All hashing is deterministic (md5 over a seeded corpus), so the
+    // FP counts below are pins, not expectations.
+    def word(prefix: Char, base: Char, i: Int): String =
+      prefix +: Seq(i / 169 % 13, i / 13 % 13, i % 13)
+        .map(d => (base + d).toChar).mkString
+    val rnd = new scala.util.Random(193L)
+    def text(vocab: Int => String, n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(2000))).mkString(" ")
+    val vocabA = (i: Int) => word('a', 'a', i) // benchmark + planted window
+    val vocabB = (i: Int) => word('n', 'n', i) // clean docs
+    val bench = Seq(97L, 194L, 291L).map(id => (id, text(vocabA, 10000)))
+    val window = toks(bench.head._2).slice(100, 113)
+    val planted = (11L,
+      (toks(text(vocabB, 6)) ++ window ++ toks(text(vocabB, 5))).mkString(" "))
+    val clean = (0 until 60).map(i => (200L + 3 * i, text(vocabB, 40)))
+    val docs = bench ++ Seq(planted) ++ clean
+    val nGrams = bench.flatMap(d => grams13(d._2)).distinct.size.toLong
+    val m = graft.ops.Extended10.bloomSizeBits(nGrams)
+    assert(nGrams > 4096L && m > 131072,
+      s"regime precondition: $nGrams grams must outgrow the floor (m=$m)")
+    val auto = graft.ops.Extended10.bloomDecontaminate(
+        docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fixed = run(docs, 131072)
+    // cross-impl pins hold in BOTH regimes — the filter is exact about
+    // its own false positives at any width
+    assert(auto == reimpl(docs, m.toLong))
+    assert(fixed == reimpl(docs, 131072L))
+    // true positives flag at either width
+    Seq(11L, 97L, 194L, 291L).foreach { id =>
+      assert(auto.exists(_._1 == id) && fixed.exists(_._1 == id))
+    }
+    val cleanIds = clean.map(_._1).toSet
+    val autoFp = auto.count(r => cleanIds(r._1))
+    val fixedFp = fixed.count(r => cleanIds(r._1))
+    assert(fixedFp >= 30,
+      s"fixed 2^17 must saturate on this benchmark (flagged $fixedFp/60 clean)")
+    assert(autoFp <= 5,
+      s"benchmark-sized m=$m must stay selective (flagged $autoFp/60 clean)")
+  }
+
   test("q193 auto-sizing equals the explicit width it computes") {
     // the declared query passes mBits = None; the result must be
     // byte-identical to pinning the width bloomSizeBits picks (and to
