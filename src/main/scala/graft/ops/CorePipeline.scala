@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Out.SortOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,13 +30,15 @@ object CorePipeline {
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
-      .orderBy("event_id")
+      .cachedOrderBy("event_id")
 
   /** q03 — explode/unnest (R5): posexplode of the embedding array.
     * Narrow transform — no shuffle; output is (vec_id, pos, val). */
   def q03Explode(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      // NOT cachedOrderBy: the explode EXPANDS rows 32×, so caching the
+      // output costs more than the sampling pass's rescan (measured r10)
       .orderBy("vec_id", "pos")
 
   /** q04 — projection + rename (R6): mirror of the reference's event
@@ -123,7 +126,7 @@ object CorePipeline {
         hour(col("ts")).as("h"),
         date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
         datediff(lit("2024-02-01").cast("date"), col("ts").cast("date")).as("days_to_feb"))
-      .orderBy("event_id")
+      .cachedOrderBy("event_id")
 
   /** q09 — serialize to JSON + KV shape (R13): `to_json(struct(...))` under
     * a composite string key, the reference's "customer:"+id → JSON string

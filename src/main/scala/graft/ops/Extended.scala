@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Out.SortOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, Window}
@@ -172,7 +173,7 @@ object Extended {
     Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"), col("p_type"),
         levenshtein(col("p_name"), lower(col("p_type"))).as("lev"))
-      .orderBy("p_partkey")
+      .cachedOrderBy("p_partkey")
 
   /** q57 — union by NAME (schema alignment): two differently-shaped
     * entity projections stacked by column name, missing columns
@@ -331,7 +332,7 @@ object Extended {
         regexp_count(col("text"), lit(digits)).as("n_digit_runs"),
         regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
           digits, "<NUM>").as("redacted"))
-      .orderBy("doc_id")
+      .cachedOrderBy("doc_id")
   }
 
   /** q65 — conversion funnel (event-sequence detection): each click's

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Out.SortOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -435,7 +436,7 @@ object Extended10 {
               i => element_at(col("m"), i) &&
                 !element_at(col("m"), i - 1)))).otherwise(0))
           .cast("long").as("n_spans"))
-      .orderBy("doc_id")
+      .cachedOrderBy("doc_id")
   }
 
   private val q189Oracle: String =

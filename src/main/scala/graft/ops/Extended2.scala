@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Out.SortOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -231,6 +232,9 @@ object Extended2 {
         LayoutOps.zorderKey(
           col("o_custkey").bitwiseAND(lit(65535L)),
           col("o_orderkey").bitwiseAND(lit(65535L))).as("zkey"))
+      // NOT cachedOrderBy: the interleave is cheap bitwise arithmetic —
+      // recomputing it costs less than caching a table-sized output
+      // (measured r10)
       .orderBy("zkey", "o_orderkey")
 
   /** q75 — time-hierarchy rollup: event counts and exact sums at
@@ -454,7 +458,7 @@ object Extended2 {
         when(pmod(col("p_size"), lit(7)) === 0, lit(null))
           .otherwise(split(col("p_name"), " ")).as("toks"))
       .select(col("p_partkey"), explode_outer(col("toks")).as("tok"))
-      .orderBy("p_partkey", "tok")
+      .cachedOrderBy("p_partkey", "tok")
 
   /** q86 — higher-order-function bundle over in-row arrays:
     * transform + aggregate (sum of squares), filter + size (even
@@ -470,7 +474,7 @@ object Extended2 {
         expr("size(filter(sequence(1, p_size % 10 + 1), x -> x % 2 = 0))")
           .cast("long").as("n_even"),
         expr("exists(sequence(1, p_size % 10 + 1), x -> x = 5)").as("has5"))
-      .orderBy("p_partkey")
+      .cachedOrderBy("p_partkey")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_zorder" -> (q74Zorder _),

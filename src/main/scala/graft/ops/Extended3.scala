@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Out.SortOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,7 +68,7 @@ object Extended3 {
           .as("n_chunk_tokens"),
         concat_ws(" ", slice(col("toks"), col("start") + 1L, lit(64)))
           .as("chunk_text"))
-      .orderBy("doc_id", "start")
+      .cachedOrderBy("doc_id", "start")
   }
 
   /** q89 — benchmark decontamination: flag documents whose normalized
@@ -205,7 +206,7 @@ object Extended3 {
         size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
         (size(array_distinct(col("grams"))).cast("double") /
           (col("n") - 2L).cast("double")).as("distinct_ratio"))
-      .orderBy("doc_id")
+      .cachedOrderBy("doc_id")
   }
 
   /** q94 — deterministic train/val/test split: every document lands in
@@ -643,7 +644,7 @@ object Extended3 {
         size(array_distinct(codes)).cast("long").as("n_distinct_codes"),
         round(array_min(col("e0")), 6).as("qmin"),
         round(array_max(col("e0")), 6).as("qmax"))
-      .orderBy("vec_id")
+      .cachedOrderBy("vec_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

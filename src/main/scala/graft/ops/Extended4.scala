@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Out.SortOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -485,7 +486,7 @@ object Extended4 {
           .as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
-      .orderBy("doc_id")
+      .cachedOrderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- q128

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Out.SortOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -142,7 +143,7 @@ object Extended5 {
         round((col("n_letters") * col("n_letters") - sumSq).cast("double") /
           (col("n_letters").cast("double") * col("n_letters").cast("double")),
           6).as("gini"))
-      .orderBy("doc_id")
+      .cachedOrderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- q134

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Out.SortOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -141,7 +142,7 @@ object MultimodalOps {
       (col("meta.byte_len") * 7 % 512 + 128).cast("int").as("height"),
       (col("meta.byte_len") % 16 + 1).cast("int").as("n_frames"),
       (floor((col("meta.byte_len") % 16 + 1 + 3) / 4)).cast("int").as("n_sampled"))
-      .orderBy("media_id")
+      .cachedOrderBy("media_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal" -> (q40Multimodal _))

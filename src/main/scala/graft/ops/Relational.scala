@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Out.SortOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -228,7 +229,7 @@ object Relational {
         round(log(col("n_chars") + 1), 6).as("log_chars"),
         round(sqrt(col("n_chars")), 6).as("sqrt_chars"),
         pmod(col("doc_id"), lit(7)).as("mod7"))
-      .orderBy("doc_id")
+      .cachedOrderBy("doc_id")
 
   /** q23 — map functions: build a map per row, read it back via
     * element_at / map_keys / size. The oracle checks the VALUES (DuckDB
@@ -243,7 +244,7 @@ object Relational {
         element_at(m, "user").as("m_user"),
         size(m).as("m_size"),
         array_join(sort_array(map_keys(m)), ",").as("m_keys"))
-      .orderBy("event_id")
+      .cachedOrderBy("event_id")
   }
 
   /** q31 — pivot: orders count per priority × status, statuses widened

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Out.SortOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -66,7 +67,7 @@ object TextOps {
           .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_de"), "es")
           .when(col("c_fr") >= col("c_de"), "fr")
           .otherwise("de"))
-      .orderBy("doc_id")
+      .cachedOrderBy("doc_id")
   }
 
   private val stopwords = Seq(" the ", " a ", " of ", " and ", " to ")
@@ -112,7 +113,7 @@ object TextOps {
         round(nUpper.cast("double") / col("n_chars"), 6).as("upper_ratio"),
         round(nStop.cast("double") / nTokens, 6).as("stopword_ratio"),
         qualityScore.as("quality_score"))
-      .orderBy("doc_id")
+      .cachedOrderBy("doc_id")
   }
 
   /** q36 — token counting: whitespace tokens, a BPE-style pre-tokenizer
@@ -127,7 +128,7 @@ object TextOps {
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"))
           .as("bpe_ish_tokens"),
         ceil(col("n_chars") / 4.0).cast("int").as("est_tokens"))
-      .orderBy("doc_id")
+      .cachedOrderBy("doc_id")
 
   /** q37 — document fingerprinting: whitespace-normalized content hash
     * (the dedup-join key used by pipeline stages downstream) plus a
@@ -141,7 +142,7 @@ object TextOps {
         sha2(norm, 256).as("fp_hex"),
         substring(sha2(norm, 256), 1, 16).as("fp64"),
         length(norm).as("norm_len"))
-      .orderBy("doc_id")
+      .cachedOrderBy("doc_id")
   }
 
   /** q47 — deterministic stratified sampling: the first 4 hex chars of
@@ -168,7 +169,7 @@ object TextOps {
         pmod(conv(substring(h, 1, 4), 16, 10).cast("int"), lit(100))
           .as("bucket"))
       .filter(col("bucket") < coalesce(element_at(rates, col("lang")), lit(10)))
-      .orderBy("doc_id")
+      .cachedOrderBy("doc_id")
   }
 
   // --------------------------------------------------------------- q184
