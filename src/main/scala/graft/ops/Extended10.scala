@@ -896,12 +896,16 @@ object Extended10 {
     val lex = lexTop.select(col("q_id"), col("doc_id"),
       col("rnk").as("lex_rank"))
     // q114's affine int8 map; flat vectors (max == min) are unrankable
-    // and drop out, exactly as in q114
+    // and drop out, exactly as in q114. lo/hi hoisted to per-row
+    // columns like q114's r10 fix — referenced inside the lambda they
+    // re-scan the array per ELEMENT, O(d²) per row
     val codes = emb
-      .filter(array_max(col("e0")) > array_min(col("e0")))
+      .withColumn("lo", array_min(col("e0")))
+      .withColumn("hi", array_max(col("e0")))
+      .filter(col("hi") > col("lo"))
       .select(col("vec_id"), transform(col("e0"), x =>
-        round((x - array_min(col("e0"))) * lit(255.0) /
-          (array_max(col("e0")) - array_min(col("e0")))).cast("long"))
+        round((x - col("lo")) * lit(255.0) / (col("hi") - col("lo")))
+          .cast("long"))
         .as("c"))
     // the SAME five queries as the lexical side (5 lowest doc_ids —
     // q190's derivation), joined to their code vectors
