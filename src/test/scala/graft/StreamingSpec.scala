@@ -543,4 +543,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(appendOut.count() == 0 &&
       appendOut.columns.contains("n_events"))
   }
+
+  test("multi-batch drain keeps every batch's delta (batchId-keyed sink)") {
+    // The r10 sink rewrite: append/update drains write each batch into
+    // its own b<id> subdirectory with overwrite (idempotent replay).
+    // This pins the union property that rewrite must not break: a key
+    // emitted ONLY in an early batch survives a drain that runs more
+    // batches afterwards — a flat-overwrite sink would keep just the
+    // FINAL batch's delta (here: 1 row instead of 3). Three files +
+    // maxFilesPerTrigger=1 force three single-emission update batches.
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-multibatch")
+    val streamDir = Files.createDirectory(root.resolve("events"))
+    def addFile(name: String, userId: Long, eventId: Long, us: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-multibatch-w")
+      Seq((userId, "click", eventId, us)).toDF("user_id", "event_type", "event_id", "us")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, streamDir.resolve(name))
+      val walked = Files.walk(tmp)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walked.close()
+    }
+    // transformWithState requires the RocksDB provider (column families)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      addFile("f1.parquet", 1L, 101L, 100000000L)
+      addFile("f2.parquet", 2L, 102L, 200000000L)
+      addFile("f3.parquet", 3L, 103L, 300000000L)
+      val ev = spark.readStream
+        .schema("user_id BIGINT, event_type STRING, event_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val out = StreamingOps.drainAndClean(spark,
+        StreamingOps.statefulUpsertTws(ev), "multibatch",
+        outputMode = "update")(identity)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(out == Set((1L, 101L), (2L, 102L), (3L, 103L)),
+        s"got $out — a 1-element set means only the final batch survived")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      val walked = Files.walk(root)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
 }
