@@ -68,7 +68,10 @@ object Extended3 {
           .as("n_chunk_tokens"),
         concat_ws(" ", slice(col("toks"), col("start") + 1L, lit(64)))
           .as("chunk_text"))
-      .cachedOrderBy("doc_id", "start")
+      // NOT cachedOrderBy: chunk_text is corpus-sized — the cache was
+      // wall-neutral at 1000× (157 vs 165 s), and holding a corpus in
+      // executor storage buys nothing for that
+      .orderBy("doc_id", "start")
   }
 
   /** q89 — benchmark decontamination: flag documents whose normalized

@@ -17,10 +17,17 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * `cachedOrderBy` caches the pre-sort rows — the query's OUTPUT, the
   * smallest relation in the plan — so the sampling pass reads the cache
-  * and the per-row work runs once. Applied to the compute-heavy tails
-  * (text scoring, HOF bundles, hashing, regex); NOT applied where the
-  * recomputed chain is a bare scan+project, where a cache would cost
-  * about what the rescan does. At deployment scale the determinism
+  * and the per-row work runs once. Applied to compute-heavy tails whose
+  * output is NUMERIC-COMPACT (ids + counts/scores: q93 halved its CPU,
+  * q114 10×). NOT applied where (a) the recomputed chain is a bare
+  * scan+project (cache ≈ rescan), (b) the output EXPANDS rows (q03's
+  * posexplode), or (c) the output carries long or high-entropy STRINGS
+  * — building the columnar cache (string copy + compression of
+  * incompressible hex/redacted text) costs more than recomputing the
+  * tail: measured at 1000×, q37's sha2 fingerprints were 3× FASTER
+  * uncached (30.5 vs 95.5 s), q62's redacted corpus 1.4× (43.9 vs
+  * 62.9 s), q88's chunk text neutral (kept uncached — no win justifies
+  * holding a corpus-sized cache). At deployment scale the determinism
   * sort is dropped entirely — it exists for the verification contract,
   * not the pipeline — so this is bench/test hygiene, not the 100 TB
   * story; the cache is released by Bench's per-query clearCache.

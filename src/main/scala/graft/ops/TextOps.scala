@@ -142,7 +142,10 @@ object TextOps {
         sha2(norm, 256).as("fp_hex"),
         substring(sha2(norm, 256), 1, 16).as("fp64"),
         length(norm).as("norm_len"))
-      .cachedOrderBy("doc_id")
+      // NOT cachedOrderBy: hex digests are incompressible strings —
+      // building the columnar cache measured 3× SLOWER than letting the
+      // sort's sampling pass recompute the sha2 (1000×: 95.5 vs 30.5 s)
+      .orderBy("doc_id")
   }
 
   /** q47 — deterministic stratified sampling: the first 4 hex chars of
