@@ -27,7 +27,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   * tail: measured at 1000×, q37's sha2 fingerprints were 3× FASTER
   * uncached (30.5 vs 95.5 s), q62's redacted corpus 1.4× (43.9 vs
   * 62.9 s), q88's chunk text neutral (kept uncached — no win justifies
-  * holding a corpus-sized cache). At deployment scale the determinism
+  * holding a corpus-sized cache). The decision criterion, settled by
+  * per-query 1000× A/B runs: cache when tail COMPUTE per row dwarfs
+  * output BYTES per row (q02's json parse: cache 1.9× better; q114's
+  * quantize), go plain when the tail is cheap next to the output
+  * volume (q23's map build: plain 1.65× better) — when in doubt,
+  * measure both at the tier. At deployment scale the determinism
   * sort is dropped entirely — it exists for the verification contract,
   * not the pipeline — so this is bench/test hygiene, not the 100 TB
   * story; the cache is released by Bench's per-query clearCache.

@@ -244,7 +244,9 @@ object Relational {
         element_at(m, "user").as("m_user"),
         size(m).as("m_size"),
         array_join(sort_array(map_keys(m)), ",").as("m_keys"))
-      .cachedOrderBy("event_id")
+      // NOT cachedOrderBy: the map build is cheap next to caching 100M
+      // short-string rows (1000×: 53.7 s plain vs 88.9 s cached)
+      .orderBy("event_id")
   }
 
   /** q31 — pivot: orders count per priority × status, statuses widened
