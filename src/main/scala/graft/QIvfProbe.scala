@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev probe: the q197-vs-q199 dense-term scale story at a tier dir
+  * (QScale output or a plain sf dir). Measures wall time for:
+  *   - q197_brute         — the full-corpus dense scan (the r9/r10
+  *                          `weak` mark being retired)
+  *   - q199_inline_cK     — IVF build + query in one run, nCells = K
+  *   - ivf_build_cK       — index build alone, written as
+  *                          cell-PARTITIONED parquet (the ingest path)
+  *   - q199_prebuilt_cK   — query over the prebuilt index (the
+  *                          amortized vector-store posture; the probe
+  *                          join's cell filter prunes partitions)
+  * Per-query RDD/cache hygiene between timings mirrors Bench. Usage:
+  *   runMain graft.QIvfProbe [tierDir] [nCellsCsv]
+  */
+object QIvfProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/tmp/graft_scale100"
+    val cellsList =
+      if (args.length > 1) args(1).split(",").map(_.trim.toInt)
+      else Array(16, 64)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
+
+    def timed(label: String)(f: => Unit): Unit = {
+      val before = sc.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      f
+      println(f"IVFPROBE $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = true)
+      }
+    }
+    def docs() = Tables.fanout(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+    def emb() = Tables.fanout(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e0")))
+
+    timed("q197_brute") {
+      ops.Extended10.q197RrfHybrid(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    cellsList.foreach { nc =>
+      timed(s"q199_inline_c$nc") {
+        val (out, caches) =
+          ops.Extended10.rrfHybridIvfPlan(docs(), emb(), dim = 64,
+            nCells = nc)
+        try out.write.format("noop").mode("overwrite").save()
+        finally caches.foreach(_.unpersist())
+      }
+      val idxDir = s"/tmp/graft_ivf_idx_c$nc"
+      var cents: Array[(Long, Array[Double])] = Array.empty
+      timed(s"ivf_build_c$nc") {
+        val (index, cs) = ops.Extended10.ivfIndex(emb(), dim = 64,
+          nCells = nc)
+        cents = cs
+        index.write.partitionBy("cell").mode(SaveMode.Overwrite)
+          .parquet(idxDir)
+      }
+      timed(s"q199_prebuilt_c$nc") {
+        val index = spark.read.parquet(idxDir)
+        val (out, caches) =
+          ops.Extended10.rrfHybridIvfQuery(docs(), index, cents, nProbe = 4)
+        try out.write.format("noop").mode("overwrite").save()
+        finally caches.foreach(_.unpersist())
+      }
+    }
+    spark.stop()
+  }
+}

@@ -12,8 +12,12 @@ import org.apache.spark.sql.SparkSession
   * probe; on q93: 31 of 88 CPU-s was the re-run). A sort above any
   * shuffle/cache is fine — the sample pass replays cheap reads.
   *
-  * Usage: runMain graft.QSortAudit [sfDir]. Prints NARROWSORT lines
-  * with the sort's child subtree summary; silent for safe sorts.
+  * Usage: runMain graft.QSortAudit [sfDir]. Prints one RANGESORT line
+  * per range-partitioning exchange with the chain its sampling pass
+  * re-executes, truncated at the nearest barrier (<shuffle>, <cache>,
+  * <checkpoint> — those are reused, not recomputed). EVERY range sort
+  * is printed, safe ones included; the reader judges: a chain that
+  * starts at a barrier is fine, a long bare chain is the q193 bug.
   */
 object QSortAudit {
   def main(args: Array[String]): Unit = {

@@ -22,11 +22,21 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val sc = spark.sparkContext
     selected.foreach { case (name, fn) =>
+      // Bench's per-query hygiene, mirrored (ADVICE r10): without it
+      // every cachedOrderBy output plus each query's localCheckpoint
+      // blocks accumulate in executor storage across the whole dump —
+      // spills, not wrong, but unbounded at larger verify tiers
+      val before = sc.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = true)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

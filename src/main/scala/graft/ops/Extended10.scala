@@ -896,17 +896,8 @@ object Extended10 {
     val lex = lexTop.select(col("q_id"), col("doc_id"),
       col("rnk").as("lex_rank"))
     // q114's affine int8 map; flat vectors (max == min) are unrankable
-    // and drop out, exactly as in q114. lo/hi hoisted to per-row
-    // columns like q114's r10 fix — referenced inside the lambda they
-    // re-scan the array per ELEMENT, O(d²) per row
-    val codes = emb
-      .withColumn("lo", array_min(col("e0")))
-      .withColumn("hi", array_max(col("e0")))
-      .filter(col("hi") > col("lo"))
-      .select(col("vec_id"), transform(col("e0"), x =>
-        round((x - col("lo")) * lit(255.0) / (col("hi") - col("lo")))
-          .cast("long"))
-        .as("c"))
+    // and drop out, exactly as in q114
+    val codes = withInt8Codes(emb, "e0").select(col("vec_id"), col("c"))
     // the SAME five queries as the lexical side (5 lowest doc_ids —
     // q190's derivation), joined to their code vectors
     val qv = docs.select(col("doc_id").as("q_id")).orderBy("q_id").limit(5)
@@ -923,6 +914,17 @@ object Extended10 {
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("doc_id"),
         col("rnk").cast("long").as("dense_rank"))
+    (rrfFuse(lex, dense), caches)
+  }
+
+  /** The RRF fusion stage shared by [[rrfPlan]] (brute dense) and
+    * [[rrfHybridIvfPlan]] (IVF dense): full-outer join of the two
+    * ≤10-deep rank lists, exact-fraction RRF score, scaled-integer
+    * ordering, fused top-10. Sees ≤ (10+10)·queries rows — dimension-
+    * sized at any corpus scale — so the candidate generator in front
+    * of it is the ONLY part that changes with scale posture. */
+  private def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fused = lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf_num",
         when(col("lex_rank").isNotNull && col("dense_rank").isNotNull,
@@ -934,14 +936,13 @@ object Extended10 {
           .otherwise(lit(60L) +
             coalesce(col("lex_rank"), col("dense_rank"))))
       .withColumn("rrf_s", expr("(1000000000000 * rrf_num) div rrf_den"))
-    val out = fused
+    fused
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("rrf_s").desc, col("doc_id"))))
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("rnk").cast("long").as("rrf_rank"),
         col("doc_id"), col("rrf_s"), col("lex_rank"), col("dense_rank"))
       .orderBy("q_id", "rrf_rank")
-    (out, caches)
   }
 
   private val q197Oracle: String =
@@ -1014,8 +1015,166 @@ object Extended10 {
        |  FROM fused)
        |WHERE rrf_rank <= 10 ORDER BY q_id, rrf_rank""".stripMargin
 
+  /** q114's per-vector affine int8 quantization as a frame transform:
+    * adds `c` (array<long> codes in 0..255), drops `e` and the hoisted
+    * lo/hi, and DROPS flat vectors (max == min — unrankable, exactly
+    * q114's rule). lo/hi are per-row columns, not in-lambda calls —
+    * an array fn referenced inside a transform lambda evaluates per
+    * ELEMENT, O(d²)/row (the r10 q114/q197 find). Shared by the brute
+    * and IVF dense sides so both rank in the identical code space. */
+  private def withInt8Codes(df: DataFrame, e: String): DataFrame =
+    df.withColumn("lo", array_min(col(e)))
+      .withColumn("hi", array_max(col(e)))
+      .filter(col("hi") > col("lo"))
+      .withColumn("c", transform(col(e), x =>
+        round((x - col("lo")) * lit(255.0) / (col("hi") - col("lo")))
+          .cast("long")))
+      .drop("lo", "hi", e)
+
+  // ---------------------------------------------------------------- q199
+  /** q199 — q197's hybrid retrieval with the dense candidate generator
+    * swapped from the full-corpus scan to an IVF probe (the composition
+    * the q197 Scaladoc promises "at real scale"): dense candidates come
+    * from the nProbe nearest cells of q45's sample-trained coarse
+    * quantizer, are reranked by the EXACT int8 dot product within the
+    * candidate set, and the RRF fusion stage is [[rrfFuse]] unchanged —
+    * it sees ≤ 20 rows per query under either generator. This is the
+    * standard vector-store hybrid shape (Faiss-style IVF candidate
+    * generation under an RRF fusion, as in OpenSearch/Vespa hybrid
+    * search).
+    *
+    * Semantics vs q197 (brute): identical scoring and tie rules in the
+    * identical code space; the ONLY difference is candidate pruning to
+    * the probed cells, so with nProbe = nCells the output is EXACTLY
+    * q197's (RrfSpec pins this equality), and recall degrades gracefully
+    * as nProbe shrinks (RrfSpec pins ≥9/10 dense overlap on clustered
+    * corpora at nProbe/nCells = 1/2). One documented divergence: the
+    * index holds ONLY vectors of the configured dimension (a fixed-dim
+    * index is the vector-store contract), so an off-dim query gets a
+    * lexical-only list where brute q197 would rank it against other
+    * off-dim vectors of the same length.
+    *
+    * Scale: the quantizer trains on a deterministic hash-sample
+    * (bounded Lloyd's, q45's posture); full-corpus cell assignment is
+    * ONE narrow in-row argmin against driver-held centroids — no
+    * crossJoin expand, no shuffle, and at ingest it is the WRITE path:
+    * [[ivfIndex]]'s output persisted partitioned by `cell` makes the
+    * query-side read prune to nProbe cells (nProbe/nCells of the
+    * corpus — the QIvfProbe 100×/1000× harness measures both the
+    * amortized-index query and the inline build+query against brute
+    * q197). Candidates quantize AFTER pruning, so the int8 map also
+    * runs on nProbe/nCells of the corpus per query. No DuckDB oracle:
+    * the cell boundaries are float k-means fixpoints (q45/q108
+    * precedent) — correctness is pinned by RrfSpec's exactness-at-
+    * full-probe and planted-recall tests instead. */
+  def q199RrfHybridIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (out, caches) = rrfHybridIvfPlan(
+      Tables.fanout(Tables.documents(spark, dir).select("doc_id", "text")),
+      Tables.fanout(Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e0"))),
+      dim = 64)
+    try out.localCheckpoint()
+    finally caches.foreach(_.unpersist())
+  }
+
+  /** IVF index build (the ingest/write path): train the coarse
+    * quantizer on a deterministic ~25% hash-sample of the fixed-dim
+    * vectors, then assign EVERY vector its cell id in one narrow
+    * in-row argmin (centroids ride the closure, k·d doubles — the
+    * corpus never shuffles). Returns the indexed frame
+    * (vec_id, e0, cell) and the centroids. Persist the frame
+    * partitioned by `cell` to make queries partition-prunable; the
+    * centroid array is the model artifact a query needs. */
+  private[graft] def ivfIndex(emb: DataFrame, dim: Int, nCells: Int)
+      : (DataFrame, Array[(Long, Array[Double])]) = {
+    val embD = emb.filter(size(col("e0")) === dim)
+    val train = embD
+      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .select(col("vec_id").as("id"), col("e0").as("e")).persist()
+    // kmeansFit materializes eagerly (driver-held Lloyd loop), so the
+    // training cache is released before this function returns
+    val cents =
+      try Clustering.kmeansFit(train, k = nCells, dim = dim, maxIters = 4)
+        .select(col("cid"), col("ce")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      finally train.unpersist()
+    if (cents.isEmpty) (embD.withColumn("cell", lit(0L)).limit(0), cents)
+    else {
+      val assignCell = Clustering.nearestCentroid(cents)
+      (embD.withColumn("cell", assignCell(col("e0"))("_1")), cents)
+    }
+  }
+
+  /** Inline build+query composition (the declared q199 and the spec
+    * entry point): builds the index, then runs the query side. */
+  private[graft] def rrfHybridIvfPlan(docs: DataFrame, emb: DataFrame,
+      dim: Int, nCells: Int = 16, nProbe: Int = 4)
+      : (DataFrame, Seq[DataFrame]) = {
+    val (index, cents) = ivfIndex(emb, dim, nCells)
+    rrfHybridIvfQuery(docs, index, cents, nProbe)
+  }
+
+  /** Query side over a (pre)built index: probe each query's nProbe
+    * nearest cells (same L2 metric and lower-cid tie rule as the
+    * assignment argmin, so a query's own cell is always probed),
+    * quantize and exact-dot-rerank ONLY the probed cells' vectors,
+    * fuse with q190's lexical list via the unchanged [[rrfFuse]]. */
+  private[graft] def rrfHybridIvfQuery(docs: DataFrame, index: DataFrame,
+      cents: Array[(Long, Array[Double])], nProbe: Int)
+      : (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (lexTop, caches) = bm25Plan(docs)
+    val lex = lexTop.select(col("q_id"), col("doc_id"),
+      col("rnk").as("lex_rank"))
+    // the SAME five queries as the lexical side (q190's derivation).
+    // The 5 ids are collected (5 longs — model-sized, like the
+    // centroids) so the vector lookup reaches the index scan as a
+    // PUSHED isin filter instead of a join that would materialize the
+    // fat e0 column for every row; at serving scale query vectors
+    // arrive WITH the query and this lookup disappears entirely
+    val qIds = docs.select(col("doc_id").as("q_id"))
+      .orderBy("q_id").limit(5).collect().map(_.getLong(0))
+    val qraw = index.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("q_id"), col("e0"))
+    // centroids rebuilt from the driver array (k rows — re-deriving
+    // them from the fit's DataFrame would re-run Lloyd's per consumer)
+    val centsDf = cents.toSeq.map { case (cid, ce) => (cid, ce.toSeq) }
+      .toDF("cid", "ce")
+    // nProbe nearest cells per query: queries×nCells rows, model-sized
+    val probeCells = qraw.crossJoin(broadcast(centsDf))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(
+          Clustering.l2sq(col("e0"), col("ce")).asc, col("cid"))))
+      .filter(col("prnk") <= nProbe)
+      .select(col("q_id"), col("cid").as("cell"))
+    // query codes: same affine map; a flat query vector drops out and
+    // that query degrades to lexical-only, exactly as in brute q197
+    val qv = withInt8Codes(qraw, "e0").select(col("q_id"), col("c").as("qc"))
+    // candidates = vectors in the query's probed cells ONLY — with a
+    // cell-partitioned index this join is partition pruning, and the
+    // int8 quantize below runs on nProbe/nCells of the corpus
+    val cand = index.join(broadcast(probeCells), "cell")
+      .select(col("q_id"), col("vec_id"), col("e0"))
+    val dots = withInt8Codes(cand, "e0")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        aggregate(zip_with(col("qc"), col("c"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+    val dense = dots
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dot").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("doc_id"),
+        col("rnk").cast("long").as("dense_rank"))
+    (rrfFuse(lex, dense), caches)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_rrf_hybrid" -> (q197RrfHybrid _),
+    "q199_rrf_hybrid_ivf" -> (q199RrfHybridIvf _),
     "q193_bloom_decontaminate" -> (q193BloomDecontaminate _),
     "q191_kmv_overlap" -> (q191KmvOverlap _),
     "q190_bm25" -> (q190Bm25 _),

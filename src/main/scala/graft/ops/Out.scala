@@ -35,7 +35,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   * measure both at the tier. At deployment scale the determinism
   * sort is dropped entirely — it exists for the verification contract,
   * not the pipeline — so this is bench/test hygiene, not the 100 TB
-  * story; the cache is released by Bench's per-query clearCache.
+  * story; the cache is released by the per-query clearCache both
+  * Bench and Verify run between queries.
   */
 object Out {
   implicit class SortOps(private val df: DataFrame) extends AnyVal {

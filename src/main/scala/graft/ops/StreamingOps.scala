@@ -265,6 +265,11 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
     val sink = java.nio.file.Files.createTempDirectory(s"graft-sink-$name")
+    // held for the finally: on a mid-drain failure the drain's OWN
+    // query is still in spark.streams.active — the concurrency WARN
+    // below must not misreport it as an "other" query, and it must be
+    // stopped before its dirs are deleted (ADVICE r10)
+    var own: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     // the whole body sits inside the try so an analysis-time start()
     // failure (unwatermarked append, non-aggregated complete) still
     // deletes the two dirs just created — otherwise each failed call
@@ -292,6 +297,7 @@ object StreamingOps {
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
+      own = Some(sq)
       sq.awaitTermination()
       // explicit schema: a drain whose every batch emitted zero rows
       // leaves no part files to infer from; recursive lookup descends
@@ -321,7 +327,17 @@ object StreamingOps {
       // sequential assumption, so check it loudly (ADVICE r9): a
       // future concurrent caller gets a WARN naming the degradation
       // instead of a silent slowdown.
+      // on the failure path the drain's own query may still be active:
+      // stop it (its checkpoint/sink dirs are deleted just below), and
+      // exclude it from the concurrency WARN — it is not an "other"
+      // query (ADVICE r10)
+      own.filter(_.isActive).foreach { q =>
+        try q.stop()
+        catch { case _: Throwable => () }
+      }
+      val ownId = own.map(_.id)
       val stillActive = spark.streams.active
+        .filterNot(q => ownId.contains(q.id))
       if (stillActive.nonEmpty)
         org.apache.logging.log4j.LogManager.getLogger(getClass)
           .warn(s"drainAndClean($name): StateStore.stop() is JVM-global " +

@@ -525,6 +525,193 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q194 session-window merge state survives a checkpoint restart") {
+    // The session twin of q198's restart pin, on q194's production
+    // provider (RocksDB): kill after phase 1, restart from the SAME
+    // checkpoint, and the per-user session-merge state must come back.
+    // The probe is a phase-2 event INSIDE the 30-minute gap of a
+    // phase-1 session: with recovered state the restarted query MERGES
+    // it (phase-1 start preserved, count grows across the restart);
+    // with lost state it would open a fresh session at the phase-2
+    // timestamp. Complete mode (q194's drain mode) re-emits the full
+    // table, so the final flat-sink overwrite is also checked against
+    // a batch evaluation of the same builder over all events.
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-q194-restart")
+    val streamDir = Files.createDirectory(root.resolve("events"))
+    val ckpt = root.resolve("ckpt")
+    val sink = Files.createDirectory(root.resolve("sink"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    val t0 = 10000000000L // us; session gap = 30 min = 1.8e9 us
+    def addFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-q194-restart-w")
+      rows.toDF("user_id", "us")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, streamDir.resolve(name))
+      val walked = Files.walk(tmp)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walked.close()
+    }
+    def drain(): Unit = {
+      val ev = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP").parquet(streamDir.toString)
+      val q = StreamingOps.streamingSessions(ev)
+        .writeStream.outputMode("complete")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(sink.toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    try {
+      // phase 1: user 1 opens a 2-event session; user 2 a 1-event one
+      addFile("b1.parquet", Seq(
+        (1L, t0), (1L, t0 + 600000000L), (2L, t0 - 3600000000L)))
+      drain()
+      // phase 2, same checkpoint: user 1 touched 25 min after its last
+      // phase-1 event (inside the gap — the merge probe) + fresh user 3
+      addFile("b2.parquet", Seq(
+        (1L, t0 + 2100000000L), (3L, t0 + 36000000000L)))
+      drain()
+      val got = spark.read.parquet(sink.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // recovered state: user 1 is ONE session starting at its phase-1
+      // start with 3 events; a fresh 1-event session here means the
+      // merge state was lost on restart
+      assert(got == Set((1L, t0, 3L), (2L, t0 - 3600000000L, 1L),
+        (3L, t0 + 36000000000L, 1L)), s"final sessions $got")
+      // final ≡ batch: the same builder over all events as a static frame
+      val batch = StreamingOps.streamingSessions(
+          Seq((1L, t0), (1L, t0 + 600000000L), (2L, t0 - 3600000000L),
+            (1L, t0 + 2100000000L), (3L, t0 + 36000000000L))
+            .toDF("user_id", "us")
+            .select(col("user_id"), timestamp_micros(col("us")).as("ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch)
+    } finally {
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      val walked = Files.walk(root)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
+  test("q195 interval-join state survives a checkpoint restart") {
+    // The dual-sided join twin of q198's restart pin, on q195's
+    // production provider (the default HDFS-backed store — so both
+    // provider recovery paths are covered across the three restart
+    // pins). The probe is a purchase arriving AFTER the restart that
+    // matches a click buffered in PHASE-1 join state: with recovered
+    // state the restarted query emits the pair; with lost state the
+    // click is gone and only the in-phase control pair appears.
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-q195-restart")
+    val clickDir = Files.createDirectory(root.resolve("clicks"))
+    val purchDir = Files.createDirectory(root.resolve("purchases"))
+    val ckpt = root.resolve("ckpt")
+    val sink = Files.createDirectory(root.resolve("sink"))
+
+    val t0 = 10000000000L // us; join window = 1 h after the click
+    def addFile(dir: java.nio.file.Path, name: String,
+        rows: Seq[(Long, Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-q195-restart-w")
+      rows.toDF("user_id", "event_id", "us")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+      val walked = Files.walk(tmp)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walked.close()
+    }
+    def drain(): Unit = {
+      def src(d: java.nio.file.Path) = spark.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP")
+        .parquet(d.toString)
+      val q = StreamingOps.streamingIntervalJoin(src(clickDir), src(purchDir))
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.write.mode("overwrite").parquet(sink.resolve(s"b$batchId").toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sinkBatchDirs(): Set[String] = Files.list(sink).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("b")).toSet
+
+    try {
+      // phase 1: user 1's click is buffered unmatched (its purchase
+      // has not arrived); user 2's purchase never matches anything
+      addFile(clickDir, "c1.parquet", Seq((1L, 101L, t0)))
+      addFile(purchDir, "p1.parquet", Seq((2L, 901L, t0)))
+      drain()
+      val phase1Dirs = sinkBatchDirs()
+      // phase 2, same checkpoint: user 1's purchase 30 min after the
+      // PHASE-1 click (the state-recovery probe), plus an in-phase
+      // control pair for user 3
+      addFile(clickDir, "c2.parquet", Seq((3L, 103L, t0 + 300000000L)))
+      addFile(purchDir, "p2.parquet", Seq(
+        (1L, 902L, t0 + 1800000000L), (3L, 903L, t0 + 1200000000L)))
+      drain()
+      val newDirs = (sinkBatchDirs() -- phase1Dirs).toSeq
+      val phase2 = spark.read.parquet(newDirs.map(f =>
+          sink.resolve(f).toString): _*)
+        .select("c_id", "p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // recovered state: phase-1 click 101 joins purchase 902; its
+      // absence here means the click side's join state was lost
+      assert(phase2 == Set((101L, 902L), (103L, 903L)),
+        s"phase-2 joins $phase2 — missing (101,902) means the phase-1 " +
+          "click was lost on restart")
+      // final ≡ batch: all emitted pairs equal the batch evaluation of
+      // the same builder over the union of both sides' static frames
+      val allClicks = Seq((1L, 101L, t0), (3L, 103L, t0 + 300000000L))
+      val allPurch = Seq((2L, 901L, t0), (1L, 902L, t0 + 1800000000L),
+        (3L, 903L, t0 + 1200000000L))
+      def df(rows: Seq[(Long, Long, Long)]) = rows
+        .toDF("user_id", "event_id", "us")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"))
+      val batch = StreamingOps.streamingIntervalJoin(df(allClicks), df(allPurch))
+        .select("c_id", "p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamedAll = spark.read
+        .option("recursiveFileLookup", "true").parquet(sink.toString)
+        .select("c_id", "p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamedAll == batch && batch == Set((101L, 902L), (103L, 903L)))
+    } finally {
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      val walked = Files.walk(root)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
   test("distributed drain survives zero-row results (append and complete)") {
     // the r9 drain rewrite (memory sink was a hidden collect-to-driver,
     // OOM'd at 100×) reads the sink dir back with an explicit schema —
