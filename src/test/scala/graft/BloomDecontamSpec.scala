@@ -187,6 +187,87 @@ class BloomDecontamSpec extends AnyFunSuite {
       s"benchmark-sized m=$m must stay selective (flagged $autoFp/60 clean)")
   }
 
+  test("q193 degenerate: every doc is benchmark — each flags itself exactly") {
+    // all ids ≡ 0 (mod 97): the filter holds the union of ALL grams,
+    // so every ≥13-token doc must flag with n_hits == its own distinct
+    // gram count (its grams are in the filter by construction), and
+    // every <13-token doc has no gram to probe and must not appear.
+    // Auto-sizing replays over the same inputs (reimpl at the width
+    // bloomSizeBits computes from the all-docs benchmark).
+    val docs = corpus(909L).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong * 97, t) }
+    val nGrams = docs.flatMap(d => grams13(d._2)).distinct.size.toLong
+    val m = graft.ops.Extended10.bloomSizeBits(nGrams)
+    val auto = graft.ops.Extended10.bloomDecontaminate(
+        docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(auto == reimpl(docs, m.toLong))
+    val withGrams = docs.filter(d => grams13(d._2).nonEmpty)
+    assert(withGrams.size < docs.size,
+      "corpus must include a <13-token doc (the no-gram path)")
+    withGrams.foreach { case (id, t) =>
+      assert(auto.contains((id, grams13(t).size.toLong)),
+        s"benchmark doc $id must flag itself with its full gram count")
+    }
+    assert(auto.size == withGrams.size)
+  }
+
+  test("q193 degenerate: single-gram benchmark at the floor width") {
+    // the smallest possible benchmark: ONE 13-token doc = ONE gram;
+    // sizing clamps to the 2^17 floor, a verbatim copy flags with
+    // n_hits = 1, and a 13-token near-miss (last token differs) or a
+    // 12-token prefix must not flag (at 4 set bits of 2^17 the FP term
+    // is deterministic-zero on this corpus, so the flag set is exact)
+    val window = "alpha bravo carol delta echoes foxtrot golf hotel " +
+      "india julie kilo lima mike"
+    assert(grams13(window).size == 1)
+    val bench = (97L, window)
+    val planted = (5L, s"zulu $window yankee")
+    val tooShort = (7L, window.split(" ").take(12).mkString(" "))
+    val nearMiss = (9L, window.split(" ").take(12).mkString(" ") + " oscar")
+    val clean = (0 until 20).map(i =>
+      (101L + 2 * i, corpus(333L + i).drop(5).head._2))
+    val docs = Seq(bench, planted, tooShort, nearMiss) ++ clean
+    assert(graft.ops.Extended10.bloomSizeBits(1L) == 131072)
+    val auto = graft.ops.Extended10.bloomDecontaminate(
+        docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(auto == reimpl(docs, 131072L))
+    assert(auto.toSet == Set((97L, 1L), (5L, 1L)),
+      s"exactly the benchmark and its verbatim copy must flag: $auto")
+  }
+
+  test("q193 adversarial unicode: engine and reimpl tokenize identically") {
+    // The tokenizer contract is lower + split on [^a-z]+: EVERYTHING
+    // non-a-z — digits, punctuation, CJK, emoji (astral-plane
+    // surrogate pairs), full-width letters, combining marks, ß, İ —
+    // is a separator, and A-Z case-folds in. This corpus plants the
+    // same 13-token window three ways (unicode-noise separators,
+    // UPPER-case, wrapped in hostile codepoints); Spark's
+    // lower()+regexp split and the JVM reimplementation must produce
+    // the IDENTICAL flag set, pinning the two tokenizers against each
+    // other exactly where full-vs-simple case mapping and surrogate
+    // handling could diverge.
+    val window = "alpha bravo carol delta echoes foxtrot golf hotel " +
+      "india julie kilo lima mike"
+    val bench = (97L, s"Начало ${window} 終わり")   // noise-wrapped bench
+    val noiseSep = (5L, "x1" + window.split(" ").mkString("🚀") + "2y")
+    val upper = (7L, window.toUpperCase)
+    val hostile = (9L, s"İstanbul $window ß ＡＢＣ")
+    val cjkOnly = (11L, "漢字テスト 🎉🎉 12345 ＡＢＣ ≠≠≠")
+    val clean = (0 until 10).map(i =>
+      (101L + 2 * i, s"§${corpus(555L + i).drop(5).head._2}✓"))
+    val docs = Seq(bench, noiseSep, upper, hostile, cjkOnly) ++ clean
+    val auto = graft.ops.Extended10.bloomDecontaminate(
+        docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(auto == reimpl(docs, 131072L))
+    val flagged = auto.map(_._1).toSet
+    assert(Set(97L, 5L, 7L, 9L).subsetOf(flagged),
+      s"every planted variant must flag through the unicode noise: $auto")
+    assert(!flagged.contains(11L), "a doc with no a-z token has no gram")
+  }
+
   test("q193 auto-sizing equals the explicit width it computes") {
     // the declared query passes mBits = None; the result must be
     // byte-identical to pinning the width bloomSizeBits picks (and to
