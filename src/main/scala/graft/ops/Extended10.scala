@@ -1130,33 +1130,56 @@ object Extended10 {
     val lex = lexTop.select(col("q_id"), col("doc_id"),
       col("rnk").as("lex_rank"))
     // the SAME five queries as the lexical side (q190's derivation).
-    // The 5 ids are collected (5 longs — model-sized, like the
-    // centroids) so the vector lookup reaches the index scan as a
-    // PUSHED isin filter instead of a join that would materialize the
-    // fat e0 column for every row; at serving scale query vectors
-    // arrive WITH the query and this lookup disappears entirely
+    // The 5 ids AND their raw vectors are collected (5·dim doubles —
+    // model-sized, like the centroids): leaving the query vectors as a
+    // DataFrame made BOTH downstream consumers (probe ranking, query
+    // codes) a full fat-column scan of the index, and the candidate
+    // join a third — measured at the 1000× tier the three scans cost
+    // more than brute q197's one. At serving scale query vectors
+    // arrive WITH the query and this lookup disappears entirely.
     val qIds = docs.select(col("doc_id").as("q_id"))
       .orderBy("q_id").limit(5).collect().map(_.getLong(0))
-    val qraw = index.filter(col("vec_id").isin(qIds: _*))
-      .select(col("vec_id").as("q_id"), col("e0"))
-    // centroids rebuilt from the driver array (k rows — re-deriving
-    // them from the fit's DataFrame would re-run Lloyd's per consumer)
-    val centsDf = cents.toSeq.map { case (cid, ce) => (cid, ce.toSeq) }
-      .toDF("cid", "ce")
-    // nProbe nearest cells per query: queries×nCells rows, model-sized
-    val probeCells = qraw.crossJoin(broadcast(centsDf))
-      .withColumn("prnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(
-          Clustering.l2sq(col("e0"), col("ce")).asc, col("cid"))))
-      .filter(col("prnk") <= nProbe)
-      .select(col("q_id"), col("cid").as("cell"))
-    // query codes: same affine map; a flat query vector drops out and
-    // that query degrades to lexical-only, exactly as in brute q197
-    val qv = withInt8Codes(qraw, "e0").select(col("q_id"), col("c").as("qc"))
-    // candidates = vectors in the query's probed cells ONLY — with a
-    // cell-partitioned index this join is partition pruning, and the
-    // int8 quantize below runs on nProbe/nCells of the corpus
-    val cand = index.join(broadcast(probeCells), "cell")
+    val qvecs: Array[(Long, Array[Double])] =
+      index.filter(col("vec_id").isin(qIds.map(Long.box): _*))
+        .select(col("vec_id"), col("e0")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    // nProbe nearest cells per query, ranked on the DRIVER over the
+    // driver-held centroids — ascending-index IEEE squared L2 with the
+    // (d2, cid) tie rule, the exact ordering the engine-side
+    // row_number window used (and ClusteringSpec pins for the argmin)
+    def l2sqLocal(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      val n = math.min(a.length, b.length)
+      while (j < n) { val x = a(j) - b(j); d += x * x; j += 1 }
+      d
+    }
+    val probePairs: Seq[(Long, Long)] = qvecs.toSeq.flatMap {
+      case (q, e) => cents.toSeq
+        .map { case (cid, ce) => (cid, l2sqLocal(e, ce)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(nProbe)
+        .map { case (cid, _) => (q, cid) }
+    }
+    // query codes: same affine map (run Spark-side on the 5-row frame
+    // so the IEEE tree is withInt8Codes verbatim); a flat query vector
+    // drops out and that query degrades to lexical-only, as in brute
+    val qv = withInt8Codes(
+        qvecs.toSeq.map { case (q, e) => (q, e.toSeq) }.toDF("q_id", "e0"),
+        "e0")
+      .select(col("q_id"), col("c").as("qc"))
+    // candidates = vectors in the query's probed cells ONLY: the
+    // probed-cell set is a STATIC isin filter on the cell column — on
+    // a cell-partitioned index that is partition pruning at the file
+    // listing, no DPP needed — and the ≤ queries·nProbe-row pair
+    // table broadcasts in to attach q_ids. The int8 quantize below
+    // runs on probed-cell rows only.
+    val cellSet = probePairs.map(_._2).distinct
+    val candFilter =
+      if (cellSet.isEmpty) lit(false)
+      else col("cell").isin(cellSet.map(Long.box): _*)
+    val probeDf = probePairs.toDF("q_id", "cell")
+    val cand = index.filter(candFilter)
+      .join(broadcast(probeDf), "cell")
       .select(col("q_id"), col("vec_id"), col("e0"))
     val dots = withInt8Codes(cand, "e0")
       .join(broadcast(qv), "q_id")

@@ -324,6 +324,43 @@ class RrfSpec extends AnyFunSuite {
     caches.foreach(_.unpersist())
   }
 
+  test("q199 prebuilt-index roundtrip equals the inline composition") {
+    // the amortized path (ivfIndex → cell-partitioned vec_id-sorted
+    // parquet → rrfHybridIvfQuery) must reproduce the inline
+    // build+query byte-identically: pins the partition-column type
+    // change (cell comes back as an INT partition value joined against
+    // the long-typed probe pairs), the sorted write layout, and that
+    // the centroids the query side needs are exactly the build's
+    val docs = corpus(808L, 80)
+    val vecs = uniformVectors(909L, docs.map(_._1))
+    val docsDf = docs.toDF("doc_id", "text")
+    val embDf = vecs.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "e0")
+    def collectOut(p: (org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame])) = {
+      val rows = p._1.collect().map(_.toSeq).toSeq
+      p._2.foreach(_.unpersist())
+      rows
+    }
+    val inline = collectOut(Extended10.rrfHybridIvfPlan(
+      docsDf, embDf, dim = 8, nCells = 4, nProbe = 2))
+    val (index, cents) = Extended10.ivfIndex(embDf, dim = 8, nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rt")
+    try {
+      index.repartition(col("cell")).sortWithinPartitions("vec_id")
+        .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
+      val prebuilt = collectOut(Extended10.rrfHybridIvfQuery(
+        docsDf, spark.read.parquet(dir.toString), cents, nProbe = 2))
+      assert(prebuilt == inline)
+    } finally {
+      val walked = java.nio.file.Files.walk(dir)
+      try walked
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
   test("planted twin fuses to the top: query doc leads both lists") {
     // each query doc is BUILT to lead both lists: a unique term no
     // other doc contains (lexical list = self alone, df = 1) and a
