@@ -352,6 +352,19 @@ class RrfSpec extends AnyFunSuite {
       val prebuilt = collectOut(Extended10.rrfHybridIvfQuery(
         docsDf, spark.read.parquet(dir.toString), cents, nProbe = 2))
       assert(prebuilt == inline)
+      // plan evidence (PLANS.md q199): the probed-cell restriction must
+      // reach the index read as PARTITION filters — pruning at the file
+      // listing, not a post-scan filter over the whole corpus
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val (planOut, planCaches) = Extended10.rrfHybridIvfQuery(
+        docsDf, spark.read.parquet(dir.toString), cents, nProbe = 2)
+      val pruned = planOut.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec if s.partitionFilters.exists(
+          _.references.exists(_.name == "cell")) => s
+      }
+      planCaches.foreach(_.unpersist())
+      assert(pruned.nonEmpty,
+        "candidate scan must carry cell partition filters")
     } finally {
       val walked = java.nio.file.Files.walk(dir)
       try walked
