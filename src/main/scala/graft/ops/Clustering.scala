@@ -64,6 +64,18 @@ object Clustering {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Driver-side twin of [[l2sq]]: the same ascending-index sequential
+    * IEEE fold (and [[nearestCentroid]]'s inner loop), so driver-ranked
+    * probe decisions agree bit-for-bit with the engine-side column
+    * form. Shared by q45's and q199's nProbe-cell selection. */
+  private[graft] def l2sqLocal(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var j = 0
+    val n = math.min(a.length, b.length)
+    while (j < n) { val x = a(j) - b(j); d += x * x; j += 1 }
+    d
+  }
+
   /** THE in-row nearest-centroid argmin over driver-held centroids —
     * shared by the Lloyd update loop and SemDeDup's full-corpus
     * assignment (ADVICE r8: it was duplicated). Centroids are scanned
@@ -89,7 +101,14 @@ object Clustering {
         c += 1
       }
       (bc, bd)
-    }
+      // asNonNullable: the function is total (never null), and the
+      // declaration matters — a NULLABLE join/filter key derived from
+      // this UDF makes Catalyst propagate an IsNotNull constraint that
+      // pushes below the projection and RE-RUNS the whole argmin (and
+      // any cast feeding it) once per row in a pushed filter on top of
+      // the project's own evaluation (q45 plan audit, r11: the UDF
+      // appeared in BOTH Filter(isnotnull(UDF(..)._1)) and Project)
+    }.asNonNullable()
   }
 
   /** Nearest-centroid id per vector (tie → lower cid) against a

@@ -1107,12 +1107,18 @@ object Extended10 {
   }
 
   /** Inline build+query composition (the declared q199 and the spec
-    * entry point): builds the index, then runs the query side. */
+    * entry point): builds the index, then runs the query side.
+    * pruneCells = false: the inline index's cell column is COMPUTED
+    * (the assignment UDF), so the candidate isin filter has nothing
+    * below it to prune — and worse, the deterministic predicate pushes
+    * below fanout's repartition, collapsing the whole assignment to
+    * file-split parallelism (the q45 QTime finding, r11). The
+    * broadcast pair join alone restricts the cells, at full width. */
   private[graft] def rrfHybridIvfPlan(docs: DataFrame, emb: DataFrame,
       dim: Int, nCells: Int = 16, nProbe: Int = 4)
       : (DataFrame, Seq[DataFrame]) = {
     val (index, cents) = ivfIndex(emb, dim, nCells)
-    rrfHybridIvfQuery(docs, index, cents, nProbe)
+    rrfHybridIvfQuery(docs, index, cents, nProbe, pruneCells = false)
   }
 
   /** Query side over a (pre)built index: probe each query's nProbe
@@ -1121,7 +1127,8 @@ object Extended10 {
     * quantize and exact-dot-rerank ONLY the probed cells' vectors,
     * fuse with q190's lexical list via the unchanged [[rrfFuse]]. */
   private[graft] def rrfHybridIvfQuery(docs: DataFrame, index: DataFrame,
-      cents: Array[(Long, Array[Double])], nProbe: Int)
+      cents: Array[(Long, Array[Double])], nProbe: Int,
+      pruneCells: Boolean = true)
       : (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
@@ -1148,15 +1155,9 @@ object Extended10 {
     // driver-held centroids — ascending-index IEEE squared L2 with the
     // (d2, cid) tie rule, the exact ordering the engine-side
     // row_number window used (and ClusteringSpec pins for the argmin)
-    def l2sqLocal(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var j = 0
-      val n = math.min(a.length, b.length)
-      while (j < n) { val x = a(j) - b(j); d += x * x; j += 1 }
-      d
-    }
     val probePairs: Seq[(Long, Long)] = qvecs.toSeq.flatMap {
       case (q, e) => cents.toSeq
-        .map { case (cid, ce) => (cid, l2sqLocal(e, ce)) }
+        .map { case (cid, ce) => (cid, Clustering.l2sqLocal(e, ce)) }
         .sortBy { case (cid, d) => (d, cid) }.take(nProbe)
         .map { case (cid, _) => (q, cid) }
     }
@@ -1167,15 +1168,20 @@ object Extended10 {
         qvecs.toSeq.map { case (q, e) => (q, e.toSeq) }.toDF("q_id", "e0"),
         "e0")
       .select(col("q_id"), col("c").as("qc"))
-    // candidates = vectors in the query's probed cells ONLY: the
-    // probed-cell set is a STATIC isin filter on the cell column — on
-    // a cell-partitioned index that is partition pruning at the file
-    // listing, no DPP needed — and the ≤ queries·nProbe-row pair
-    // table broadcasts in to attach q_ids. The int8 quantize below
-    // runs on probed-cell rows only.
+    // candidates = vectors in the query's probed cells ONLY. With a
+    // STORED cell column (pruneCells — the cell-partitioned prebuilt
+    // index) the probed-cell set goes in as a STATIC isin filter too:
+    // partition pruning at the file listing, no DPP needed. With a
+    // COMPUTED cell (inline) the filter is omitted — it would push
+    // below fanout's repartition and run the assignment UDF at
+    // file-split parallelism (q45's QTime finding) — and the
+    // ≤ queries·nProbe-row pair join below restricts the cells on its
+    // own, above the exchange at full width. The int8 quantize runs
+    // on probed-cell rows only either way.
     val cellSet = probePairs.map(_._2).distinct
     val candFilter =
-      if (cellSet.isEmpty) lit(false)
+      if (!pruneCells) lit(true)
+      else if (cellSet.isEmpty) lit(false)
       else col("cell").isin(cellSet.map(Long.box): _*)
     val probeDf = probePairs.toDF("q_id", "cell")
     val cand = index.filter(candFilter)

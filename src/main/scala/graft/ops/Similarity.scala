@@ -1050,6 +1050,7 @@ object Similarity {
     * semi-join on cell id. At 100 TB the cell id becomes the partition
     * key, so a query touches nProbe/nCells of the data. */
   def q45AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val nProbe = 4
     val emb = Tables.fanout(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
@@ -1059,33 +1060,50 @@ object Similarity {
     // the same reason). At 100 TB this is the difference between
     // Lloyd rounds over the corpus and Lloyd rounds over a bounded
     // training set; the FULL corpus is still assigned to cells below.
-    // stageCheckpoint: the fitted centroids (16 rows) feed THREE
-    // consumers (cell assignment, probe selection, and kmeansFit's own
-    // closing audit join) — truncate the iterative lineage once instead
-    // of re-running Lloyd's rounds per consumer
-    val cents = Clustering.kmeansFit(
-        emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
-          .select(col("vec_id").as("id"), col("e")),
-        k = 16, dim = 64, maxIters = 4)
-      .select(col("cid"), col("ce")).pipe(graft.ops.ScaleOps.stageCheckpoint)
-    // nearest centroid per vector: 16-way broadcast expand + argmin —
-    // min_by on (l2sq, cid) keeps the tie deterministic
-    val cells = emb.crossJoin(broadcast(cents))
-      .groupBy("vec_id")
-      .agg(min_by(col("cid"),
-        struct(Clustering.l2sq(col("e"), col("ce")), col("cid"))).as("cell"))
-    val withCell = emb.join(cells, "vec_id")
-    // the query probes its nProbe nearest cells (same L2 metric)
-    val q = emb.filter(col("vec_id") === 0)
-    val probeCells = q.crossJoin(broadcast(cents))
-      .select(col("cid").as("cell"),
-        Clustering.l2sq(col("e"), col("ce")).as("qd"))
-      .orderBy(col("qd").asc, col("cell")).limit(nProbe)
-      .select("cell")
-    val qe = q.select(col("e").as("qe"))
-    withCell.join(broadcast(probeCells), "cell")
+    // The fitted centroids are COLLECTED (k·d doubles, the model
+    // artifact): until r11 they stayed a checkpointed DataFrame and
+    // assignment was a 16-way crossJoin EXPAND + a corpus-sized
+    // groupBy(vec_id) shuffle + a join back to recover `e` — three
+    // data-sized exchanges. With driver-held centroids (the q199
+    // pattern) assignment is ONE in-row argmin and the corpus never
+    // shuffles; nearestCentroid ≡ the min_by form (ClusteringSpec).
+    // the training sample is PERSISTED across the Lloyd rounds (the
+    // ivfIndex posture): kmeansFit scans its input once per round plus
+    // init and audit — uncached that was ~6 re-reads of the corpus
+    // through fanout's repartition
+    val train = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .select(col("vec_id").as("id"), col("e")).persist()
+    val cents =
+      try Clustering.kmeansFit(train, k = 16, dim = 64, maxIters = 4)
+        .select(col("cid"), col("ce")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      finally train.unpersist()
+    // the query's nProbe nearest cells, ranked on the driver with the
+    // SAME metric and (d2, cid) tie rule the engine-side
+    // orderBy(qd, cell) used (l2sqLocal ≡ l2sq, ascending-index fold)
+    val qvec = emb.filter(col("vec_id") === 0).select("e")
+      .collect().headOption.map(_.getSeq[Double](0).toArray)
+    val probeSet: Seq[Long] = qvec.toSeq.flatMap { qv =>
+      cents.toSeq.map { case (cid, ce) => (cid, Clustering.l2sqLocal(qv, ce)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
+    }
+    // the probed-cell restriction is a BROADCAST SEMI-ish join, not an
+    // isin FILTER: a deterministic filter on the UDF column pushes
+    // below fanout's repartition and the whole assignment then runs at
+    // file-split parallelism (QTime at 1000×: one 6-task stage holding
+    // 73.8 of the query's 90 s) — the join keeps the argmin above the
+    // exchange at full width. On a STORED cell column (q199's prebuilt
+    // index) the pushdown is the point (partition pruning); here the
+    // cell is computed, so there is nothing below to prune.
+    val probeDf = probeSet.map(Tuple1(_)).toDF("cell")
+    val qeDf = qvec.toSeq.map(v => Tuple1(v.toSeq)).toDF("qe")
+    emb.withColumn("cell",
+        if (cents.isEmpty) lit(-1L)
+        else Clustering.nearestCentroid(cents)(col("e"))("_1"))
+      .join(broadcast(probeDf), "cell")
       .filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(qe))
+      .crossJoin(broadcast(qeDf))
       .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
