@@ -64,6 +64,25 @@ object Clustering {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Deterministic BOUNDED training sample for coarse quantizers, the
+    * Faiss practice (~256 training vectors per centroid carry the
+    * density shape; more buys nothing but Lloyd-round cost). One count
+    * job sizes a power-of-2 hash modulus so the expected sample is
+    * ≤ 256·k; at or below that size the full set trains. The bound is
+    * ABSOLUTE, not a corpus fraction — a fraction means Lloyd rounds
+    * that grow with the corpus, which is exactly what a sample-trained
+    * quantizer exists to avoid; the full corpus is still assigned to
+    * cells by the caller. Input contract: an `id` column keys the
+    * hash (xxhash64 — deterministic across runs and partitionings). */
+  private[graft] def trainingSample(emb: DataFrame, k: Int): DataFrame = {
+    val n = emb.count()
+    val target = 256L * k
+    var m = 1L
+    while (n / m > target) m <<= 1
+    if (m == 1) emb
+    else emb.filter(pmod(xxhash64(col("id")), lit(m)) === 0)
+  }
+
   /** Driver-side twin of [[l2sq]]: the same ascending-index sequential
     * IEEE fold (and [[nearestCentroid]]'s inner loop), so driver-ranked
     * probe decisions agree bit-for-bit with the engine-side column

@@ -302,9 +302,9 @@ object Extended10 {
       Clustering.kmeansFit(df, k = k, dim = dim, maxIters = 6)
         .select(col("cid"), col("ce")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val sampled =
-      fit(emb.filter(pmod(xxhash64(col("id")), lit(4)) === 0))
-    val cents = if (sampled.nonEmpty) sampled else fit(emb)
+    // bounded sample (≤ 256·k, r11) — below that size the full set
+    // trains, so the old empty-sample fallback is no longer reachable
+    val cents = fit(Clustering.trainingSample(emb, k))
     // shared in-row argmin (metric + lower-cid tie rule identical to
     // kmeansFit's update loop) — k·d doubles ride the closure, not a
     // join
@@ -1079,19 +1079,21 @@ object Extended10 {
   }
 
   /** IVF index build (the ingest/write path): train the coarse
-    * quantizer on a deterministic ~25% hash-sample of the fixed-dim
-    * vectors, then assign EVERY vector its cell id in one narrow
-    * in-row argmin (centroids ride the closure, k·d doubles — the
-    * corpus never shuffles). Returns the indexed frame
-    * (vec_id, e0, cell) and the centroids. Persist the frame
+    * quantizer on a deterministic BOUNDED hash-sample of the fixed-dim
+    * vectors (Clustering.trainingSample, ≤ 256·nCells — Lloyd cost
+    * constant in the corpus size, r11), then assign EVERY vector its
+    * cell id in one narrow in-row argmin (centroids ride the closure,
+    * k·d doubles — the corpus never shuffles). Returns the indexed
+    * frame (vec_id, e0, cell) and the centroids. Persist the frame
     * partitioned by `cell` to make queries partition-prunable; the
     * centroid array is the model artifact a query needs. */
   private[graft] def ivfIndex(emb: DataFrame, dim: Int, nCells: Int)
       : (DataFrame, Array[(Long, Array[Double])]) = {
     val embD = emb.filter(size(col("e0")) === dim)
-    val train = embD
-      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
-      .select(col("vec_id").as("id"), col("e0").as("e")).persist()
+    val train = Clustering.trainingSample(
+        embD.select(col("vec_id").as("id"), col("e0").as("e")),
+        k = nCells)
+      .persist()
     // kmeansFit materializes eagerly (driver-held Lloyd loop), so the
     // training cache is released before this function returns
     val cents =

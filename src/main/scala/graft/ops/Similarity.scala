@@ -1054,26 +1054,25 @@ object Similarity {
     val nProbe = 4
     val emb = Tables.fanout(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
-    // The quantizer trains on a DETERMINISTIC ~25% hash-sample — the
-    // standard IVF practice (a coarse quantizer needs the density
-    // shape, not every vector; Faiss trains on a bounded sample for
-    // the same reason). At 100 TB this is the difference between
-    // Lloyd rounds over the corpus and Lloyd rounds over a bounded
-    // training set; the FULL corpus is still assigned to cells below.
-    // The fitted centroids are COLLECTED (k·d doubles, the model
+    // The quantizer trains on a DETERMINISTIC BOUNDED hash-sample
+    // (Clustering.trainingSample: ≤ 256·k vectors, the Faiss practice
+    // — a coarse quantizer needs the density shape, not every vector).
+    // Until r11 this was a fixed 25% FRACTION, i.e. Lloyd rounds that
+    // grew with the corpus — the opposite of what sample training is
+    // for. The FULL corpus is still assigned to cells below. The
+    // fitted centroids are COLLECTED (k·d doubles, the model
     // artifact): until r11 they stayed a checkpointed DataFrame and
     // assignment was a 16-way crossJoin EXPAND + a corpus-sized
     // groupBy(vec_id) shuffle + a join back to recover `e` — three
     // data-sized exchanges. With driver-held centroids (the q199
     // pattern) assignment is ONE in-row argmin and the corpus never
     // shuffles; nearestCentroid ≡ the min_by form (ClusteringSpec).
-    // the training sample is PERSISTED across the Lloyd rounds (the
+    // The training sample is PERSISTED across the Lloyd rounds (the
     // ivfIndex posture): kmeansFit scans its input once per round plus
-    // init and audit — uncached that was ~6 re-reads of the corpus
-    // through fanout's repartition
-    val train = emb
-      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
-      .select(col("vec_id").as("id"), col("e")).persist()
+    // init and audit.
+    val train = Clustering.trainingSample(
+        emb.select(col("vec_id").as("id"), col("e")), k = 16)
+      .persist()
     val cents =
       try Clustering.kmeansFit(train, k = 16, dim = 64, maxIters = 4)
         .select(col("cid"), col("ce")).collect()
