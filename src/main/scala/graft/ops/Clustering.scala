@@ -73,14 +73,26 @@ object Clustering {
     * that grow with the corpus, which is exactly what a sample-trained
     * quantizer exists to avoid; the full corpus is still assigned to
     * cells by the caller. Input contract: an `id` column keys the
-    * hash (xxhash64 — deterministic across runs and partitionings). */
-  private[graft] def trainingSample(emb: DataFrame, k: Int): DataFrame = {
-    val n = emb.count()
+    * hash (xxhash64 — deterministic across runs and partitionings).
+    * Callers that already hold the row count (SemDeDup's adaptive-k
+    * path sizes k from the same count) pass it via `knownCount` so the
+    * modulus job isn't paid twice. */
+  private[graft] def trainingSample(emb: DataFrame, k: Int,
+      knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(emb.count())
     val target = 256L * k
     var m = 1L
     while (n / m > target) m <<= 1
     if (m == 1) emb
-    else emb.filter(pmod(xxhash64(col("id")), lit(m)) === 0)
+    else {
+      val s = emb.filter(pmod(xxhash64(col("id")), lit(m)) === 0)
+      // belt-and-suspenders (ADVICE r11): an empty hash draw is
+      // ~e^(-128k) theoretical, but a zero-centroid fit would crash
+      // every caller's per-row argmin instead of degrading — fall back
+      // to full-frame training, which costs nothing precisely when it
+      // could ever trigger (isEmpty is a limit-1 probe)
+      if (s.isEmpty) emb else s
+    }
   }
 
   /** Driver-side twin of [[l2sq]]: the same ascending-index sequential
@@ -156,6 +168,27 @@ object Clustering {
       tol: Double = 1e-6): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val cents = lloyd(emb, k, dim, maxIters, tol)
+    val centsDf = cents.toSeq.map { case (cid, ce) => (cid, ce.toSeq) }
+      .toDF("cid", "ce")
+    centsDf.join(assign(emb, centsDf).groupBy("cid")
+      .agg(count(lit(1)).as("n")), Seq("cid"), "left")
+      .select(col("cid"), col("ce"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("cid")
+  }
+
+  /** The Lloyd loop of [[kmeansFit]], returning the driver-held
+    * centroid array (ascending cid) WITHOUT the final population
+    * audit. The audit is a fit-input × k crossJoin — fine at audit-
+    * scale k (q108's 8, q45's 16, ivfIndex's 64 over a bounded
+    * sample), ruinous when k ∝ n (SemDeDup's adaptive path: sample ≈
+    * 256·k rows × k cells = O(k²) expanded HOF rows), which is why
+    * that path calls this directly. Centroids are bit-identical to
+    * kmeansFit's: same init, same rounds, same tie rules. */
+  private[graft] def lloyd(emb: DataFrame, k: Int, dim: Int,
+      maxIters: Int, tol: Double = 1e-6): Array[(Long, Array[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     // centroids live ON THE DRIVER between rounds: k·d doubles (the
     // same audit-scale payload the broadcast carried) — NOT a
     // data-sized collect. Round 3 kept them as a checkpointed
@@ -199,12 +232,7 @@ object Clustering {
       }
       i += 1
     }
-    val centsDf = cents.toSeq.map { case (cid, ce) => (cid, ce.toSeq) }
-      .toDF("cid", "ce")
-    centsDf.join(assign(emb, centsDf).groupBy("cid")
-      .agg(count(lit(1)).as("n")), Seq("cid"), "left")
-      .select(col("cid"), col("ce"), coalesce(col("n"), lit(0L)).as("n"))
-      .orderBy("cid")
+    cents
   }
 
   /** q108 — k-means cell audit over the embeddings table: fit 8 cells

@@ -717,18 +717,22 @@ object Similarity {
         .bitwiseAND(1) * 2 - 1).as(s"v$j")
     }
     val votes = words.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-    // fstr (the 64-char bitstring) drives band keys — identical substring
-    // math on both engines; fp (the same bits packed in a long) drives
-    // the compiled hamming on the Spark side only.
+    // the packed fp long carries EVERYTHING: band b's key is byte b of
+    // fp ((fp >>> 8b) & 255 — a bijection of the oracle's 8-char
+    // substring of the bitstring, bit j of fstr ≡ bit j of fp, so the
+    // band-equality classes are identical even though the key VALUES
+    // differ; keys are join-internal, never output), and fp drives the
+    // compiled hamming. The persisted signature is two longs per doc —
+    // until r12 it also held the 64-char fstr bitstring, which existed
+    // only to substring those keys and put a string-heavy column in a
+    // cache (the q37 'strings don't cache' shape, CachedSortGuardSpec).
     val sig = votes.select(col("doc_id"),
-      concat((0 until 64).map(j =>
-        when(col(s"v$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("fstr"),
       (0 until 64).map(j =>
         when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
         .reduce(_.bitwiseOR(_)).as("fp")).persist()
     val bands = sig.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 8).map(b =>
-        substring(col("fstr"), b * 8 + 1, 8)): _*))
+        shiftrightunsigned(col("fp"), b * 8).bitwiseAND(lit(255L))): _*))
         .as(Seq("band_idx", "band_key")))
     val a = bands.select(col("band_idx"), col("band_key"),
       col("doc_id").as("a_id"), col("fp").as("fp_a"))

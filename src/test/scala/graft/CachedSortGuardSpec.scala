@@ -65,18 +65,29 @@ class CachedSortGuardSpec extends AnyFunSuite {
           }.flatten
           if (caches.nonEmpty) {
             cachedSorts += 1
-            val strCols = caches.flatMap(_.schema.fields)
-              .filter(_.dataType == StringType).map(_.name).distinct
-              .filter(df.columns.contains)
-            strCols.foreach { c =>
-              val mx = Option(df.agg(max(length(col(c)))).head.get(0))
-                .fold(0)(_.asInstanceOf[Int])
-              assert(mx <= 32,
-                s"$name: cachedOrderBy holds string column '$c' with max " +
-                  s"length $mx at sf0.001 — string-heavy tails cache " +
-                  "SLOWER than they recompute (BASELINE.md, 'strings " +
-                  "don't cache'); use plain orderBy, or A/B the site at " +
-                  "the 1000x tier and record the win before caching")
+            // measure from the CACHED relation itself, not the query
+            // output (ADVICE r11): a long string cached mid-plan but
+            // projected away before output — the exact q37 sha2 shape
+            // behind a projection — must still fail the guard
+            caches.foreach { c =>
+              val strIdx = c.schema.fields.zipWithIndex
+                .filter(_._1.dataType == StringType)
+              if (strIdx.nonEmpty) {
+                val rows = c.executeCollect() // sf0.001: cached frames are tiny
+                strIdx.foreach { case (f, i) =>
+                  val mx = rows.foldLeft(0) { (m, r) =>
+                    if (r.isNullAt(i)) m
+                    else math.max(m, r.getUTF8String(i).numChars)
+                  }
+                  assert(mx <= 32,
+                    s"$name: cachedOrderBy holds string column '${f.name}' " +
+                      s"with max length $mx at sf0.001 — string-heavy tails " +
+                      "cache SLOWER than they recompute (BASELINE.md, " +
+                      "'strings don't cache'); use plain orderBy, or A/B " +
+                      "the site at the 1000x tier and record the win " +
+                      "before caching")
+                }
+              }
             }
           }
           spark.catalog.clearCache()

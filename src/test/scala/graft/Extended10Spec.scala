@@ -48,6 +48,42 @@ class Extended10Spec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum == 0, "nothing to drop")
   }
 
+  test("q187 adaptive path: k sizing law and planted-cone counts") {
+    // the sizing law: sf ladder (≤2048 reps) stays at the declared 8;
+    // beyond that, cells average ≤256 reps by construction
+    assert(Extended10.semDedupK(0) == 8)
+    assert(Extended10.semDedupK(2000) == 8, "sf0.1 grid keeps k = 8")
+    assert(Extended10.semDedupK(2048) == 8)
+    assert(Extended10.semDedupK(2049) == 9)
+    assert(Extended10.semDedupK(2000000) == 7813)
+    // adaptive entry (kOverride = None) on the planted cones: same
+    // count laws as the explicit-k pins
+    val out = Extended10.semDedupAdaptive(planted(dups = 4), dim = 8,
+      tau = 0.99).collect()
+    assert(out.map(_.getLong(1)).sum == 16, "every vector audited once")
+    assert(out.map(_.getLong(2)).sum == 4, "exactly the planted copies drop")
+  }
+
+  test("q187 exact-collapse bounds duplicate-heavy corpora at any k") {
+    // the r11 incident shape in miniature: heavy exact replication
+    // forces every cell to hold >= multiplicity identical members at
+    // ANY k — unless the plan collapses duplicates BEFORE pairing.
+    // 3 well-separated vectors x 200 exact copies: the collapsed plan
+    // sees 3 reps, so pair work is O(3), not O(3 * 200^2 / 2) = 60k
+    val base = (0 until 3).map { c =>
+      val v = Array.fill(8)(0.0); v(c) = 10.0; v.toSeq
+    }
+    val rows = for (c <- 0 until 3; i <- 0 until 200)
+      yield ((c * 200 + i).toLong, base(c))
+    val out = Extended10.semDedupAdaptive(rows.toDF("id", "e"), dim = 8,
+      tau = 0.99).collect()
+    assert(out.map(_.getLong(1)).sum == 600, "every row audited once")
+    assert(out.map(_.getLong(2)).sum == 597,
+      "each 200-copy group keeps exactly one member")
+    // each component lives in one cell: per-cell drops = members - components
+    out.foreach(r => assert(r.getLong(2) < r.getLong(1)))
+  }
+
   test("q187 over embeddings: every vector in exactly one cell") {
     val out = Extended10.q187SemDedup(spark, SparkTest.sfDir).collect()
     val total = Tables.embeddings(spark, SparkTest.sfDir).count()

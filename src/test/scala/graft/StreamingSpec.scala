@@ -457,8 +457,11 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("user_id"), col("event_type"), col("event_id"),
           timestamp_micros(col("us")).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val listed = Files.list(tmp)
+      val part =
+        try listed.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally listed.close()
       Files.copy(part, streamDir.resolve(name))
       val walked = Files.walk(tmp)
       try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -483,8 +486,12 @@ class StreamingSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    def sinkBatchDirs(): Set[String] = Files.list(sink).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("b")).toSet
+    def sinkBatchDirs(): Set[String] = {
+      val listed = Files.list(sink)
+      try listed.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("b")).toSet
+      finally listed.close()
+    }
 
     try {
       // phase 1: two keys get their winners into state
@@ -554,8 +561,11 @@ class StreamingSpec extends AnyFunSuite {
       rows.toDF("user_id", "us")
         .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val listed = Files.list(tmp)
+      val part =
+        try listed.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally listed.close()
       Files.copy(part, streamDir.resolve(name))
       val walked = Files.walk(tmp)
       try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -638,8 +648,11 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("user_id"), col("event_id"),
           timestamp_micros(col("us")).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val listed = Files.list(tmp)
+      val part =
+        try listed.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally listed.close()
       Files.copy(part, dir.resolve(name))
       val walked = Files.walk(tmp)
       try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -659,8 +672,12 @@ class StreamingSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    def sinkBatchDirs(): Set[String] = Files.list(sink).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("b")).toSet
+    def sinkBatchDirs(): Set[String] = {
+      val listed = Files.list(sink)
+      try listed.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("b")).toSet
+      finally listed.close()
+    }
 
     try {
       // phase 1: user 1's click is buffered unmatched (its purchase
@@ -748,8 +765,11 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("user_id"), col("event_type"), col("event_id"),
           timestamp_micros(col("us")).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val listed = Files.list(tmp)
+      val part =
+        try listed.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally listed.close()
       Files.copy(part, streamDir.resolve(name))
       val walked = Files.walk(tmp)
       try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
