@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * Per-query RDD/cache hygiene between timings mirrors Bench, and the
   * JVM warms up (entry noop, Bench's rule) BEFORE the first timing so
   * the first stage is not codegen-inflated. Usage:
-  *   runMain graft.QIvfProbe [tierDir] [nCellsCsv] [noinline] [nobrute] [nobuild]
+  *   runMain graft.QIvfProbe [tierDir] [nCellsCsv] [noinline] [nobrute] [nobuild] [append]
+  * `append` adds the q200 stage: assign a ~0.1% batch against the
+  * stored centroids and write the delta files (ivf_append_cK) — read
+  * it against ivf_build_cK to see append ∝ batch, not corpus.
   * (the flags skip the inline / brute / index-build stages so a tier
   * can be split across invocations under a wall-clock cap; nobuild
   * reuses the index + centroid parquet a prior build wrote — the
@@ -101,6 +104,20 @@ object QIvfProbe {
           ops.Extended10.rrfHybridIvfQuery(docs(), index, cents, nProbe = 4)
         try out.write.format("noop").mode("overwrite").save()
         finally caches.foreach(_.unpersist())
+      }
+      // q200 incremental maintenance: append a ~0.1% batch to the
+      // prebuilt index — one argmin pass over the BATCH + a
+      // partitioned write of batch-sized delta files; the stored
+      // index is never read. Compare against ivf_build_cK (the full
+      // rebuild) to see append cost ∝ batch, not corpus. The delta
+      // lands in its own dir (production appends new files beside the
+      // old; keeping the probe dir immutable keeps reruns comparable).
+      if (args.contains("append")) timed(s"ivf_append_c$nc") {
+        val batch = emb().filter(pmod(col("vec_id"), lit(1000L)) === 7)
+        ops.Extended10.ivfAppend(cents, batch, dim = 64)
+          .repartition(col("cell")).sortWithinPartitions("vec_id")
+          .write.partitionBy("cell").mode(SaveMode.Overwrite)
+          .parquet(s"/tmp/graft_ivf_delta_c$nc")
       }
     }
     spark.stop()

@@ -1143,6 +1143,111 @@ object Extended10 {
     }
   }
 
+  // ---------------------------------------------------------------- q200
+  /** q200 — incremental IVF index maintenance (the Faiss add-with-ids
+    * / production vector-store shape, and the q153 batch-vs-store
+    * incrementality precedent): append a new vector batch to a
+    * prebuilt index WITHOUT retraining — each batch vector is assigned
+    * to the EXISTING quantizer's nearest cell by the same in-row
+    * argmin the ingest used — plus a drift trigger that tells the
+    * operator when the frozen quantizer has stopped fitting the data
+    * and a retrain is due. Declared as the maintenance audit over a
+    * deterministic 90/10 split of the embeddings table: build on
+    * vec_id % 10 ≠ 9, append vec_id % 10 = 9, emit per-cell
+    * (n_base, n_batch) with each side's mean quantization error and
+    * the retrain flag (batch MSE > 2× base MSE — batch vectors landing
+    * systematically farther from every centroid than the corpus the
+    * quantizer was trained on).
+    *
+    * Correctness contract (RrfSpec pins): at FULL probe the query over
+    * an appended index is bit-equal to the query over a full inline
+    * rebuild — cell assignments differ (frozen vs retrained quantizer)
+    * but full probe visits every cell, so candidate sets coincide;
+    * append is batch-local (base rows' cells untouched, appending in
+    * two batches ≡ one); re-appending the base to its own quantizer
+    * reproduces the stored cells (assignment determinism); planted
+    * off-distribution batches trip the retrain flag, in-distribution
+    * ones don't.
+    *
+    * Scale: append cost ∝ batch, not corpus — one argmin pass over the
+    * batch (k·d centroids ride the closure) and one partitioned write
+    * of batch-sized files into the cell directories; the stored index
+    * is never read, never shuffled, never rewritten (QIvfProbe's
+    * `append` stage measures this against the full rebuild at the
+    * 100×/1000× tiers). The drift audit reads each side once with a
+    * k-free per-row lookup of its OWN stored cell's centroid (not an
+    * argmin). Rows-only: cell boundaries are float k-means fixpoints
+    * (q45/q108/q199 precedent). */
+  def q200IvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.fanout(Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e0")))
+    val base = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 9)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10L)) === 9)
+    val (index, cents) = ivfIndex(base, dim = 64, nCells = 16)
+    ivfAppendAudit(index, cents, batch, dim = 64)
+  }
+
+  /** The append itself: assign each batch vector to the existing
+    * quantizer's nearest cell (same argmin, same tie rule as ingest).
+    * Returns batch rows in index schema (vec_id, e0, cell) — the
+    * caller unions them with (or file-appends them beside) the stored
+    * index. Never touches the stored index. */
+  private[graft] def ivfAppend(cents: Array[(Long, Array[Double])],
+      batch: DataFrame, dim: Int): DataFrame = {
+    val bD = batch.filter(size(col("e0")) === dim)
+    if (cents.isEmpty) bD.withColumn("cell", lit(0L)).limit(0)
+    else bD.withColumn("cell",
+      Clustering.nearestCentroid(cents)(col("e0"))("_1"))
+  }
+
+  /** Maintenance audit of an append: per-cell base/batch populations,
+    * per-side mean quantization error (squared L2 to the ASSIGNED
+    * cell's centroid — a k-free map lookup for the stored side, the
+    * argmin's own d2 for the batch side), and the retrain trigger. */
+  private[graft] def ivfAppendAudit(index: DataFrame,
+      cents: Array[(Long, Array[Double])], batch: DataFrame,
+      dim: Int): DataFrame = {
+    val centsMap = cents.toMap
+    // stored rows already carry their cell: error is one map lookup +
+    // one d-length loop per row, independent of k
+    val storedErr = udf { (e: Seq[Double], cell: Long) =>
+      Clustering.l2sqLocal(e.toArray, centsMap(cell))
+    }.asNonNullable()
+    val baseSide = index
+      .select(col("cell"), storedErr(col("e0"), col("cell")).as("d2"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_base"), sum(col("d2")).as("s_base"))
+    val asg = Clustering.nearestCentroid(cents)
+    val batchSide = batch.filter(size(col("e0")) === dim)
+      .select(asg(col("e0")).as("a"))
+      .select(col("a._1").as("cell"), col("a._2").as("d2"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_batch"), sum(col("d2")).as("s_batch"))
+    // k-row audit frame consumed twice (per-cell rows + the global MSE
+    // ratio) — persist so the two consumers don't rescan both sides
+    // (the r11 fat-scan-per-consumer lesson)
+    val cells = baseSide.join(batchSide, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(col("s_base"), lit(0.0)).as("s_base"),
+        coalesce(col("s_batch"), lit(0.0)).as("s_batch"))
+      .persist()
+    val tot = cells.agg(
+      (sum(col("s_base")) / sum(col("n_base"))).as("base_mse"),
+      (sum(col("s_batch")) / sum(col("n_batch"))).as("batch_mse"))
+    val out = cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_base"), col("n_batch"),
+        round(col("base_mse"), 6).as("base_mse"),
+        round(col("batch_mse"), 6).as("batch_mse"),
+        coalesce(col("batch_mse") > col("base_mse") * 2, lit(false))
+          .as("retrain"))
+      .orderBy("cell")
+    try out.localCheckpoint()
+    finally cells.unpersist()
+  }
+
   /** Inline build+query composition (the declared q199 and the spec
     * entry point): builds the index, then runs the query side.
     * pruneCells = false: the inline index's cell column is COMPUTED
@@ -1241,6 +1346,7 @@ object Extended10 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_rrf_hybrid" -> (q197RrfHybrid _),
     "q199_rrf_hybrid_ivf" -> (q199RrfHybridIvf _),
+    "q200_ivf_append" -> (q200IvfAppend _),
     "q193_bloom_decontaminate" -> (q193BloomDecontaminate _),
     "q191_kmv_overlap" -> (q191KmvOverlap _),
     "q190_bm25" -> (q190Bm25 _),

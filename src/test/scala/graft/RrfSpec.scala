@@ -374,6 +374,101 @@ class RrfSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- q200
+  test("q200 append: full-probe query over appended index equals rebuild") {
+    // the incremental-maintenance contract: an index built on 90% of
+    // the corpus with the last 10% APPENDED (frozen quantizer, same
+    // argmin) must answer a full-probe query BIT-EXACTLY like a full
+    // inline rebuild — cell assignments differ (frozen vs retrained
+    // centroids) but full probe visits every cell, so pruning is
+    // inert and everything downstream (quantize, dot, ties, fusion)
+    // must coincide
+    val docs = corpus(611L, 80)
+    val vecs = uniformVectors(613L, docs.map(_._1))
+    val docsDf = docs.toDF("doc_id", "text")
+    val embDf = vecs.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "e0")
+    def collectOut(p: (org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame])) = {
+      val rows = p._1.collect().map(_.toSeq).toSeq
+      p._2.foreach(_.unpersist())
+      rows
+    }
+    val base = embDf.filter(pmod(col("vec_id"), lit(10L)) =!= 9)
+    val batch = embDf.filter(pmod(col("vec_id"), lit(10L)) === 9)
+    val (index, cents) = Extended10.ivfIndex(base, dim = 8, nCells = 4)
+    val appended = index.unionByName(
+      Extended10.ivfAppend(cents, batch, dim = 8))
+    val viaAppend = collectOut(Extended10.rrfHybridIvfQuery(
+      docsDf, appended, cents, nProbe = 4, pruneCells = false))
+    val rebuilt = collectOut(Extended10.rrfHybridIvfPlan(
+      docsDf, embDf, dim = 8, nCells = 4, nProbe = 4))
+    assert(viaAppend == rebuilt)
+  }
+
+  test("q200 append is batch-local and assignment-deterministic") {
+    val docs = corpus(617L, 60)
+    val vecs = uniformVectors(619L, docs.map(_._1))
+    val embDf = vecs.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "e0")
+    val base = embDf.filter(pmod(col("vec_id"), lit(10L)) =!= 9)
+    val batch = embDf.filter(pmod(col("vec_id"), lit(10L)) === 9)
+    val (index, cents) = Extended10.ivfIndex(base, dim = 8, nCells = 4)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // re-appending the base to its own quantizer reproduces the stored
+    // cells exactly (the append argmin IS the ingest argmin)
+    assert(cellsOf(Extended10.ivfAppend(cents, base, dim = 8)) ==
+      cellsOf(index))
+    // appending in two batches equals appending at once (batch-local:
+    // no append reads or perturbs any other row)
+    val ids = batch.select("vec_id").collect().map(_.getLong(0)).sorted
+    if (ids.length >= 2) {
+      val mid = ids(ids.length / 2)
+      val b1 = batch.filter(col("vec_id") < mid)
+      val b2 = batch.filter(col("vec_id") >= mid)
+      assert((cellsOf(Extended10.ivfAppend(cents, b1, dim = 8)) union
+        cellsOf(Extended10.ivfAppend(cents, b2, dim = 8))) ==
+        cellsOf(Extended10.ivfAppend(cents, batch, dim = 8)))
+    }
+  }
+
+  test("q200 drift trigger: off-distribution batch trips retrain") {
+    // deterministic planted geometry: base vectors sit on 4 anchors
+    // with small residues, so the quantizer's cells are the anchors
+    // and base MSE is the residue scale. An in-distribution batch
+    // (same anchors, same residue law) stays ~1x base MSE; an
+    // off-distribution batch (anchors shifted far outside the trained
+    // space) lands far from EVERY centroid and must trip the trigger
+    import spark.implicits._
+    val anchors = Vector(
+      Vector(8.0, 0, 0, 0, 0, 0, 0, 0), Vector(0, 0, 8.0, 0, 0, 0, 0, 0),
+      Vector(0, 0, 0, 0, 8.0, 0, 0, 0), Vector(0, 0, 0, 0, 0, 0, 8.0, 0))
+    def planted(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map { id =>
+        val a = anchors((id % 4).toInt)
+        (id, a.zipWithIndex.map { case (v, j) =>
+          v + ((id * 13 + j * 5) % 3) * 0.1 })
+      }.toDF("vec_id", "e0")
+    val baseDf = planted((0L until 80L))
+    val (index, cents) = Extended10.ivfIndex(baseDf, dim = 8, nCells = 4)
+    val inDist = planted((1000L until 1020L))
+    val inAudit = Extended10.ivfAppendAudit(index, cents, inDist, dim = 8)
+      .collect()
+    assert(inAudit.map(_.getLong(1)).sum == 80 &&
+      inAudit.map(_.getLong(2)).sum == 20, "audit covers both sides")
+    assert(inAudit.forall(!_.getBoolean(5)),
+      "in-distribution batch must not trip retrain")
+    val offDist = inDist.select(col("vec_id"),
+      transform(col("e0"), x => x + 100.0).as("e0"))
+    val offAudit = Extended10.ivfAppendAudit(index, cents, offDist, dim = 8)
+      .collect()
+    assert(offAudit.filter(_.getLong(2) > 0).nonEmpty)
+    assert(offAudit.forall(_.getBoolean(5)),
+      "off-distribution batch must trip retrain on every audit row")
+  }
+
   test("planted twin fuses to the top: query doc leads both lists") {
     // each query doc is BUILT to lead both lists: a unique term no
     // other doc contains (lexical list = self alone, df = 1) and a
