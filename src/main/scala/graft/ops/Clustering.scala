@@ -142,6 +142,123 @@ object Clustering {
     }.asNonNullable()
   }
 
+  /** A two-level (hierarchical) quantizer: k1 ≈ √k top cells, each
+    * holding up to k2 = ⌈k/k1⌉ subcells; a leaf's cell id is
+    * tc·k2 + sub (unique by construction). The two-level trade: fit
+    * cost O(sample·(k1 + k2)·d) per round and assignment cost
+    * O((k1 + k2)·d) per row — √k each, vs k for the flat quantizer —
+    * for an APPROXIMATE argmin (a vector near a top-cell boundary can
+    * descend the wrong branch; the standard IMI/hierarchical-k-means
+    * trade, acceptable wherever cells only bound candidate/pair work:
+    * SemDeDup's within-cell pairing, IVF candidate generation). */
+  private[graft] case class TwoLevelModel(k2: Int,
+      top: Array[(Long, Array[Double])],
+      subs: Map[Long, Array[(Long, Array[Double])]])
+
+  /** Fit a [[TwoLevelModel]]: level 1 is the ordinary bounded [[lloyd]]
+    * at k1 = ⌈√k⌉; level 2 fits ALL subcells simultaneously — one job
+    * per round over the sample, each row's argmin restricted to its
+    * OWN top cell's subcentroids (the full nested centroid map rides
+    * the closure: k·d doubles, the model artifact). Init per top cell
+    * = its k2 lowest-id members (one window job, k collected rows);
+    * fixed `maxIters` rounds (a quantizer needs the density shape, not
+    * convergence certificates — same posture as SemDeDup's maxIters=6
+    * flat fit). Empty input → empty model. */
+  private[graft] def lloydTwoLevel(emb: DataFrame, k: Int, dim: Int,
+      maxIters: Int): TwoLevelModel = {
+    import org.apache.spark.sql.expressions.Window
+    val k1 = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(1, (k + k1 - 1) / k1)
+    val top = lloyd(emb, k1, dim, maxIters)
+    if (top.isEmpty) return TwoLevelModel(k2, top, Map.empty)
+    val asgTop = emb.select(col("id"), col("e"),
+        nearestCentroid(top)(col("e")).getField("_1").as("tc"))
+      .persist()
+    try {
+      val w = Window.partitionBy("tc").orderBy("id")
+      var subs: Map[Long, Array[(Long, Array[Double])]] =
+        asgTop.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k2)
+          .select(col("tc"), col("rn"), col("e")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (tc, rows) =>
+            tc -> rows.map(r => ((r.getInt(1) - 1).toLong,
+              r.getSeq[Double](2).toArray)).sortBy(_._1)
+          }
+      val vsum = udaf(new VectorSumAgg(dim))
+      var i = 0
+      while (i < maxIters) {
+        val local = subs
+        // every tc value present in asgTop has ≥1 member, so the init
+        // window put ≥1 subcentroid under it — local(tc) is total
+        val asgSub = udf { (tc: Long, e: Seq[Double]) =>
+          val cands = local(tc)
+          var bc = cands(0)._1; var bd = Double.MaxValue
+          var c = 0
+          while (c < cands.length) {
+            val ce = cands(c)._2
+            var d = 0.0; var j = 0
+            val n = math.min(ce.length, e.length)
+            while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
+            if (d < bd) { bd = d; bc = cands(c)._1 }
+            c += 1
+          }
+          bc
+        }.asNonNullable()
+        val upd = asgTop
+          .select(col("tc"), col("e"),
+            asgSub(col("tc"), col("e")).as("sub"))
+          .groupBy("tc", "sub").agg(vsum(col("e")).as("sn"))
+          .select(col("tc"), col("sub"), col("sn.s").as("s"),
+            col("sn.n").as("n"))
+          .collect()
+        subs = upd.groupBy(_.getLong(0)).map { case (tc, rows) =>
+          tc -> rows.map { r =>
+            val s = r.getSeq[Double](2); val n = r.getLong(3)
+            (r.getLong(1), s.map(_ / n).toArray)
+          }.sortBy(_._1)
+        }
+        i += 1
+      }
+      TwoLevelModel(k2, top, subs)
+    } finally asgTop.unpersist()
+  }
+
+  /** Hierarchical twin of [[nearestCentroid]]: top argmin, then sub
+    * argmin within the chosen top cell — (k1 + k2)·d work per row.
+    * Same strict-improvement/lower-id tie rules at each level. Returns
+    * (cid = tc·k2 + sub, d2-to-leaf). */
+  private[graft] def nearestTwoLevel(m: TwoLevelModel)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val top = m.top.sortBy(_._1)
+    val subs = m.subs
+    val k2 = m.k2
+    udf { (e: Seq[Double]) =>
+      var tc = top(0)._1; var td = Double.MaxValue
+      var c = 0
+      while (c < top.length) {
+        val ce = top(c)._2
+        var d = 0.0; var j = 0
+        val n = math.min(ce.length, e.length)
+        while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
+        if (d < td) { td = d; tc = top(c)._1 }
+        c += 1
+      }
+      val cands = subs(tc)
+      var bc = cands(0)._1; var bd = Double.MaxValue
+      c = 0
+      while (c < cands.length) {
+        val ce = cands(c)._2
+        var d = 0.0; var j = 0
+        val n = math.min(ce.length, e.length)
+        while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
+        if (d < bd) { bd = d; bc = cands(c)._1 }
+        c += 1
+      }
+      (tc * k2 + bc, bd)
+    }.asNonNullable()
+  }
+
   /** Nearest-centroid id per vector (tie → lower cid) against a
     * broadcast centroid table (cid, ce). */
   private def assign(emb: DataFrame, cents: DataFrame): DataFrame =

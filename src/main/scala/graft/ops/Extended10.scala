@@ -334,16 +334,33 @@ object Extended10 {
     * caller): cells over reps via the shared in-row argmin (metric +
     * lower-cid tie rule identical to the Lloyd update loop; k·d
     * doubles ride the closure, not a join), within-cell rep pairs,
-    * CC over rep ids, multiplicity-weighted per-cell audit. */
+    * CC over rep ids, multiplicity-weighted per-cell audit.
+    *
+    * Quantizer selection by k: the sf-ladder/spec regime (k ≤ 64)
+    * keeps the flat bounded Lloyd fit; beyond it (adaptive k over a
+    * genuinely-distinct corpus: k ∝ nReps/256) the fit AND the
+    * assignment switch to the two-level quantizer
+    * ([[Clustering.lloydTwoLevel]]) — √k per-row work instead of k on
+    * both, the hierarchical-k-means answer to the flat-Lloyd
+    * O(n·k·d) ingest wall this file's r12 ledger measured at 200k
+    * distinct vectors. Cells from the two branches differ (exact vs
+    * branch-approximate argmin), which q187's contract absorbs: cells
+    * only bound pair work, and the drop laws (exact copies collapse
+    * pre-quantizer; cosine < τ pairs never drop) hold under ANY cell
+    * partition. */
   private def semDedupOnReps(reps: DataFrame, k: Int, dim: Int,
       tau: Double, knownCount: Option[Long]): DataFrame = {
-    val cents = Clustering.lloyd(
-      Clustering.trainingSample(reps.select(col("id"), col("e")), k,
-        knownCount),
-      k = k, dim = dim, maxIters = 6)
+    val sample = Clustering.trainingSample(
+      reps.select(col("id"), col("e")), k, knownCount)
+    val assignUdf =
+      if (k > 64)
+        Clustering.nearestTwoLevel(
+          Clustering.lloydTwoLevel(sample, k = k, dim = dim, maxIters = 6))
+      else
+        Clustering.nearestCentroid(
+          Clustering.lloyd(sample, k = k, dim = dim, maxIters = 6))
     val asg = reps.select(col("id"), col("e"), col("cnt"),
-        Clustering.nearestCentroid(cents)(col("e"))
-          .getField("_1").as("cid"))
+        assignUdf(col("e")).getField("_1").as("cid"))
       .persist()
     val a = asg.select(col("cid"), col("id").as("src"), col("e").as("ea"))
     val b = asg.select(col("cid"), col("id").as("dst"), col("e").as("eb"))

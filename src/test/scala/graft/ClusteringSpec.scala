@@ -35,6 +35,37 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cents.map(_.getLong(2)).sorted.toSeq == Seq(30L, 30L, 30L))
   }
 
+  test("two-level quantizer recovers well-separated planted structure") {
+    import spark.implicits._
+    // 4 well-separated clusters in 4-d, 5 near-identical members each
+    // (spread 0.1 vs separation ~100). k = 4 → k1 = 2, k2 = 2: the top
+    // level splits the two super-groups, the sub level the two
+    // clusters within each. Ids INTERLEAVE clusters so both levels'
+    // first-k-by-id inits see every branch — with this coverage Lloyd
+    // on separated clusters is an exact fixed point, so recovery is
+    // deterministic, not probabilistic.
+    val centers = Seq(
+      Seq(0.0, 0.0, 0.0, 0.0), Seq(100.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 100.0, 100.0, 0.0), Seq(100.0, 100.0, 100.0, 0.0))
+    val rows = (0 until 20).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(_ + (i / 4 % 5 - 2) * 0.05))
+    }
+    val df = rows.toDF("id", "e")
+    val m = Clustering.lloydTwoLevel(df, k = 4, dim = 4, maxIters = 6)
+    assert(m.top.length == 2 && m.subs.values.map(_.length).sum == 4)
+    val asg = df.select(col("id"),
+        Clustering.nearestTwoLevel(m)(col("e")).getField("_1").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every vector gets exactly one leaf; leaves ≡ planted clusters
+    assert(asg.length == 20)
+    val byCluster = asg.groupBy(_._1 % 4).values.map(_.map(_._2).toSet)
+    assert(byCluster.forall(_.size == 1),
+      "each planted cluster maps to one leaf cell")
+    assert(byCluster.flatten.toSet.size == 4,
+      "distinct clusters map to distinct leaf cells")
+  }
+
   test("empty input returns empty centroids instead of crashing") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "e")

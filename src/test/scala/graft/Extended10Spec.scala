@@ -84,6 +84,28 @@ class Extended10Spec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(2) < r.getLong(1)))
   }
 
+  test("q187 two-level quantizer path (k > 64) keeps the drop laws") {
+    // 64 well-separated anchors (8 super-directions x 8 sub-
+    // directions in 16-d: 20*e_sup + 3*e_(8+sub) — cross-anchor cosine
+    // far below tau), plus 16 planted EXACT copies. k = 72 forces the
+    // two-level branch (k1 ~ 8, k2 ~ 9). The laws that hold under ANY
+    // cell partition — exact copies collapse pre-quantizer and always
+    // drop; separated vectors never do; every row audited once — must
+    // survive the branch-approximate assignment.
+    val base = for (sup <- 0 until 8; sub <- 0 until 8) yield {
+      val v = Array.fill(16)(0.0)
+      v(sup) = 20.0; v(8 + sub) = 3.0
+      v.toSeq
+    }
+    val rows = (base ++ base.take(16)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val out = Extended10.semDedupCells(rows.toDF("id", "e"), k = 72,
+      dim = 16, tau = 0.99).collect()
+    assert(out.map(_.getLong(1)).sum == 80, "every vector audited once")
+    assert(out.map(_.getLong(2)).sum == 16,
+      "exactly the planted exact copies drop")
+  }
+
   test("q187 over embeddings: every vector in exactly one cell") {
     val out = Extended10.q187SemDedup(spark, SparkTest.sfDir).collect()
     val total = Tables.embeddings(spark, SparkTest.sfDir).count()
