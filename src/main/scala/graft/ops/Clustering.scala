@@ -169,7 +169,12 @@ object Clustering {
     import org.apache.spark.sql.expressions.Window
     val k1 = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
     val k2 = math.max(1, (k + k1 - 1) / k1)
-    val top = lloyd(emb, k1, dim, maxIters)
+    // the 256-per-centroid rule applies PER LEVEL: the top fit needs
+    // 256·k1 vectors, not the caller's 256·k sample — without this
+    // re-bound the level-1 Lloyd rounds scan 256·k rows against k1
+    // centroids and dominate the whole fit (measured 2M distinct:
+    // ~6·(256k)·k1·d of a ~7.5e11-flop budget)
+    val top = lloyd(trainingSample(emb, k1), k1, dim, maxIters)
     if (top.isEmpty) return TwoLevelModel(k2, top, Map.empty)
     val asgTop = emb.select(col("id"), col("e"),
         nearestCentroid(top)(col("e")).getField("_1").as("tc"))
