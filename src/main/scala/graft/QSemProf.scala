@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: where does the declared q187 spend its time on a
+  * DISTINCT-vector corpus (adaptive k, two-level quantizer)? Times the
+  * stages the declared plan composes, each materialized independently
+  * in one session:
+  *   collapse  — exact-collapse groupBy + the nReps count
+  *   fit       — trainingSample + lloydTwoLevel at the adaptive k
+  *   assign    — rep assignment argmin (noop write of (id, cid))
+  *   full      — the whole declared query (pairing + CC + audit =
+  *               full − the above, plus re-run overlap: each stage
+  *               here RE-RUNS its predecessors since the declared
+  *               plan persists only reps/asg internally)
+  * Usage: runMain graft.QSemProf [dir]
+  */
+object QSemProf {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/tmp/graft_distinct200k"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"SEMPROF $label%-10s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    }
+    def emb() = Tables.fanout(Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("e")))
+    def collapse() = emb().groupBy(col("e"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("cnt"))
+      .select(col("id"), col("e"), col("cnt"))
+    // warmup (codegen) outside timings
+    emb().limit(10).write.format("noop").mode("overwrite").save()
+    var nReps = 0L
+    timed("collapse") { nReps = collapse().count() }
+    val k = ops.Extended10.semDedupK(nReps)
+    println(s"SEMPROF nReps=$nReps k=$k")
+    var model: ops.Clustering.TwoLevelModel = null
+    timed("fit") {
+      val reps = collapse().persist()
+      reps.count()
+      model = ops.Clustering.lloydTwoLevel(
+        ops.Clustering.trainingSample(reps.select(col("id"), col("e")),
+          k, Some(nReps)),
+        k = k, dim = 64, maxIters = 6)
+      reps.unpersist()
+    }
+    timed("assign") {
+      collapse().select(col("id"),
+          ops.Clustering.nearestTwoLevel(model)(col("e"))
+            .getField("_1").as("cid"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("full") {
+      ops.Extended10.q187SemDedup(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

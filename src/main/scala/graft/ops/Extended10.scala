@@ -354,8 +354,12 @@ object Extended10 {
       reps.select(col("id"), col("e")), k, knownCount)
     val assignUdf =
       if (k > 64)
+        // maxIters = 4 is the ivfIndex/q45 COARSE-QUANTIZER posture:
+        // cells only bound pair work, and the level-2 rounds are the
+        // fit's dominant term at adaptive k (QSemProf, 2M distinct:
+        // each round is one sample-wide job at O(sample·k2·d))
         Clustering.nearestTwoLevel(
-          Clustering.lloydTwoLevel(sample, k = k, dim = dim, maxIters = 6))
+          Clustering.lloydTwoLevel(sample, k = k, dim = dim, maxIters = 4))
       else
         Clustering.nearestCentroid(
           Clustering.lloyd(sample, k = k, dim = dim, maxIters = 6))
