@@ -34,9 +34,7 @@ object QSemProf {
     def emb() = Tables.fanout(Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("e")))
-    def collapse() = emb().groupBy(col("e"))
-      .agg(min(col("id")).as("id"), count(lit(1)).as("cnt"))
-      .select(col("id"), col("e"), col("cnt"))
+    def collapse() = ops.Extended10.collapseExact(emb())
     // warmup (codegen) outside timings
     emb().limit(10).write.format("noop").mode("overwrite").save()
     var nReps = 0L
@@ -50,7 +48,7 @@ object QSemProf {
       model = ops.Clustering.lloydTwoLevel(
         ops.Clustering.trainingSample(reps.select(col("id"), col("e")),
           k, Some(nReps)),
-        k = k, dim = 64, maxIters = 6)
+        k = k, dim = 64, maxIters = 4)
       reps.unpersist()
     }
     timed("assign") {

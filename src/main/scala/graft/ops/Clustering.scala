@@ -76,16 +76,24 @@ object Clustering {
     * hash (xxhash64 — deterministic across runs and partitionings).
     * Callers that already hold the row count (SemDeDup's adaptive-k
     * path sizes k from the same count) pass it via `knownCount` so the
-    * modulus job isn't paid twice. */
+    * modulus job isn't paid twice.
+    * `salt` distinguishes NESTED draws: an unsalted modulus filter
+    * composes as a no-op over input that was itself hash-thinned with
+    * a smaller power-of-two modulus (ids already satisfy h % m1 == 0,
+    * so h % m2 == 0 passes everything for m2 ≤ m1) — lloydTwoLevel's
+    * level-1 re-bound salts its inner draw for exactly this reason. */
   private[graft] def trainingSample(emb: DataFrame, k: Int,
-      knownCount: Option[Long] = None): DataFrame = {
+      knownCount: Option[Long] = None, salt: Option[Long] = None)
+      : DataFrame = {
     val n = knownCount.getOrElse(emb.count())
     val target = 256L * k
     var m = 1L
     while (n / m > target) m <<= 1
     if (m == 1) emb
     else {
-      val s = emb.filter(pmod(xxhash64(col("id")), lit(m)) === 0)
+      val h = salt.fold(xxhash64(col("id")))(sl =>
+        xxhash64(col("id"), lit(sl)))
+      val s = emb.filter(pmod(h, lit(m)) === 0)
       // belt-and-suspenders (ADVICE r11): an empty hash draw is
       // ~e^(-128k) theoretical, but a zero-centroid fit would crash
       // every caller's per-row argmin instead of degrading — fall back
@@ -107,6 +115,29 @@ object Clustering {
     d
   }
 
+  /** THE shared inner argmin every quantizer path calls ([[
+    * nearestCentroid]], both levels of [[nearestTwoLevel]], the
+    * level-2 fit loop — ADVICE r8/r12: one loop, so a tie-rule or
+    * length-rule change cannot silently diverge between paths):
+    * candidates scanned in the array's (ascending-id) order with a
+    * strict improvement test → lower-id tie rule; ascending-index IEEE
+    * squared L2 with min-length truncation. Requires cands.nonEmpty. */
+  private def argminLocal(cands: Array[(Long, Array[Double])],
+      e: Seq[Double]): (Long, Double) = {
+    var bc = cands(0)._1; var bd = Double.MaxValue
+    var c = 0
+    while (c < cands.length) {
+      val ce = cands(c)._2
+      var d = 0.0
+      var j = 0
+      val n = math.min(ce.length, e.length)
+      while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
+      if (d < bd) { bd = d; bc = cands(c)._1 }
+      c += 1
+    }
+    (bc, bd)
+  }
+
   /** THE in-row nearest-centroid argmin over driver-held centroids —
     * shared by the Lloyd update loop and SemDeDup's full-corpus
     * assignment (ADVICE r8: it was duplicated). Centroids are scanned
@@ -120,18 +151,7 @@ object Clustering {
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val local = cents.sortBy(_._1)
     udf { (e: Seq[Double]) =>
-      var bc = local(0)._1; var bd = Double.MaxValue
-      var c = 0
-      while (c < local.length) {
-        val ce = local(c)._2
-        var d = 0.0
-        var j = 0
-        val n = math.min(ce.length, e.length)
-        while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
-        if (d < bd) { bd = d; bc = local(c)._1 }
-        c += 1
-      }
-      (bc, bd)
+      argminLocal(local, e)
       // asNonNullable: the function is total (never null), and the
       // declaration matters — a NULLABLE join/filter key derived from
       // this UDF makes Catalyst propagate an IsNotNull constraint that
@@ -174,7 +194,11 @@ object Clustering {
     // re-bound the level-1 Lloyd rounds scan 256·k rows against k1
     // centroids and dominate the whole fit (measured 2M distinct:
     // ~6·(256k)·k1·d of a ~7.5e11-flop budget)
-    val top = lloyd(trainingSample(emb, k1), k1, dim, maxIters)
+    // salt = Some(1): the caller's sample is usually ALREADY a
+    // hash-modulus draw, and the unsalted filter composes as a no-op
+    // over it (code-review r12) — the salted re-draw actually thins
+    val top = lloyd(trainingSample(emb, k1, salt = Some(1L)),
+      k1, dim, maxIters)
     if (top.isEmpty) return TwoLevelModel(k2, top, Map.empty)
     val asgTop = emb.select(col("id"), col("e"),
         nearestCentroid(top)(col("e")).getField("_1").as("tc"))
@@ -197,18 +221,7 @@ object Clustering {
         // every tc value present in asgTop has ≥1 member, so the init
         // window put ≥1 subcentroid under it — local(tc) is total
         val asgSub = udf { (tc: Long, e: Seq[Double]) =>
-          val cands = local(tc)
-          var bc = cands(0)._1; var bd = Double.MaxValue
-          var c = 0
-          while (c < cands.length) {
-            val ce = cands(c)._2
-            var d = 0.0; var j = 0
-            val n = math.min(ce.length, e.length)
-            while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
-            if (d < bd) { bd = d; bc = cands(c)._1 }
-            c += 1
-          }
-          bc
+          argminLocal(local(tc), e)._1
         }.asNonNullable()
         val upd = asgTop
           .select(col("tc"), col("e"),
@@ -235,31 +248,19 @@ object Clustering {
     * (cid = tc·k2 + sub, d2-to-leaf). */
   private[graft] def nearestTwoLevel(m: TwoLevelModel)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val top = m.top.sortBy(_._1)
+    // belt-and-suspenders: restrict the top argmin to cells the fit
+    // actually populated. A top centroid CAN end with zero sample
+    // members (its last-round members may all prefer other cells under
+    // the final centroid set — the same final-half-step asymmetry the
+    // kmeansFit scaladoc documents); a corpus vector descending into
+    // such a cell would otherwise hit a missing subs key. Skipping it
+    // sends those vectors to the next-nearest POPULATED cell.
+    val top = m.top.filter(t => m.subs.contains(t._1)).sortBy(_._1)
     val subs = m.subs
     val k2 = m.k2
     udf { (e: Seq[Double]) =>
-      var tc = top(0)._1; var td = Double.MaxValue
-      var c = 0
-      while (c < top.length) {
-        val ce = top(c)._2
-        var d = 0.0; var j = 0
-        val n = math.min(ce.length, e.length)
-        while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
-        if (d < td) { td = d; tc = top(c)._1 }
-        c += 1
-      }
-      val cands = subs(tc)
-      var bc = cands(0)._1; var bd = Double.MaxValue
-      c = 0
-      while (c < cands.length) {
-        val ce = cands(c)._2
-        var d = 0.0; var j = 0
-        val n = math.min(ce.length, e.length)
-        while (j < n) { val x = e(j) - ce(j); d += x * x; j += 1 }
-        if (d < bd) { bd = d; bc = cands(c)._1 }
-        c += 1
-      }
+      val tc = argminLocal(top, e)._1
+      val (bc, bd) = argminLocal(subs(tc), e)
       (tc * k2 + bc, bd)
     }.asNonNullable()
   }

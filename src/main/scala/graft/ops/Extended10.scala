@@ -325,7 +325,7 @@ object Extended10 {
     * first-k-by-id init deterministic and identical to the
     * pre-collapse init whenever the input is already distinct), cnt =
     * multiplicity. */
-  private def collapseExact(emb: DataFrame): DataFrame =
+  private[graft] def collapseExact(emb: DataFrame): DataFrame =
     emb.groupBy(col("e"))
       .agg(min(col("id")).as("id"), count(lit(1)).as("cnt"))
       .select(col("id"), col("e"), col("cnt"))
@@ -1195,10 +1195,12 @@ object Extended10 {
     * of batch-sized files into the cell directories; the stored index
     * is never read, never shuffled, never rewritten (QIvfProbe's
     * `append` stage measures this against the full rebuild at the
-    * 100×/1000× tiers). The drift audit reads each side once with a
-    * k-free per-row lookup of its OWN stored cell's centroid (not an
-    * argmin). Rows-only: cell boundaries are float k-means fixpoints
-    * (q45/q108/q199 precedent). */
+    * 100×/1000× tiers). The drift audit reads each side once; over a
+    * STORED index the stored-side error is a k-free per-row lookup of
+    * the row's own cell centroid, while this declared INLINE
+    * composition derives the stored side's (cell, d2) from one argmin
+    * evaluation (see [[ivfAppendAudit]]). Rows-only: cell boundaries
+    * are float k-means fixpoints (q45/q108/q199 precedent). */
   def q200IvfAppend(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.fanout(Tables.embeddings(spark, dir)
       .select(col("vec_id"),
@@ -1206,7 +1208,8 @@ object Extended10 {
     val base = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 9)
     val batch = emb.filter(pmod(col("vec_id"), lit(10L)) === 9)
     val (index, cents) = ivfIndex(base, dim = 64, nCells = 16)
-    ivfAppendAudit(index, cents, batch, dim = 64)
+    ivfAppendAudit(index, cents, batch, dim = 64,
+      cellIsComputed = true)
   }
 
   /** The append itself: assign each batch vector to the existing
@@ -1223,23 +1226,45 @@ object Extended10 {
   }
 
   /** Maintenance audit of an append: per-cell base/batch populations,
-    * per-side mean quantization error (squared L2 to the ASSIGNED
-    * cell's centroid — a k-free map lookup for the stored side, the
-    * argmin's own d2 for the batch side), and the retrain trigger. */
+    * per-side mean quantization error, and the retrain trigger. The
+    * batch side's error is the append argmin's own d2. The stored
+    * side depends on what `index` is (code-review r12): over a STORED
+    * (parquet) index the error is a k-FREE map lookup of the row's own
+    * cell centroid; over an INLINE index — whose `cell` column IS the
+    * assignment UDF — pass `cellIsComputed = true` so (cell, d2) come
+    * from ONE argmin evaluation instead of an argmin for the cell plus
+    * a redundant second distance pass. */
   private[graft] def ivfAppendAudit(index: DataFrame,
       cents: Array[(Long, Array[Double])], batch: DataFrame,
-      dim: Int): DataFrame = {
+      dim: Int, cellIsComputed: Boolean = false): DataFrame = {
+    // belt-and-suspenders (the ivfIndex empty-cents posture): a
+    // zero-centroid quantizer with a nonempty batch would crash the
+    // per-row argmin — an empty audit is the degraded answer
+    if (cents.isEmpty)
+      return index.select(lit(0L).as("cell"), lit(0L).as("n_base"),
+        lit(0L).as("n_batch"), lit(0.0).as("base_mse"),
+        lit(0.0).as("batch_mse"), lit(false).as("retrain")).limit(0)
     val centsMap = cents.toMap
+    val asg = Clustering.nearestCentroid(cents)
     // stored rows already carry their cell: error is one map lookup +
     // one d-length loop per row, independent of k
     val storedErr = udf { (e: Seq[Double], cell: Long) =>
       Clustering.l2sqLocal(e.toArray, centsMap(cell))
     }.asNonNullable()
-    val baseSide = index
-      .select(col("cell"), storedErr(col("e0"), col("cell")).as("d2"))
+    val baseRows =
+      if (cellIsComputed)
+        // identical (cell, d2) by argmin determinism; the unused
+        // computed cell column prunes away, so the argmin runs ONCE
+        // per row (single-eval under struct-field extraction — the
+        // PLANS.md q200 pin)
+        index.select(asg(col("e0")).as("a"))
+          .select(col("a._1").as("cell"), col("a._2").as("d2"))
+      else
+        index.select(col("cell"),
+          storedErr(col("e0"), col("cell")).as("d2"))
+    val baseSide = baseRows
       .groupBy("cell")
       .agg(count(lit(1)).as("n_base"), sum(col("d2")).as("s_base"))
-    val asg = Clustering.nearestCentroid(cents)
     val batchSide = batch.filter(size(col("e0")) === dim)
       .select(asg(col("e0")).as("a"))
       .select(col("a._1").as("cell"), col("a._2").as("d2"))
