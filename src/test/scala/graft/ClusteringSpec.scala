@@ -35,6 +35,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cents.map(_.getLong(2)).sorted.toSeq == Seq(30L, 30L, 30L))
   }
 
+  test("nested trainingSample draws thin only when salted") {
+    import spark.implicits._
+    // the r12 code-review law: a power-of-two hash-modulus draw over
+    // input already thinned by the SAME unsalted hash composes as a
+    // no-op (surviving ids satisfy h % m1 == 0, so h % m2 == 0 with
+    // m2 <= m1 passes every row). The salted draw re-keys and actually
+    // thins — this is why lloydTwoLevel salts its level-1 re-bound.
+    val df = (0L until 100000L).map(i => (i, Seq(i * 0.001)))
+      .toDF("id", "e")
+    val outer = Clustering.trainingSample(df, k = 4)   // target 1024
+    val nOuter = outer.count()
+    assert(nOuter < 2048 && nOuter > 256,
+      s"outer draw should land near its 1024 bound, got $nOuter")
+    val unsalted = Clustering.trainingSample(outer, k = 1,
+      knownCount = Some(nOuter)).count()               // target 256
+    assert(unsalted == nOuter,
+      "documents the failure shape: the unsalted inner draw is a no-op " +
+        "over hash-thinned input — any caller needing a nested re-bound " +
+        "must salt")
+    val salted = Clustering.trainingSample(outer, k = 1,
+      knownCount = Some(nOuter), salt = Some(1L)).count()
+    assert(salted < nOuter && salted > 0,
+      s"salted inner draw must actually thin: $salted of $nOuter")
+  }
+
   test("two-level quantizer recovers well-separated planted structure") {
     import spark.implicits._
     // 4 well-separated clusters in 4-d, 5 near-identical members each

@@ -434,6 +434,26 @@ class RrfSpec extends AnyFunSuite {
     }
   }
 
+  test("q200 audit: computed-cell fast path equals the stored-cell path") {
+    // cellIsComputed = true derives the stored side's (cell, d2) from
+    // ONE argmin evaluation; over an inline index (cell = the same
+    // argmin) the audit output must be BIT-IDENTICAL to the
+    // stored-path shape that looks the cell up and recomputes the
+    // distance — only the cost differs
+    val docs = corpus(623L, 60)
+    val vecs = uniformVectors(629L, docs.map(_._1))
+    val embDf = vecs.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "e0")
+    val base = embDf.filter(pmod(col("vec_id"), lit(10L)) =!= 9)
+    val batch = embDf.filter(pmod(col("vec_id"), lit(10L)) === 9)
+    val (index, cents) = Extended10.ivfIndex(base, dim = 8, nCells = 4)
+    val fast = Extended10.ivfAppendAudit(index, cents, batch, dim = 8,
+      cellIsComputed = true).collect().map(_.toSeq).toSeq
+    val stored = Extended10.ivfAppendAudit(index, cents, batch, dim = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(fast == stored)
+  }
+
   test("q200 drift trigger: off-distribution batch trips retrain") {
     // deterministic planted geometry: base vectors sit on 4 anchors
     // with small residues, so the quantizer's cells are the anchors
