@@ -122,7 +122,7 @@ object Clustering {
     * candidates scanned in the array's (ascending-id) order with a
     * strict improvement test → lower-id tie rule; ascending-index IEEE
     * squared L2 with min-length truncation. Requires cands.nonEmpty. */
-  private def argminLocal(cands: Array[(Long, Array[Double])],
+  private[graft] def argminLocal(cands: Array[(Long, Array[Double])],
       e: Seq[Double]): (Long, Double) = {
     var bc = cands(0)._1; var bd = Double.MaxValue
     var c = 0
@@ -263,6 +263,85 @@ object Clustering {
       val (bc, bd) = argminLocal(subs(tc), e)
       (tc * k2 + bc, bd)
     }.asNonNullable()
+  }
+
+  /** Fit `splitK` subcentroids WITHIN each listed cell of an assigned
+    * frame — the recursive-split half of SemDeDup's worst-case
+    * cell-population bound (r12 verdict: adaptive k bounds the AVERAGE
+    * cell, k-means guarantees no balance). All listed cells are fitted
+    * simultaneously, ONE job per Lloyd round, via the same nested-map
+    * closure as [[lloydTwoLevel]]'s level 2; training rows come from a
+    * PER-CELL bounded hash draw (≤ 256·splitK expected rows per cell,
+    * modulus sized from the caller's per-cell counts; `salt` keys the
+    * draw so successive recursion rounds never compose as no-ops —
+    * the r12 nested-draw lesson). Init per cell = its splitK lowest-id
+    * sampled members. Returns cell → subcentroids (subId 0 ≤ … <
+    * splitK, ascending; a cell whose draw came up empty — ~e^(-4096)
+    * — is simply absent, which callers treat as "leave unsplit and
+    * retry next round under a fresh salt").
+    *
+    * Bounded collects: the init window and each round's update
+    * aggregate return ≤ splitK·|cells| rows of d doubles. Callers
+    * split only cells > C with C ≥ 4·256, so |cells| ≤ n/C and the
+    * payload is ≤ splitK·d·n/C doubles — the same n/256·d audit class
+    * as the adaptive-k centroid set itself. */
+  private[graft] def fitWithinCells(asg: DataFrame,
+      cellCounts: Map[Long, Long], splitK: Int, dim: Int,
+      maxIters: Int, salt: Long)
+      : Map[Long, Array[(Long, Array[Double])]] = {
+    import org.apache.spark.sql.expressions.Window
+    if (cellCounts.isEmpty) return Map.empty
+    val cells = cellCounts.keys.toSeq.sorted
+    val modOf: Map[Long, Long] = cellCounts.map { case (cid, n) =>
+      var m = 1L
+      while (n / m > 256L * splitK) m <<= 1
+      cid -> m
+    }
+    val modUdf = udf { (cid: Long) => modOf(cid) }.asNonNullable()
+    val sampled = asg.filter(col("cid").isin(cells: _*))
+      .filter(pmod(xxhash64(col("id"), lit(salt)), modUdf(col("cid")))
+        === 0)
+      .select(col("cid"), col("id"), col("e"))
+      .persist()
+    try {
+      val w = Window.partitionBy("cid").orderBy("id")
+      var subs: Map[Long, Array[(Long, Array[Double])]] =
+        sampled.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= splitK)
+          .select(col("cid"), col("rn"), col("e")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            cid -> rows.map(r => ((r.getInt(1) - 1).toLong,
+              r.getSeq[Double](2).toArray)).sortBy(_._1)
+          }
+      if (subs.isEmpty) return subs
+      val vsum = udaf(new VectorSumAgg(dim))
+      var i = 0
+      while (i < maxIters) {
+        val local = subs
+        // a sampled row's cid contributed ≥1 init member unless its
+        // whole draw was empty — and an empty-draw cell has no
+        // sampled rows either, so local(cid) is total over `sampled`
+        val asgSub = udf { (cid: Long, e: Seq[Double]) =>
+          argminLocal(local(cid), e)._1
+        }.asNonNullable()
+        val upd = sampled
+          .select(col("cid"), col("e"),
+            asgSub(col("cid"), col("e")).as("sub"))
+          .groupBy("cid", "sub").agg(vsum(col("e")).as("sn"))
+          .select(col("cid"), col("sub"), col("sn.s").as("s"),
+            col("sn.n").as("n"))
+          .collect()
+        subs = upd.groupBy(_.getLong(0)).map { case (cid, rows) =>
+          cid -> rows.map { r =>
+            val s = r.getSeq[Double](2); val n = r.getLong(3)
+            (r.getLong(1), s.map(_ / n).toArray)
+          }.sortBy(_._1)
+        }
+        i += 1
+      }
+      subs
+    } finally sampled.unpersist()
   }
 
   /** Nearest-centroid id per vector (tie → lower cid) against a

@@ -106,6 +106,50 @@ class Extended10Spec extends AnyFunSuite {
       "exactly the planted exact copies drop")
   }
 
+  test("q187 worst-case cell population is bounded (hot-cone split)") {
+    // 3000 DISTINCT near-parallel vectors (pairwise cosine ≥ 0.9995 —
+    // one τ-connected cone) forced into k = 2 cells: both cells exceed
+    // SemDedupMaxCell, so the split guard must fire and recursively
+    // bound them. The drop laws hold under ANY partition — within a
+    // cell everything stays pairwise ≥ τ, so each bounded cell is one
+    // component and Σ drops = n − #cells.
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, Seq(10.0, 0.0001 * i, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    }
+    val out = Extended10.semDedupCells(rows.toDF("id", "e"), k = 2,
+      dim = 8, tau = 0.99).collect()
+    assert(out.map(_.getLong(1)).sum == 3000, "every vector audited once")
+    val maxCell = out.map(_.getLong(1)).max
+    assert(maxCell <= Extended10.SemDedupMaxCell,
+      s"cell of $maxCell reps escaped the population bound")
+    assert(out.length >= 3, "3000 reps can't fit in <3 bounded cells")
+    assert(out.map(_.getLong(2)).sum == 3000 - out.length,
+      "each bounded cell collapses to exactly one component")
+  }
+
+  test("q187 split recursion bounds a cell one split can't") {
+    // 64 distinct vectors pre-assigned to ONE cell, maxCell = 8,
+    // splitK = 2: each round at most halves a population, so the
+    // bound needs ≥3 recursion rounds — exercises the loop, the
+    // above-max cid allocation, and the partition property (every id
+    // exactly once, only cid rewritten).
+    val rows = (0 until 64).map { i =>
+      (i.toLong, Seq(i.toDouble, 1.0), 1L, 0L)
+    }
+    val asg0 = rows.toDF("id", "e", "cnt", "cid").persist()
+    try {
+      val out = Extended10.boundCellPopulations(asg0, dim = 2,
+        maxCell = 8, splitK = 2, maxRounds = 8)
+      val got = out.collect()
+      if (out ne asg0) out.unpersist()
+      assert(got.map(_.getLong(0)).sorted.toSeq == (0L until 64L).toSeq,
+        "split must only rewrite cid — every id exactly once")
+      val pops = got.groupBy(_.getAs[Long]("cid")).map(_._2.length)
+      assert(pops.sum == 64 && pops.max <= 8,
+        s"recursive split left a cell of ${pops.max} > 8")
+    } finally asg0.unpersist()
+  }
+
   test("q187 over embeddings: every vector in exactly one cell") {
     val out = Extended10.q187SemDedup(spark, SparkTest.sfDir).collect()
     val total = Tables.embeddings(spark, SparkTest.sfDir).count()
