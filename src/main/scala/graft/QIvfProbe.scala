@@ -113,7 +113,13 @@ object QIvfProbe {
       // lands in its own dir (production appends new files beside the
       // old; keeping the probe dir immutable keeps reruns comparable).
       if (args.contains("append")) timed(s"ivf_append_c$nc") {
+        // the batch is DRAWN from the indexed corpus, so offset its
+        // ids out of the stored range (ADVICE r12): the delta then
+        // never duplicates an index row if someone later reads
+        // delta + index together; geometry — and thus the timing this
+        // probe exists for — is unchanged
         val batch = emb().filter(pmod(col("vec_id"), lit(1000L)) === 7)
+          .withColumn("vec_id", col("vec_id") + lit(1000000000000L))
         ops.Extended10.ivfAppend(cents, batch, dim = 64)
           .repartition(col("cell")).sortWithinPartitions("vec_id")
           .write.partitionBy("cell").mode(SaveMode.Overwrite)

@@ -57,10 +57,21 @@ object QSemProf {
             .getField("_1").as("cid"))
         .write.format("noop").mode("overwrite").save()
     }
+    var outRows: Array[org.apache.spark.sql.Row] = Array.empty
     timed("full") {
-      ops.Extended10.q187SemDedup(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      // collect instead of noop-write: the output is cell-sized
+      // (k + split cells rows), and the summary line below needs it
+      outRows = ops.Extended10.q187SemDedup(spark, dir).collect()
     }
+    // split-guard visibility (r13): on a distinct-vector corpus
+    // n_members IS the rep count, so maxMembers ≤ 1024 shows the
+    // worst-case population bound held; maxCid above the adaptive k
+    // shows the recursive split actually fired (split cids allocate
+    // above the pre-split max)
+    if (outRows.nonEmpty)
+      println(s"SEMPROF cells=${outRows.length}" +
+        s" maxMembers=${outRows.map(_.getLong(1)).max}" +
+        s" maxCid=${outRows.map(_.getLong(0)).max}")
     spark.stop()
   }
 }

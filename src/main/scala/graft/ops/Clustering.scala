@@ -93,14 +93,53 @@ object Clustering {
     else {
       val h = salt.fold(xxhash64(col("id")))(sl =>
         xxhash64(col("id"), lit(sl)))
-      val s = emb.filter(pmod(h, lit(m)) === 0)
-      // belt-and-suspenders (ADVICE r11): an empty hash draw is
-      // ~e^(-128k) theoretical, but a zero-centroid fit would crash
-      // every caller's per-row argmin instead of degrading — fall back
-      // to full-frame training, which costs nothing precisely when it
-      // could ever trigger (isEmpty is a limit-1 probe)
-      if (s.isEmpty) emb else s
+      emb.filter(pmod(h, lit(m)) === 0)
+      // an empty hash draw (~e^(-128k) theoretical) is handled LAZILY
+      // by the fit wrappers ([[lloydSampled]], [[fitCentroidsSampled]]
+      // and semDedupOnReps' two-level branch): a zero-centroid fit
+      // over a thinned frame refits on the full frame. Until r12 this
+      // ran an eager isEmpty (limit-1) probe HERE, at plan-
+      // construction time, on every sampled call (ADVICE r12) —
+      // detecting emptiness from the fit's own init collect costs
+      // nothing in the non-event case, which is all of them
     }
+  }
+
+  /** Bounded-sample [[lloyd]] with the LAZY empty-draw fallback
+    * (ADVICE r12): fit on the hash-bounded sample; iff the draw
+    * thinned (reference inequality — [[trainingSample]] returns `emb`
+    * itself when no thinning is needed) AND came back empty — detected
+    * from the fit's own empty centroid set, no eager probe — refit on
+    * the full frame. Callers' per-row argmin UDFs require a nonempty
+    * centroid set whenever rows exist, which this restores exactly as
+    * the old eager probe did. */
+  private[graft] def lloydSampled(emb: DataFrame, k: Int, dim: Int,
+      maxIters: Int, knownCount: Option[Long] = None,
+      salt: Option[Long] = None): Array[(Long, Array[Double])] = {
+    val s = trainingSample(emb, k, knownCount, salt)
+    val c = lloyd(s, k, dim, maxIters)
+    if (c.isEmpty && (s ne emb)) lloyd(emb, k, dim, maxIters) else c
+  }
+
+  /** Bounded-sample [[kmeansFit]] with the same lazy fallback,
+    * returning the collected (cid, centroid) model artifact — the
+    * shared fit path of q45's IVF and [[graft.ops.Extended10]]'s
+    * ivfIndex (both previously open-coded this draw/persist/fit/
+    * collect sequence). The sample is persisted across the Lloyd
+    * rounds and released before returning; the collect is k·d doubles,
+    * the model artifact. */
+  private[graft] def fitCentroidsSampled(src: DataFrame, k: Int,
+      dim: Int, maxIters: Int): Array[(Long, Array[Double])] = {
+    def fit(df: DataFrame) =
+      kmeansFit(df, k, dim, maxIters)
+        .select(col("cid"), col("ce")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val drawn = trainingSample(src, k)
+    val train = drawn.persist()
+    val cents =
+      try fit(train)
+      finally train.unpersist()
+    if (cents.isEmpty && (drawn ne src)) fit(src) else cents
   }
 
   /** Driver-side twin of [[l2sq]]: the same ascending-index sequential
@@ -197,8 +236,7 @@ object Clustering {
     // salt = Some(1): the caller's sample is usually ALREADY a
     // hash-modulus draw, and the unsalted filter composes as a no-op
     // over it (code-review r12) — the salted re-draw actually thins
-    val top = lloyd(trainingSample(emb, k1, salt = Some(1L)),
-      k1, dim, maxIters)
+    val top = lloydSampled(emb, k1, dim, maxIters, salt = Some(1L))
     if (top.isEmpty) return TwoLevelModel(k2, top, Map.empty)
     val asgTop = emb.select(col("id"), col("e"),
         nearestCentroid(top)(col("e")).getField("_1").as("tc"))

@@ -350,19 +350,29 @@ object Extended10 {
     * partition. */
   private def semDedupOnReps(reps: DataFrame, k: Int, dim: Int,
       tau: Double, knownCount: Option[Long]): DataFrame = {
-    val sample = Clustering.trainingSample(
-      reps.select(col("id"), col("e")), k, knownCount)
+    val repsSel = reps.select(col("id"), col("e"))
     val assignUdf =
-      if (k > 64)
+      if (k > 64) {
+        val sample = Clustering.trainingSample(repsSel, k, knownCount)
         // maxIters = 4 is the ivfIndex/q45 COARSE-QUANTIZER posture:
         // cells only bound pair work, and the level-2 rounds are the
         // fit's dominant term at adaptive k (QSemProf, 2M distinct:
         // each round is one sample-wide job at O(sample·k2·d))
-        Clustering.nearestTwoLevel(
-          Clustering.lloydTwoLevel(sample, k = k, dim = dim, maxIters = 4))
-      else
+        var m = Clustering.lloydTwoLevel(sample, k = k, dim = dim,
+          maxIters = 4)
+        // lazy empty-draw fallback (ADVICE r12, the lloydSampled
+        // contract): a thinned draw that came back empty — detected
+        // from the fit's own empty model, no eager probe — refits on
+        // the full rep set, keeping nearestTwoLevel total over
+        // nonempty input
+        if (m.top.isEmpty && (sample ne repsSel))
+          m = Clustering.lloydTwoLevel(repsSel, k = k, dim = dim,
+            maxIters = 4)
+        Clustering.nearestTwoLevel(m)
+      } else
         Clustering.nearestCentroid(
-          Clustering.lloyd(sample, k = k, dim = dim, maxIters = 6))
+          Clustering.lloydSampled(repsSel, k, dim, maxIters = 6,
+            knownCount = knownCount))
     val asg0 = reps.select(col("id"), col("e"), col("cnt"),
         assignUdf(col("e")).getField("_1").as("cid"))
       .persist()
@@ -1226,17 +1236,11 @@ object Extended10 {
   private[graft] def ivfIndex(emb: DataFrame, dim: Int, nCells: Int)
       : (DataFrame, Array[(Long, Array[Double])]) = {
     val embD = emb.filter(size(col("e0")) === dim)
-    val train = Clustering.trainingSample(
-        embD.select(col("vec_id").as("id"), col("e0").as("e")),
-        k = nCells)
-      .persist()
     // kmeansFit materializes eagerly (driver-held Lloyd loop), so the
     // training cache is released before this function returns
-    val cents =
-      try Clustering.kmeansFit(train, k = nCells, dim = dim, maxIters = 4)
-        .select(col("cid"), col("ce")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      finally train.unpersist()
+    val cents = Clustering.fitCentroidsSampled(
+      embD.select(col("vec_id").as("id"), col("e0").as("e")),
+      k = nCells, dim = dim, maxIters = 4)
     if (cents.isEmpty) (embD.withColumn("cell", lit(0L)).limit(0), cents)
     else {
       val assignCell = Clustering.nearestCentroid(cents)
@@ -1306,7 +1310,11 @@ object Extended10 {
   }
 
   /** Maintenance audit of an append: per-cell base/batch populations,
-    * per-side mean quantization error, and the retrain trigger. The
+    * per-side mean quantization error, the GLOBAL retrain trigger
+    * (total batch MSE > 2× total base MSE, replicated onto every cell
+    * row — the quantizer is corpus-global, so the decision is too;
+    * [[ivfMaintain]] is its consumer), and the per-cell `cell_drift`
+    * MSE ratio that makes LOCALIZED drift visible. The
     * batch side's error is the append argmin's own d2. The stored
     * side depends on what `index` is (code-review r12): over a STORED
     * (parquet) index the error is a k-FREE map lookup of the row's own
@@ -1323,7 +1331,8 @@ object Extended10 {
     if (cents.isEmpty)
       return index.select(lit(0L).as("cell"), lit(0L).as("n_base"),
         lit(0L).as("n_batch"), lit(0.0).as("base_mse"),
-        lit(0.0).as("batch_mse"), lit(false).as("retrain")).limit(0)
+        lit(0.0).as("batch_mse"), lit(false).as("retrain"),
+        lit(null).cast("double").as("cell_drift")).limit(0)
     val centsMap = cents.toMap
     val asg = Clustering.nearestCentroid(cents)
     // stored rows already carry their cell: error is one map lookup +
@@ -1367,11 +1376,58 @@ object Extended10 {
       .select(col("cell"), col("n_base"), col("n_batch"),
         round(col("base_mse"), 6).as("base_mse"),
         round(col("batch_mse"), 6).as("batch_mse"),
+        // GLOBAL trigger (ADVICE r12: scope documented) — the
+        // total-batch-MSE / total-base-MSE > 2 decision, replicated
+        // identically onto every cell row; the maintenance decision
+        // is corpus-global (one quantizer), see [[ivfMaintain]]
         coalesce(col("batch_mse") > col("base_mse") * 2, lit(false))
-          .as("retrain"))
+          .as("retrain"),
+        // per-cell MSE ratio so LOCALIZED drift is visible in the
+        // audit frame (null when either side is empty or the base
+        // side's error is exactly 0)
+        when(col("n_base") > 0 && col("n_batch") > 0
+            && col("s_base") > 0,
+          round((col("s_batch") / col("n_batch"))
+            / (col("s_base") / col("n_base")), 6)).as("cell_drift"))
       .orderBy("cell")
     try out.localCheckpoint()
     finally cells.unpersist()
+  }
+
+  /** Consume the retrain trigger (r12 verdict item 2) — the
+    * maintenance decision [[ivfAppendAudit]] exists to gate, exercised
+    * end-to-end: audit the batch against the stored quantizer; if the
+    * global trigger fires (the batch lives outside the trained space),
+    * RETRAIN — rebuild quantizer and index on stored ∪ batch (the raw
+    * vectors are the index's own (vec_id, e0) columns; the rebuild is
+    * the same deterministic [[ivfIndex]] fit as any inline build, and
+    * the fit is row-order independent — id-keyed hash draw, first-k-
+    * by-id init — so RrfSpec pins its full-probe query bit-equal to
+    * the inline rebuild). Otherwise keep the frozen quantizer and take
+    * the ∝-batch append path. Returns (index, cents, retrained).
+    *
+    * Scale: the no-drift path is q200's append (one argmin pass over
+    * the batch; the stored index is unioned lazily, never shuffled);
+    * the drift path pays one full rebuild — the corpus-sized cost the
+    * trigger exists to amortize down to drifted batches only. */
+  private[graft] def ivfMaintain(index: DataFrame,
+      cents: Array[(Long, Array[Double])], batch: DataFrame, dim: Int,
+      nCells: Int, cellIsComputed: Boolean = false)
+      : (DataFrame, Array[(Long, Array[Double])], Boolean) = {
+    val audit = ivfAppendAudit(index, cents, batch, dim, cellIsComputed)
+    // the audit frame is localCheckpointed and cell-sized; `retrain`
+    // is the global flag replicated per row — max() over ≤ k rows
+    val retrain = audit
+      .agg(coalesce(max(col("retrain")), lit(false)).as("r"))
+      .head.getBoolean(0)
+    if (retrain) {
+      val (i2, c2) = ivfIndex(
+        index.select(col("vec_id"), col("e0"))
+          .unionByName(batch.select(col("vec_id"), col("e0"))),
+        dim, nCells)
+      (i2, c2, true)
+    } else (index.unionByName(ivfAppend(cents, batch, dim)), cents,
+      false)
   }
 
   /** Inline build+query composition (the declared q199 and the spec

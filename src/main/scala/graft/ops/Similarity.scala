@@ -1074,14 +1074,9 @@ object Similarity {
     // The training sample is PERSISTED across the Lloyd rounds (the
     // ivfIndex posture): kmeansFit scans its input once per round plus
     // init and audit.
-    val train = Clustering.trainingSample(
-        emb.select(col("vec_id").as("id"), col("e")), k = 16)
-      .persist()
-    val cents =
-      try Clustering.kmeansFit(train, k = 16, dim = 64, maxIters = 4)
-        .select(col("cid"), col("ce")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      finally train.unpersist()
+    val cents = Clustering.fitCentroidsSampled(
+      emb.select(col("vec_id").as("id"), col("e")),
+      k = 16, dim = 64, maxIters = 4)
     // the query's nProbe nearest cells, ranked on the driver with the
     // SAME metric and (d2, cid) tie rule the engine-side
     // orderBy(qd, cell) used (l2sqLocal ≡ l2sq, ascending-index fold)

@@ -68,12 +68,20 @@ class CachedSortGuardSpec extends AnyFunSuite {
             // measure from the CACHED relation itself, not the query
             // output (ADVICE r11): a long string cached mid-plan but
             // projected away before output — the exact q37 sha2 shape
-            // behind a projection — must still fail the guard
+            // behind a projection — must still fail the guard.
+            // Specifically the relation's STORED plan, not this scan's
+            // pruned output attributes (ADVICE r12): a string column
+            // materialized in the cache but pruned at the scan still
+            // costs cache build and memory, so every column the cache
+            // stores is length-bounded here
             caches.foreach { c =>
-              val strIdx = c.schema.fields.zipWithIndex
+              val stored = c.relation.cachedPlan
+              val strIdx = stored.schema.fields.zipWithIndex
                 .filter(_._1.dataType == StringType)
               if (strIdx.nonEmpty) {
-                val rows = c.executeCollect() // sf0.001: cached frames are tiny
+                // re-executes the cached child plan (AQE is off here);
+                // sf0.001: cached frames are tiny
+                val rows = stored.executeCollect()
                 strIdx.foreach { case (f, i) =>
                   val mx = rows.foldLeft(0) { (m, r) =>
                     if (r.isNullAt(i)) m

@@ -487,6 +487,66 @@ class RrfSpec extends AnyFunSuite {
     assert(offAudit.filter(_.getLong(2) > 0).nonEmpty)
     assert(offAudit.forall(_.getBoolean(5)),
       "off-distribution batch must trip retrain on every audit row")
+    // per-cell visibility (ADVICE r12): the off-distribution batch's
+    // cell_drift ratio must be visibly large wherever both sides are
+    // populated, and never smaller than honest (null when a side is
+    // empty)
+    val offRatios = offAudit.filter(r => r.getLong(1) > 0 &&
+      r.getLong(2) > 0).map(_.getDouble(6))
+    assert(offRatios.nonEmpty && offRatios.forall(_ > 2.0),
+      "localized drift must be visible in cell_drift")
+  }
+
+  test("q200 maintain consumes the retrain trigger end-to-end") {
+    // the r12 verdict's open loop: the audit FLAGGED drift but nothing
+    // exercised the retrain path. Planted drift geometry (the trigger
+    // test's), composed with the full query: an in-distribution batch
+    // takes the ∝-batch append path (frozen quantizer, index =
+    // stored ∪ batch); an off-distribution batch fires the trigger and
+    // the retrained index's FULL-PROBE query is bit-equal to the
+    // inline rebuild on the same vectors — the rebuild recovers the
+    // vectors from the stored index's own (vec_id, e0) columns, so the
+    // pin also covers that recovery path.
+    import spark.implicits._
+    val docs = corpus(631L, 80)
+    val docsDf = docs.toDF("doc_id", "text")
+    val anchors = Vector(
+      Vector(8.0, 0, 0, 0, 0, 0, 0, 0), Vector(0, 0, 8.0, 0, 0, 0, 0, 0),
+      Vector(0, 0, 0, 0, 8.0, 0, 0, 0), Vector(0, 0, 0, 0, 0, 0, 8.0, 0))
+    def planted(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map { id =>
+        val a = anchors((id % 4).toInt)
+        (id, a.zipWithIndex.map { case (v, j) =>
+          v + ((id * 13 + j * 5) % 3) * 0.1 })
+      }.toDF("vec_id", "e0")
+    val baseDf = planted(docs.map(_._1))
+    val (index, cents) = Extended10.ivfIndex(baseDf, dim = 8, nCells = 4)
+    def collectOut(p: (org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame])) = {
+      val rows = p._1.collect().map(_.toSeq).toSeq
+      p._2.foreach(_.unpersist())
+      rows
+    }
+    val inBatch = planted(10000L until 10020L)
+    val (aIdx, aCents, aRetrained) =
+      Extended10.ivfMaintain(index, cents, inBatch, dim = 8, nCells = 4)
+    assert(!aRetrained, "in-distribution batch must take the append path")
+    assert(aCents eq cents, "append path keeps the frozen quantizer")
+    assert(aIdx.count() == index.count() + 20,
+      "append path extends the index by exactly the batch")
+    val offBatch = inBatch.select(col("vec_id"),
+      transform(col("e0"), x => x + 100.0).as("e0"))
+    val (rIdx, rCents, rRetrained) =
+      Extended10.ivfMaintain(index, cents, offBatch, dim = 8, nCells = 4)
+    assert(rRetrained, "off-distribution batch must fire the trigger")
+    val viaMaintain = collectOut(Extended10.rrfHybridIvfQuery(
+      docsDf, rIdx, rCents, nProbe = 4, pruneCells = false))
+    val inlineRebuild = collectOut(Extended10.rrfHybridIvfPlan(
+      docsDf, baseDf.unionByName(offBatch), dim = 8, nCells = 4,
+      nProbe = 4))
+    assert(viaMaintain == inlineRebuild,
+      "retrained index must answer the full-probe query bit-equal " +
+        "to the inline rebuild")
   }
 
   test("planted twin fuses to the top: query doc leads both lists") {
