@@ -180,23 +180,17 @@ object PqOps {
     * the production serving shape (codes stored once at ingest, read
     * as an 8-byte column per query) and QPqProbe's stored-codes
     * stage; [[pqAdcQuery]] is the inline composition. */
-  private[graft] def pqAdcQueryCodes(emb: DataFrame, codes: DataFrame,
-      model: PqModel, qvecs: Array[(Long, Array[Double])], topR: Int,
-      depth: Int): DataFrame = {
-    val spark = emb.sparkSession
+  /** The ADC scan + map-side top-R frame over a (id, code) corpus —
+    * exposed so PqSpec can pin its plan shape (WindowGroupLimit
+    * rank-limit pushdown, broadcast query fanout, codes-only scan). */
+  private[graft] def adcTopFrame(codes: DataFrame, model: PqModel,
+      qvecs: Array[(Long, Array[Double])], topR: Int): DataFrame = {
+    val spark = codes.sparkSession
     import spark.implicits._
     val tables = qvecs.map { case (q, e) => q -> adcTable(model, e) }
       .toMap
-    val qmap = qvecs.toMap
     val qDf = qvecs.map(_._1).toSeq.sorted.toDF("q_id")
-    // the ADC survivors are COLLECTED — ≤ queries·topR rows of three
-    // scalars, bounded by construction (the q199 model-artifact
-    // precedent) — so their ids go back in as a LITERAL isin on the
-    // STORED id column: a broadcast join alone would still scan the
-    // full fat e0 column to probe the hash table, whereas the literal
-    // pushdown prunes at parquet row-group stats on an id-sorted
-    // corpus, making refinement a point-lookup read of e0
-    val adcTop = codes.crossJoin(broadcast(qDf))
+    codes.crossJoin(broadcast(qDf))
       .select(col("q_id"), col("id"),
         adcDistUdf(tables, model.m)(col("q_id"), col("code"))
           .as("adc_d2"))
@@ -205,7 +199,22 @@ object PqOps {
           .orderBy(col("adc_d2"), col("id"))))
       .filter(col("rn") <= topR)
       .select(col("q_id"), col("id"), col("adc_d2"))
-      .collect()
+  }
+
+  private[graft] def pqAdcQueryCodes(emb: DataFrame, codes: DataFrame,
+      model: PqModel, qvecs: Array[(Long, Array[Double])], topR: Int,
+      depth: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qmap = qvecs.toMap
+    // the ADC survivors are COLLECTED — ≤ queries·topR rows of three
+    // scalars, bounded by construction (the q199 model-artifact
+    // precedent) — so their ids go back in as a LITERAL isin on the
+    // STORED id column: a broadcast join alone would still scan the
+    // full fat e0 column to probe the hash table, whereas the literal
+    // pushdown prunes at parquet row-group stats on an id-sorted
+    // corpus, making refinement a point-lookup read of e0
+    val adcTop = adcTopFrame(codes, model, qvecs, topR).collect()
     if (adcTop.isEmpty)
       return emb.select(col("id").as("q_id"), lit(0L).as("rnk"),
         col("id").as("vec_id"), lit(0.0).as("adc_d2"),

@@ -147,6 +147,56 @@ class PqSpec extends AnyFunSuite {
     assert(composed == exhaustive)
   }
 
+  test("q201 plan: rank-limit pushdown, codes-only scan, point lookups") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val rows = planted(300)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_plan")
+    try {
+      rows.toDF("id", "e").coalesce(2).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+      val emb = spark.read.parquet(s"$dir/vectors")
+      val model = PqOps.pqTrain(emb, dim = 16, m = 8, ks = 8)
+      val qvecs = rows.take(2).map { case (i, v) => (i, v.toArray) }
+        .toArray
+      emb.select(col("id"), PqOps.pqEncode(model)(col("e")).as("code"))
+        .sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      val codes = spark.read.parquet(s"$dir/codes")
+      // the ADC scan: map-side rank limit, broadcast query fanout
+      // (never a cartesian), and the ONLY file read is the code files
+      val adcPlan = PqOps.adcTopFrame(codes, model, qvecs, topR = 8)
+        .queryExecution.sparkPlan
+      assert(adcPlan.collect { case w: WindowGroupLimitExec => w }
+        .nonEmpty, "ADC top-R must push a rank group limit map-side")
+      assert(adcPlan.collect { case c: CartesianProductExec => c }
+        .isEmpty, "query fanout must broadcast, not cartesian")
+      val adcScans = adcPlan.collect { case s: FileSourceScanExec => s }
+      assert(adcScans.nonEmpty && adcScans.forall(
+        _.relation.location.rootPaths.forall(
+          _.toString.contains("codes"))),
+        "the ADC scan must read the 8-byte code files only")
+      // refinement: the raw-vector read carries the PUSHED candidate
+      // ids (literal isin → row-group pruning), not a full scan
+      val out = PqOps.pqAdcQueryCodes(emb, codes, model, qvecs,
+        topR = 8, depth = 5)
+      val embScans = out.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+          .forall(_.toString.contains("vectors")) => s
+      }
+      assert(embScans.nonEmpty && embScans.forall(_.metadata
+        .get("PushedFilters").exists(_.contains("In(id"))),
+        "refinement must push the candidate ids to the corpus scan")
+    } finally {
+      val walked = java.nio.file.Files.walk(dir)
+      try walked
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
   test("q201 over embeddings: shape, self-retrieval, refinement order") {
     val out = ops.PqOps.q201PqAdc(spark, SparkTest.sfDir).collect()
     val qids = out.map(_.getLong(0)).distinct
