@@ -1430,6 +1430,47 @@ object Extended10 {
       false)
   }
 
+  /** Tombstone delete for a stored IVF index — the complement of
+    * q200's append, completing the maintenance lifecycle (append =
+    * ivfAppend, retrain = ivfMaintain, delete/compact = here; Faiss
+    * remove_ids semantics, the LSM tombstone shape). A delete batch is
+    * recorded as ID-ONLY tombstone rows — O(batch) like the append,
+    * the stored index never read — and queries mask candidates with a
+    * BROADCAST anti-join (tombstones are batch-sized between
+    * compactions). At full probe the masked index answers queries
+    * bit-equal to a full rebuild on the remaining vectors (cells never
+    * matter at full probe — the q200 append-pin argument), which
+    * RrfSpec pins. */
+  private[graft] def ivfWithTombstones(index: DataFrame,
+      tombstones: DataFrame): DataFrame =
+    index.join(broadcast(tombstones.select(col("vec_id"))),
+      Seq("vec_id"), "left_anti")
+
+  /** Compaction: fold the tombstones in, rewriting ONLY the affected
+    * cells. Finding them needs no fat read — one scan of the index's
+    * (vec_id, cell) columns (16 bytes/row; on the cell-partitioned
+    * store this is a narrow column read) joined against the broadcast
+    * tombstones, collected as the ≤ nCells affected-cell set (audit-
+    * sized by construction). Unaffected cells pass through UNTOUCHED —
+    * in production their files are simply left in place and only the
+    * affected cell partitions rewrite; the returned frame models
+    * exactly that split. Returns (compacted, affectedCells). */
+  private[graft] def ivfCompact(index: DataFrame,
+      tombstones: DataFrame): (DataFrame, Seq[Long]) = {
+    val tombs = broadcast(tombstones.select(col("vec_id")))
+    val affected = index.select(col("vec_id"), col("cell"))
+      .join(tombs, "vec_id")
+      .select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (affected.isEmpty) return (index, affected)
+    val untouched = index
+      .filter(!col("cell").isin(affected.map(Long.box): _*))
+    val rewritten = index
+      .filter(col("cell").isin(affected.map(Long.box): _*))
+      .join(tombs, Seq("vec_id"), "left_anti")
+    (untouched.unionByName(rewritten), affected)
+  }
+
   /** Inline build+query composition (the declared q199 and the spec
     * entry point): builds the index, then runs the query side.
     * pruneCells = false: the inline index's cell column is COMPUTED

@@ -549,6 +549,61 @@ class RrfSpec extends AnyFunSuite {
         "to the inline rebuild")
   }
 
+  test("IVF delete: tombstone mask and compaction close the lifecycle") {
+    // the maintenance complement of q200's append (Faiss remove_ids /
+    // LSM tombstones): (1) a tombstone-MASKED index answers full-probe
+    // queries bit-equal to an inline rebuild on the remaining vectors
+    // — cells are inert at full probe, the q200 append-pin argument in
+    // reverse (the rebuild's retrained cells differ, the candidate SET
+    // doesn't); (2) compaction folds the tombstones in with the same
+    // row set as the mask, rewriting ONLY the cells that actually held
+    // deleted ids; (3) an empty delete batch compacts to the identity.
+    import spark.implicits._
+    val docs = corpus(641L, 80)
+    val docsDf = docs.toDF("doc_id", "text")
+    val anchors = Vector(
+      Vector(8.0, 0, 0, 0, 0, 0, 0, 0), Vector(0, 0, 8.0, 0, 0, 0, 0, 0),
+      Vector(0, 0, 0, 0, 8.0, 0, 0, 0), Vector(0, 0, 0, 0, 0, 0, 8.0, 0))
+    val embDf = docs.map(_._1).map { id =>
+      val a = anchors((id % 4).toInt)
+      (id, a.zipWithIndex.map { case (v, j) =>
+        v + ((id * 13 + j * 5) % 3) * 0.1 })
+    }.toDF("vec_id", "e0")
+    val (index, cents) = Extended10.ivfIndex(embDf, dim = 8, nCells = 4)
+    val tombs = embDf.filter(pmod(col("vec_id"), lit(7L)) === 3)
+      .select("vec_id")
+    def collectOut(p: (org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame])) = {
+      val rows = p._1.collect().map(_.toSeq).toSeq
+      p._2.foreach(_.unpersist())
+      rows
+    }
+    val masked = Extended10.ivfWithTombstones(index, tombs)
+    val viaMask = collectOut(Extended10.rrfHybridIvfQuery(
+      docsDf, masked, cents, nProbe = 4, pruneCells = false))
+    val rebuilt = collectOut(Extended10.rrfHybridIvfPlan(
+      docsDf, embDf.join(tombs, Seq("vec_id"), "left_anti"),
+      dim = 8, nCells = 4, nProbe = 4))
+    assert(viaMask == rebuilt,
+      "masked index must answer full-probe queries bit-equal to the " +
+        "rebuild on the remainder")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (compacted, affected) = Extended10.ivfCompact(index, tombs)
+    assert(rowsOf(compacted) == rowsOf(masked),
+      "compaction must fold the tombstones in exactly")
+    val tombIds = tombs.collect().map(_.getLong(0)).toSet
+    assert(tombIds.nonEmpty, "the spec corpus must delete something")
+    val expect = rowsOf(index)
+      .filter { case (id, _) => tombIds.contains(id) }.map(_._2)
+    assert(affected.toSet == expect,
+      "compaction must rewrite exactly the cells holding deleted ids")
+    val (same, none) = Extended10.ivfCompact(index, tombs.limit(0))
+    assert(none.isEmpty && rowsOf(same) == rowsOf(index),
+      "an empty delete batch must compact to the identity")
+  }
+
   test("planted twin fuses to the top: query doc leads both lists") {
     // each query doc is BUILT to lead both lists: a unique term no
     // other doc contains (lexical list = self alone, df = 1) and a
