@@ -58,27 +58,40 @@ object PqOps {
     def subDim: Int = dim / m
   }
 
-  /** Train M subspace codebooks from ONE shared bounded draw (the
-    * sample is persisted across all M fits and released before
-    * returning; lazy empty-draw fallback per the lloydSampled
-    * contract). */
+  /** Train M subspace codebooks from ONE shared bounded draw, ALL
+    * SUBSPACES IN ONE JOB PER ROUND: the sample explodes into
+    * (subspace, subvector) rows and [[Clustering.fitWithinCells]]
+    * fits every subspace's codebook simultaneously (subspace index =
+    * cell — the q187 split-guard machinery, same argmin, same
+    * first-k-by-id init per cell). The first cut ran one Lloyd per
+    * subspace: m·(rounds+1) tiny sequential jobs whose scheduling
+    * overhead dominated the whole declared query at grid scale
+    * (bench r13: 9.45 s over 600 vectors). The per-cell counts passed
+    * to fitWithinCells are the sample BOUND itself — the input is
+    * already ≤ 256·ks rows per subspace, so its inner modulus sizes
+    * to 1 and nothing re-thins. Lazy empty-draw fallback per the
+    * lloydSampled contract. */
   private[graft] def pqTrain(emb: DataFrame, dim: Int, m: Int, ks: Int,
-      maxIters: Int = 6, knownCount: Option[Long] = None): PqModel = {
+      maxIters: Int = 4, knownCount: Option[Long] = None): PqModel = {
     require(dim % m == 0, "dim must split evenly into m subspaces")
     require(ks <= 256 && m <= 8, "codes must fit 8 bits × 8 subspaces")
     val sub = dim / m
+    def explodeSubs(df: DataFrame) = df.select(col("id"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("e"), i * sub + 1, sub)): _*)))
+      .select(col("pos").cast("long").as("cid"), col("id"),
+        col("col").as("e"))
+    val bound = (0L until m.toLong).map(_ -> 256L * ks).toMap
     val drawn = Clustering.trainingSample(emb, ks, knownCount)
     val train = drawn.persist()
     try {
-      val books = Array.tabulate(m) { i =>
-        def sliced(df: DataFrame) = df.select(col("id"),
-          slice(col("e"), i * sub + 1, sub).as("e"))
-        val c = Clustering.lloyd(sliced(train), ks, sub, maxIters)
-        if (c.isEmpty && (drawn ne emb))
-          Clustering.lloyd(sliced(emb), ks, sub, maxIters)
-        else c
-      }
-      PqModel(dim, m, ks, books)
+      var subsMap = Clustering.fitWithinCells(explodeSubs(train),
+        bound, splitK = ks, dim = sub, maxIters = maxIters, salt = 0L)
+      if (subsMap.isEmpty && (drawn ne emb))
+        subsMap = Clustering.fitWithinCells(explodeSubs(emb), bound,
+          splitK = ks, dim = sub, maxIters = maxIters, salt = 0L)
+      PqModel(dim, m, ks, Array.tabulate(m)(i =>
+        subsMap.getOrElse(i.toLong, Array.empty)))
     } finally train.unpersist()
   }
 
