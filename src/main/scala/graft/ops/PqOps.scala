@@ -118,6 +118,138 @@ object PqOps {
     }.asNonNullable()
   }
 
+  /** Residual training — the full IVFADC (Jégou TPAMI 2011 §IV, the
+    * Faiss default at scale): codebooks quantize the RESIDUAL
+    * x − c(cell) of each indexed vector against its own coarse cell
+    * centroid instead of x itself, concentrating the code's 64 bits
+    * on within-cell noise rather than re-spending them on the coarse
+    * geometry the cell id already encodes — strictly better
+    * reconstruction on clustered data at the same bits (PqSpec
+    * measures it). One in-row residual map (centroids ride the
+    * closure) feeding the same one-job-per-round subspace fit. */
+  private[graft] def pqTrainResidual(index: DataFrame,
+      cents: Array[(Long, Array[Double])], dim: Int, m: Int, ks: Int,
+      maxIters: Int = 4): PqModel = {
+    val cmap = cents.toMap
+    val resid = udf { (e: Seq[Double], cell: Long) =>
+      val c = cmap(cell)
+      val out = new Array[Double](e.length)
+      var j = 0
+      while (j < out.length) { out(j) = e(j) - c(j); j += 1 }
+      out
+    }.asNonNullable()
+    pqTrain(index.select(col("vec_id").as("id"),
+      resid(col("e0"), col("cell")).as("e")), dim, m, ks, maxIters)
+  }
+
+  /** Attach residual codes to a coarse index — the IVFADC ingest
+    * shape: (vec_id, e0, cell) → + code, one in-row pass (centroids
+    * AND codebooks ride the closure). */
+  private[graft] def ivfAdcIndex(index: DataFrame,
+      cents: Array[(Long, Array[Double])], model: PqModel): DataFrame = {
+    val cmap = cents.toMap
+    val books = model.codebooks
+    val m = model.m
+    val sub = model.subDim
+    val enc = udf { (e: Seq[Double], cell: Long) =>
+      val c = cmap(cell)
+      var code = 0L
+      var i = 0
+      while (i < m) {
+        val s = new Array[Double](sub)
+        var j = 0
+        while (j < sub) {
+          s(j) = e(i * sub + j) - c(i * sub + j); j += 1
+        }
+        code |= (Clustering.argminLocal(books(i),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(s))._1
+          & 0xffL) << (8 * i)
+        i += 1
+      }
+      code
+    }.asNonNullable()
+    index.withColumn("code", enc(col("e0"), col("cell")))
+  }
+
+  /** IVFADC query: probe each query's nProbe nearest cells (driver-
+    * ranked, the q199 metric and tie rules), ADC-rank ONLY the probed
+    * cells' rows with per-(query, cell) residual tables (q − c(cell)
+    * against the shared codebooks — nProbe·M·ks doubles per query,
+    * still the model-artifact class), exact-refine the collected
+    * top-R from the index's own e0 via the pushed-id shape. At full
+    * probe with topR ≥ corpus the refinement law makes the output the
+    * brute exact ranking regardless of code quality (PqSpec pin). */
+  private[graft] def ivfAdcQuery(index: DataFrame,
+      cents: Array[(Long, Array[Double])], model: PqModel,
+      qvecs: Array[(Long, Array[Double])], nProbe: Int, topR: Int,
+      depth: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cmap = cents.toMap
+    val probe: Map[Long, Seq[Long]] = qvecs.map { case (q, e) =>
+      q -> cents.toSeq
+        .map { case (cid, ce) => (cid, Clustering.l2sqLocal(e, ce)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
+    }.toMap
+    val tables: Map[Long, Map[Long, Array[Array[Double]]]] =
+      qvecs.map { case (q, e) =>
+        q -> probe(q).map { cid =>
+          val c = cmap(cid)
+          val r = new Array[Double](e.length)
+          var j = 0
+          while (j < r.length) { r(j) = e(j) - c(j); j += 1 }
+          cid -> adcTable(model, r)
+        }.toMap
+      }.toMap
+    val probeDf = probe.toSeq
+      .flatMap { case (q, cs) => cs.map(c => (q, c)) }
+      .toDF("q_id", "cell")
+    val m = model.m
+    val adcUdf = udf { (qId: Long, cell: Long, code: Long) =>
+      val t = tables(qId)(cell)
+      var d = 0.0
+      var i = 0
+      while (i < m) {
+        d += t(i)(((code >>> (8 * i)) & 0xffL).toInt)
+        i += 1
+      }
+      d
+    }.asNonNullable()
+    val adcTop = index.join(broadcast(probeDf), "cell")
+      .select(col("q_id"), col("vec_id").as("id"),
+        adcUdf(col("q_id"), col("cell"), col("code")).as("adc_d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc_d2"), col("id"))))
+      .filter(col("rn") <= topR)
+      .select(col("q_id"), col("id"), col("adc_d2"))
+      .collect()
+    if (adcTop.isEmpty)
+      return index.select(col("vec_id").as("q_id"), lit(0L).as("rnk"),
+        col("vec_id"), lit(0.0).as("adc_d2"), lit(0.0).as("d2"))
+        .limit(0)
+    val candIds = adcTop.map(_.getLong(1)).distinct.sorted.toSeq
+    val cand = adcTop.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toDF("q_id", "cand_id", "adc_d2")
+    val qmap = qvecs.toMap
+    val exactUdf = udf { (qId: Long, e: Seq[Double]) =>
+      Clustering.l2sqLocal(qmap(qId), e.toArray)
+    }.asNonNullable()
+    index.filter(col("vec_id").isin(candIds.map(Long.box): _*))
+      .join(broadcast(cand), col("vec_id") === col("cand_id"))
+      .select(col("q_id"), col("vec_id"), col("adc_d2"),
+        exactUdf(col("q_id"), col("e0")).as("d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= depth)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id"), round(col("adc_d2"), 6).as("adc_d2"),
+        round(col("d2"), 6).as("d2"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Unpack a code into its M per-subspace cell ids (spec + decode). */
   private[graft] def unpackCode(code: Long, m: Int): Array[Int] =
     Array.tabulate(m)(i => ((code >>> (8 * i)) & 0xffL).toInt)

@@ -147,6 +147,84 @@ class PqSpec extends AnyFunSuite {
     assert(composed == exhaustive)
   }
 
+  /** Dense exact anchors (multiples of 2, far apart in EVERY
+    * subspace) + exact small residues — the clustered geometry where
+    * residual coding's advantage is structural: plain PQ must spend
+    * subspace centroids separating the anchor clouds, residual PQ
+    * sees only the within-cell noise. */
+  private def plantedDense(n: Int): Seq[(Long, Seq[Double])] =
+    (0L until n.toLong).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(16)(j => ((c * 31 + j * 17) % 5) * 2.0)
+      (0 until 16).foreach(j => v(j) += ((i * 13 + j * 5) % 7) * 0.07)
+      (i, v.toSeq)
+    }
+
+  test("IVFADC residual codes: recon win, refinement law, overlap") {
+    val rows = plantedDense(240)
+    val df = rows.toDF("id", "e")
+    val (index, cents) = Extended10.ivfIndex(
+      df.select(col("id").as("vec_id"), col("e").as("e0")),
+      dim = 16, nCells = 4)
+    val plain = PqOps.pqTrain(df, dim = 16, m = 8, ks = 8)
+    val resid = PqOps.pqTrainResidual(index, cents, dim = 16, m = 8,
+      ks = 8)
+    val idx = PqOps.ivfAdcIndex(index, cents, resid)
+    // (1) at the same bits, residual recon (cell centroid + decoded
+    // residual) beats plain recon on clustered data — the published
+    // IVFADC motivation, measured
+    val cmap = cents.toMap
+    val plainCodes = df.select(col("id"),
+        PqOps.pqEncode(plain)(col("e")).as("code")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val idxRows = idx.select(col("vec_id"), col("e0"), col("cell"),
+      col("code")).collect()
+    var plainSse = 0.0
+    var residSse = 0.0
+    idxRows.foreach { r =>
+      val id = r.getLong(0)
+      val e = r.getSeq[Double](1).toArray
+      val c = cmap(r.getLong(2))
+      val rp = PqOps.decodeLocal(plain, plainCodes(id))
+      val rr = PqOps.decodeLocal(resid, r.getLong(3))
+        .zip(c).map { case (a, b) => a + b }
+      plainSse += Clustering.l2sqLocal(e, rp)
+      residSse += Clustering.l2sqLocal(e, rr)
+    }
+    assert(residSse < plainSse,
+      s"residual recon SSE $residSse must beat plain $plainSse")
+    // (2) refinement law: full probe + topR ≥ corpus makes the output
+    // the brute exact ranking REGARDLESS of code quality
+    val qvecs = rows.take(3).map { case (i, v) => (i, v.toArray) }
+      .toArray
+    val full = PqOps.ivfAdcQuery(idx, cents, resid, qvecs,
+      nProbe = cents.length, topR = 240, depth = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = qvecs.flatMap { case (q, qv) =>
+      rows.map { case (i, v) =>
+        (i, Clustering.l2sqLocal(qv, v.toArray)) }
+        .sortBy { case (i, d) => (d, i) }.take(10).zipWithIndex
+        .map { case ((i, _), r) => (q, (r + 1).toLong, i) }
+    }.sorted
+    assert(full.sorted.toSeq == brute.toSeq,
+      "full probe + full-depth refinement must be the exact ranking")
+    // (3) partial probe: the query's own cell is always probed, so
+    // self-retrieval holds and top-10 overlap vs brute stays ≥ 9/10
+    val part = PqOps.ivfAdcQuery(idx, cents, resid, qvecs, nProbe = 2,
+      topR = 20, depth = 10).collect()
+    qvecs.foreach { case (q, qv) =>
+      val got = part.filter(_.getLong(0) == q)
+      val top = got.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(top.head == q && got.sortBy(_.getLong(1)).head
+        .getDouble(4) == 0.0, "self-retrieval at rank 1")
+      val exact = rows.map { case (i, v) =>
+        (i, Clustering.l2sqLocal(qv, v.toArray)) }
+        .sortBy { case (i, d) => (d, i) }.take(10).map(_._1).toSet
+      assert((top.toSet intersect exact).size >= 9,
+        s"query $q: partial-probe overlap < 9/10")
+    }
+  }
+
   test("q201 plan: rank-limit pushdown, codes-only scan, point lookups") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
