@@ -73,6 +73,34 @@ object QPqProbe {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // IVFADC: residual codes stored beside the coarse cells,
+    // cell-partitioned — a partial probe (nProbe of nCells) prunes
+    // the code read at the file listing (the q199 prebuilt lesson
+    // applied to codes), and ADC tables are per-(query, probed cell)
+    val ivfadcDir = "/tmp/graft_pq_ivfadc"
+    var cents: Array[(Long, Array[Double])] = Array.empty
+    var residModel: ops.PqOps.PqModel = null
+    timed("ivfadc_build") {
+      val (index, cs) = ops.Extended10.ivfIndex(
+        emb().select(col("id").as("vec_id"), col("e").as("e0")),
+        dim = 64, nCells = 16)
+      cents = cs
+      residModel = ops.PqOps.pqTrainResidual(index, cents, dim = 64,
+        m = 8, ks = ks, maxIters = 4)
+      ops.PqOps.ivfAdcIndex(index, cents, residModel)
+        .repartition(col("cell")).sortWithinPartitions("vec_id")
+        .write.partitionBy("cell")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(ivfadcDir)
+    }
+    (1 to 2).foreach { i =>
+      timed(s"ivfadc_$i") {
+        val idx = spark.read.parquet(ivfadcDir)
+        ops.PqOps.ivfAdcQuery(idx, cents, residModel, qvecs,
+          nProbe = 4, topR = 32, depth = 10, pruneCells = true)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     (1 to 2).foreach { i =>
       timed(s"brute_$i") {
         val qmap = qvecs.toMap

@@ -135,11 +135,17 @@ object Clustering {
         .select(col("cid"), col("ce")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val drawn = trainingSample(src, k)
-    val train = drawn.persist()
+    // persist only an actual draw: when no thinning was needed,
+    // `drawn` IS the caller's frame and persisting/unpersisting it
+    // here could evict a cache the caller still holds (the r13
+    // pqTrain finding); an unthinned input is ≤ 256·k rows by
+    // definition, so the per-round rescan it forgoes is tiny
+    val thinned = drawn ne src
+    val train = if (thinned) drawn.persist() else drawn
     val cents =
       try fit(train)
-      finally train.unpersist()
-    if (cents.isEmpty && (drawn ne src)) fit(src) else cents
+      finally if (thinned) train.unpersist()
+    if (cents.isEmpty && thinned) fit(src) else cents
   }
 
   /** Driver-side twin of [[l2sq]]: the same ascending-index sequential

@@ -83,16 +83,22 @@ object PqOps {
         col("col").as("e"))
     val bound = (0L until m.toLong).map(_ -> 256L * ks).toMap
     val drawn = Clustering.trainingSample(emb, ks, knownCount)
-    val train = drawn.persist()
+    // persist ONLY an actual draw: when no thinning was needed,
+    // `drawn` IS the caller's frame, and persist/unpersist here would
+    // silently evict a cache the caller still relies on (q201 holds
+    // emb persisted across train/encode/query — found in the r13
+    // self-review)
+    val thinned = drawn ne emb
+    val train = if (thinned) drawn.persist() else drawn
     try {
       var subsMap = Clustering.fitWithinCells(explodeSubs(train),
         bound, splitK = ks, dim = sub, maxIters = maxIters, salt = 0L)
-      if (subsMap.isEmpty && (drawn ne emb))
+      if (subsMap.isEmpty && thinned)
         subsMap = Clustering.fitWithinCells(explodeSubs(emb), bound,
           splitK = ks, dim = sub, maxIters = maxIters, salt = 0L)
       PqModel(dim, m, ks, Array.tabulate(m)(i =>
         subsMap.getOrElse(i.toLong, Array.empty)))
-    } finally train.unpersist()
+    } finally if (thinned) train.unpersist()
   }
 
   /** Encode: per-subspace argmin (the shared [[Clustering.argminLocal]]
@@ -179,10 +185,18 @@ object PqOps {
     * top-R from the index's own e0 via the pushed-id shape. At full
     * probe with topR ≥ corpus the refinement law makes the output the
     * brute exact ranking regardless of code quality (PqSpec pin). */
-  private[graft] def ivfAdcQuery(index: DataFrame,
+  /** The IVFADC candidate frame (exposed for the spec's plan pin):
+    * probed-cell rows ADC-ranked with per-(query, cell) residual
+    * tables, cut to top-R map-side. `pruneCells` adds the probed-cell
+    * set as a STATIC isin on the stored cell column — file-listing
+    * partition pruning on a cell-partitioned store (the q199 prebuilt
+    * lesson applied to codes); leave false over an INLINE index whose
+    * cell column is the computed assignment UDF (the filter would
+    * push below fanout's repartition — the q45 trap). */
+  private[graft] def ivfAdcCandidates(index: DataFrame,
       cents: Array[(Long, Array[Double])], model: PqModel,
       qvecs: Array[(Long, Array[Double])], nProbe: Int, topR: Int,
-      depth: Int): DataFrame = {
+      pruneCells: Boolean = false): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val cmap = cents.toMap
@@ -201,6 +215,11 @@ object PqOps {
           cid -> adcTable(model, r)
         }.toMap
       }.toMap
+    val cellSet = probe.values.flatten.toSeq.distinct
+    val candFilter =
+      if (!pruneCells) lit(true)
+      else if (cellSet.isEmpty) lit(false)
+      else col("cell").isin(cellSet.map(Long.box): _*)
     val probeDf = probe.toSeq
       .flatMap { case (q, cs) => cs.map(c => (q, c)) }
       .toDF("q_id", "cell")
@@ -215,7 +234,7 @@ object PqOps {
       }
       d
     }.asNonNullable()
-    val adcTop = index.join(broadcast(probeDf), "cell")
+    index.filter(candFilter).join(broadcast(probeDf), "cell")
       .select(col("q_id"), col("vec_id").as("id"),
         adcUdf(col("q_id"), col("cell"), col("code")).as("adc_d2"))
       .withColumn("rn", row_number().over(
@@ -223,7 +242,16 @@ object PqOps {
           .orderBy(col("adc_d2"), col("id"))))
       .filter(col("rn") <= topR)
       .select(col("q_id"), col("id"), col("adc_d2"))
-      .collect()
+  }
+
+  private[graft] def ivfAdcQuery(index: DataFrame,
+      cents: Array[(Long, Array[Double])], model: PqModel,
+      qvecs: Array[(Long, Array[Double])], nProbe: Int, topR: Int,
+      depth: Int, pruneCells: Boolean = false): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val adcTop = ivfAdcCandidates(index, cents, model, qvecs, nProbe,
+      topR, pruneCells).collect()
     if (adcTop.isEmpty)
       return index.select(col("vec_id").as("q_id"), lit(0L).as("rnk"),
         col("vec_id"), lit(0.0).as("adc_d2"), lit(0.0).as("d2"))

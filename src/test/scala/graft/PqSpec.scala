@@ -225,6 +225,52 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC stored index: partial probe prunes cell partitions") {
+    // over a cell-PARTITIONED code store, pruneCells pushes the probed
+    // cells as a static isin: the candidate scan must carry cell
+    // partition filters (file-listing pruning — the q199 prebuilt pin
+    // applied to codes)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val rows = plantedDense(160)
+    val df = rows.toDF("id", "e")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc")
+    try {
+      val (index, cents) = Extended10.ivfIndex(
+        df.select(col("id").as("vec_id"), col("e").as("e0")),
+        dim = 16, nCells = 4)
+      val model = PqOps.pqTrainResidual(index, cents, dim = 16, m = 8,
+        ks = 8)
+      PqOps.ivfAdcIndex(index, cents, model)
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(dir.toString)
+      val stored = spark.read.parquet(dir.toString)
+      val qvecs = rows.take(2).map { case (i, v) => (i, v.toArray) }
+        .toArray
+      val cand = PqOps.ivfAdcCandidates(stored, cents, model, qvecs,
+        nProbe = 2, topR = 8, pruneCells = true)
+      val pruned = cand.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec if s.partitionFilters.exists(
+          _.references.exists(_.name == "cell")) => s
+      }
+      assert(pruned.nonEmpty,
+        "candidate scan must carry cell partition filters")
+      // and the pruned path still answers: self-retrieval via the
+      // full query over the stored index
+      val out = PqOps.ivfAdcQuery(stored, cents, model, qvecs,
+        nProbe = 2, topR = 8, depth = 3, pruneCells = true).collect()
+      qvecs.foreach { case (q, _) =>
+        val top = out.filter(_.getLong(0) == q).minBy(_.getLong(1))
+        assert(top.getLong(2) == q && top.getDouble(4) == 0.0)
+      }
+    } finally {
+      val walked = java.nio.file.Files.walk(dir)
+      try walked
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
   test("q201 plan: rank-limit pushdown, codes-only scan, point lookups") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
