@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** q202 — exact substring (span) deduplication: the Lee et al. 2022
+  * "Deduplicating Training Data Makes Language Models Better"
+  * ExactSubstr operator, re-expressed for Spark. Their suffix-array
+  * formulation finds every L-token window that occurs more than once
+  * in the corpus and removes ALL its occurrences (the released
+  * deduplicate-text-datasets implementation drops every copy, not
+  * all-but-one — we match that, and document it as the contract);
+  * a suffix array is a single-machine artifact, so the Spark-first
+  * equivalent is the rolling-window digest join: every document emits
+  * its L-token span hashes WITH their start positions, a digest-keyed
+  * count finds spans occurring ≥ 2× corpus-wide (within- or cross-
+  * document — the suffix array does not distinguish either), and the
+  * duplicated occurrences fold back into per-document covered-position
+  * sets that drive both the accounting and the rewrite.
+  *
+  * Differs from q99 (decontamination) in kind, not just parameters:
+  * q99 matches documents against a FOREIGN benchmark set and only
+  * counts hits; q202 matches the corpus against ITSELF (self-duplication
+  * with multiplicity) and performs the removal — the interval union of
+  * duplicated spans and the reconstruction of the surviving text.
+  *
+  * Output per document: `n_tokens`, `dup_spans` (this document's span
+  * occurrences that are duplicated corpus-wide), `covered_tokens`
+  * (size of the union of their L-token extents), and `kept_text` (the
+  * document with every covered token removed — the training corpus
+  * the operator would actually ship). All-integer + exact-string
+  * columns → full DuckDB oracle.
+  *
+  * Scale (100 TB): span hashing is ONE in-row pass (the text column
+  * never shuffles — only 16-byte digests + (doc_id, pos) longs leave
+  * the scan); the digest frame is persisted once and feeds both the
+  * duplicate count (partial-agg'd groupBy — hot spans combine
+  * map-side, unlike a window-over-g shape which would buffer a viral
+  * span's entire occurrence list in one partition) and the occurrence
+  * join (AQE skew-join eligible; the dup-digest side is
+  * count-reduced first). The per-document covered-position union is
+  * built IN-ROW by one aggregation (array_distinct over concatenated
+  * L-token extents — bounded by document length, the q88 chunk-array
+  * class), so duplicate accounting costs exactly one doc_id shuffle
+  * of the duplicated occurrences. The final assembly left-joins that
+  * one stats frame back to the base scan on doc_id; only documents
+  * carrying duplicated spans appear on the right side, so AQE
+  * broadcasts it in the common low-dup regime
+  * and degrades to one doc_id co-partition under heavy duplication —
+  * the rewrite is inherently a text-moving op at that point.
+  * (Verified: q202 plan shows the text scan exactly twice — digest
+  * pass + assembly — and `PushedFilters` on both.)
+  */
+object SpanOps {
+
+  /** Span length in tokens. 8 matches q99's shingle width; Lee et al.
+    * use 50 BPE tokens on web corpora — with the testdata's ~30–70
+    * token documents, 8 keeps the operator exercised (the sf0.01 grid
+    * carries ~1k genuinely duplicated 8-token spans). */
+  private val L = 8
+
+  /** Core over any (doc_id, text) frame — the cross-impl spec drives
+    * it with planted corpora. */
+  private[graft] def spanDedup(docs: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"),
+      x => x =!= "")
+    val base = docs.select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    // (doc_id, p, g): token-start position (1-based) + span digest.
+    // One in-row pass; md5 keeps the oracle engine-portable (q99).
+    val spans = base.filter(col("n") >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1L), col("n") - (L - 1)),
+          i => md5(concat_ws(" ",
+            slice(col("t"), i.cast("int"), lit(L)))))))
+      .select(col("doc_id"), (col("pos") + 1L).cast("long").as("p"),
+        col("col").as("g"))
+      .persist() // digests only; both consumers below (harness unpersists)
+    // duplicated = occurs ≥2× corpus-wide (same doc or not — the
+    // suffix-array contract). Partial-agg'd groupBy: a viral span
+    // combines map-side instead of flooding one partition.
+    val dupg = spans.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2L).select("g")
+    val occ = spans.join(dupg, "g").select(col("doc_id"), col("p"))
+    // ONE per-doc aggregation carries both the occurrence count and
+    // the covered-position union — the union is built in-row
+    // (array_distinct over the concatenated L-token extents, bounded
+    // by document length), so no per-position distinct shuffle and no
+    // second pass over the occurrence join
+    val docAgg = occ.groupBy("doc_id").agg(
+      count(lit(1)).as("dup_spans"),
+      array_distinct(flatten(collect_list(
+        sequence(col("p"), col("p") + (L - 1))))).as("cps"))
+      .withColumn("covered_tokens", size(col("cps")).cast("long"))
+    base
+      .join(docAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        // rewrite: drop every covered token, keep original order. The
+        // null-guard matters — array_contains(null, _) is null and a
+        // null lambda result would silently drop every token.
+        when(col("cps").isNull, array_join(col("t"), " "))
+          .otherwise(array_join(filter(col("t"), (_, i) =>
+            not(array_contains(col("cps"),
+              (i + lit(1)).cast("long")))), " "))
+          .as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q202 over the documents table. */
+  def q202SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedup(Tables.documents(spark, dir).select("doc_id", "text"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q202_span_dedup" -> (q202SpanDedup _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q202_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                     x -> x <> '') AS l
+        |  FROM documents),
+        |s AS (SELECT doc_id, l, len(l) AS n FROM t),
+        |sp AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(1, CAST(n AS INT) - 7)) AS p,
+        |         unnest(list_transform(generate_series(1, CAST(n AS INT) - 7),
+        |           i -> md5(array_to_string(list_slice(l, i, i + 7), ' ')))) AS g
+        |  FROM s WHERE n >= 8),
+        |dup AS (SELECT g FROM sp GROUP BY g HAVING count(*) >= 2),
+        |occ AS (SELECT sp.doc_id, sp.p FROM sp JOIN dup USING (g)),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM
+        |        (SELECT doc_id, unnest(generate_series(p, p + 7)) AS tp
+        |         FROM occ)),
+        |covn AS (SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY 1),
+        |occn AS (SELECT doc_id, count(*) AS dup_spans FROM occ GROUP BY 1),
+        |toks AS (SELECT doc_id, unnest(l) AS tok,
+        |                unnest(generate_series(1, CAST(n AS INT))) AS tp
+        |         FROM s WHERE n >= 1),
+        |kept AS (
+        |  SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.tp) AS kept_text
+        |  FROM toks tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.tp = c.tp
+        |  WHERE c.tp IS NULL GROUP BY tk.doc_id)
+        |SELECT s.doc_id, s.n AS n_tokens,
+        |       coalesce(occn.dup_spans, 0) AS dup_spans,
+        |       coalesce(covn.covered_tokens, 0) AS covered_tokens,
+        |       coalesce(kept.kept_text, '') AS kept_text
+        |FROM s LEFT JOIN occn USING (doc_id) LEFT JOIN covn USING (doc_id)
+        |       LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q202 exact substring (span) dedup — planted-corpus laws plus a
+  * driver-side brute-force cross-implementation over a collision-heavy
+  * generated corpus. The contract under test (SpanOps scaladoc): a
+  * span is duplicated iff its 8-token window occurs ≥ 2× corpus-wide
+  * (within- OR cross-document), and ALL occurrences are removed (the
+  * released deduplicate-text-datasets behavior).
+  *
+  * NB the tokenizer is q99's `[^a-z]+` split — digits are separators —
+  * so planted tokens here are letter-only (e.g. `aab`, not `aa1`). */
+class SpanSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private val L = 8
+
+  private def run(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] =
+    try ops.SpanOps.spanDedup(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    finally spark.catalog.clearCache() // drop the spans persist per call
+
+  /** Ground truth, computed with plain Scala collections on the raw
+    * span STRINGS (md5 equality ⇔ string equality for the pin —
+    * a digest collision would be a Spark-side bug). */
+  private def brute(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] = {
+    val toks = docs.map { case (id, tx) =>
+      id -> tx.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toVector }
+    val spans = toks.flatMap { case (id, t) =>
+      (0 to t.length - L).map(i => (id, i, t.slice(i, i + L).mkString(" "))) }
+    val counts = spans.groupBy(_._3).map { case (g, o) => g -> o.size }
+    toks.map { case (id, t) =>
+      val mine = spans.filter(_._1 == id)
+      val dup = mine.filter(s => counts(s._3) >= 2)
+      val covered = dup.flatMap(s => s._2 until s._2 + L).toSet
+      val kept = t.zipWithIndex.collect {
+        case (tok, i) if !covered.contains(i) => tok }.mkString(" ")
+      id -> (t.length.toLong, dup.size.toLong, covered.size.toLong, kept)
+    }.toMap
+  }
+
+  // letter-only unique filler: tag + 'a'+i — never collides across tags
+  private def filler(tag: String, n: Int) =
+    (0 until n).map(i => s"$tag${('a' + i).toChar}").mkString(" ")
+  // a 12-token block shared verbatim by planted docs
+  private val block = (0 until 12).map(i => s"dup${('a' + i).toChar}").mkString(" ")
+
+  test("planted cross-doc block: all its spans flagged, extent removed") {
+    val docs = Seq(
+      (1L, filler("aa", 2) + " " + block + " " + filler("bb", 6)),
+      (2L, block + " " + filler("cc", 9)),
+      (3L, filler("dd", 20)))
+    val out = run(docs)
+    // a 12-token block holds 12-8+1 = 5 duplicated 8-spans per copy
+    assert(out(1L) === (20L, 5L, 12L, filler("aa", 2) + " " + filler("bb", 6)))
+    assert(out(2L) === (21L, 5L, 12L, filler("cc", 9)))
+    assert(out(3L) === (20L, 0L, 0L, filler("dd", 20)))
+  }
+
+  test("within-doc repetition removes BOTH copies (all-occurrence law)") {
+    val rep = (0 until 8).map(i => s"rr${('a' + i).toChar}").mkString(" ")
+    val docs = Seq(
+      (1L, rep + " " + filler("mid", 4) + " " + rep),
+      (2L, filler("zz", 15)))
+    val out = run(docs)
+    // both 8-token occurrences of `rep` are duplicated → 16 covered
+    assert(out(1L) === (20L, 2L, 16L, filler("mid", 4)))
+    assert(out(2L)._2 === 0L)
+  }
+
+  test("overlapping duplicated spans union their extents (no double count)") {
+    // doc 1 carries an 11-token run whose two 8-spans (offsets 0 and 3)
+    // are each duplicated elsewhere — covered = 11, not 16
+    val b = (0 until 11).map(i => s"ov${('a' + i).toChar}").mkString(" ")
+    val left = (0 until 8).map(i => s"ov${('a' + i).toChar}").mkString(" ")
+    val right = (3 until 11).map(i => s"ov${('a' + i).toChar}").mkString(" ")
+    val docs = Seq(
+      (1L, b + " " + filler("pad", 9)),
+      (2L, left + " " + filler("qq", 12)),
+      (3L, right + " " + filler("ww", 12)))
+    val out = run(docs)
+    assert(out(1L)._3 === 11L)
+    assert(out(1L)._4 === filler("pad", 9))
+  }
+
+  test("short docs (< L tokens) emit no spans and keep their text") {
+    val docs = Seq((1L, "tiny doc here"), (2L, filler("xx", 9)))
+    val out = run(docs)
+    assert(out(1L) === (3L, 0L, 0L, "tiny doc here"))
+    assert(out(2L) === (9L, 0L, 0L, filler("xx", 9)))
+  }
+
+  test("brute-force cross-impl on a collision-heavy generated corpus") {
+    // 3-word vocabulary forces genuine duplication; deterministic LCG
+    val vocab = Vector("alpha", "beta", "gamma")
+    var s = 42L
+    def next(m: Int) = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % m) + m) % m }
+    val docs = (0L until 40L).map { id =>
+      val n = 6 + next(25).toInt
+      id -> (0 until n).map(_ => vocab(next(3).toInt)).mkString(" ")
+    }
+    val expected = brute(docs)
+    val got = run(docs)
+    assert(got === expected)
+    // sanity: the corpus actually exercised the operator
+    assert(expected.values.map(_._2).sum > 20L,
+      "generator must plant real duplication")
+  }
+
+  test("declared q202 plan: one uncached text scan, digest cache reused") {
+    val df = ops.SpanOps.q202SpanDedup(spark, SparkTest.sfDir)
+    try {
+      val plan = df.queryExecution.executedPlan
+      def walked = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the main tree reads parquet ONCE (the assembly side); every
+      // other consumer reads the persisted digest frame — the text
+      // column is hashed exactly once, corpus-wide
+      val fileScans = walked.collect { case f: FileSourceScanExec => f }
+      val cacheScans = walked.collect { case c: InMemoryTableScanExec => c }
+      assert(fileScans.length === 1,
+        s"expected one uncached text scan, got ${fileScans.length}")
+      assert(cacheScans.length === 2,
+        s"digest cache must feed dup-count + occurrence join, got ${cacheScans.length}")
+      assert(!plan.toString.contains("CartesianProduct"))
+      assert(df.count() > 0)
+    } finally spark.catalog.clearCache()
+  }
+}
