@@ -67,7 +67,11 @@ object SpanOps {
   private[graft] def spanDedup(docs: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"),
       x => x =!= "")
-    val base = docs.select(col("doc_id"), toks.as("t"))
+    // fanout BEFORE the digest pass: the per-span slice/concat/md5 is
+    // the query's CPU center and must not serialize on the scan's
+    // split count (Tables.fanout contract — no-op on many-split input)
+    val base = graft.Tables.fanout(docs.select("doc_id", "text"))
+      .select(col("doc_id"), toks.as("t"))
       .withColumn("n", size(col("t")).cast("long"))
     // (doc_id, p, g): token-start position (1-based) + span digest.
     // One in-row pass; md5 keeps the oracle engine-portable (q99).
