@@ -112,6 +112,13 @@ object SpanOps {
             not(array_contains(col("cps"),
               (i + lit(1)).cast("long")))), " "))
           .as("kept_text"))
+      // NOT cachedOrderBy (the Out.scala criterion): the output carries
+      // the full rewritten corpus — long-string columns cache worse
+      // than the sampling pass's recompute of the assembly tail (the
+      // q62 redacted-corpus precedent, 1.4× at 1000×). QSortAudit:
+      // the sampled chain starts at the fanout shuffle, so the replay
+      // is tokenize + kept-filter over map outputs — never the scan,
+      // and never the digest pass (cached)
       .orderBy("doc_id")
   }
 
