@@ -116,6 +116,49 @@ class SpanSpec extends AnyFunSuite {
       "generator must plant real duplication")
   }
 
+  private def runIncr(batch: Seq[(Long, String)],
+      store: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] =
+    try ops.SpanOps.spanDedupVsStore(batch.toDF("doc_id", "text"),
+        ops.SpanOps.spanIndex(store.toDF("doc_id", "text")))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    finally spark.catalog.clearCache()
+
+  test("maintenance law: incremental ≡ full-corpus dedup restricted to batch") {
+    // the q200 append≡rebuild analog: store_count + batch_count ≥ 2
+    // ⇔ store-hit ∨ batch-internal pair, so q203 over (batch | store
+    // index) must BIT-EQUAL q202 over store ∪ batch filtered to the
+    // batch's documents — checked on the collision-heavy LCG corpus
+    val vocab = Vector("alpha", "beta", "gamma")
+    var s = 99L
+    def next(m: Int) = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % m) + m) % m }
+    val docs = (0L until 60L).map { id =>
+      val n = 6 + next(25).toInt
+      id -> (0 until n).map(_ => vocab(next(3).toInt)).mkString(" ")
+    }
+    val batch = docs.filter(_._1 % 7 == 0)
+    val store = docs.filterNot(_._1 % 7 == 0)
+    val full = run(docs)
+    val incr = runIncr(batch, store)
+    assert(incr === full.view.filterKeys(_ % 7 == 0).toMap)
+    assert(incr.values.map(_._2).sum > 0L, "law must be exercised")
+  }
+
+  test("store hits flag batch spans that are unique within the batch") {
+    val batch = Seq((7L, block + " " + filler("bb", 6)))   // block once
+    val store = Seq(
+      (1L, filler("ss", 3) + " " + block),                 // block in store
+      (2L, filler("tt", 15)))
+    val out = runIncr(batch, store)
+    assert(out(7L) === (18L, 5L, 12L, filler("bb", 6)))
+    // and WITHOUT the store hit the same batch is untouched
+    val alone = runIncr(batch, Seq((2L, filler("tt", 15))))
+    assert(alone(7L) === (18L, 0L, 0L, block + " " + filler("bb", 6)))
+  }
+
   test("declared q202 plan: one uncached text scan, digest cache reused") {
     val df = ops.SpanOps.q202SpanDedup(spark, SparkTest.sfDir)
     try {
