@@ -47,7 +47,8 @@ object QSpanProbe {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    def runCorpus(tag: String, docs: DataFrame): Unit = {
+    def runCorpus(tag: String, docs: DataFrame,
+        storeBroadcastable: Boolean): Unit = {
       val batch = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
       val store = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
       timed(s"$tag.full") { noop(ops.SpanOps.spanDedup(docs)) }
@@ -68,11 +69,36 @@ object QSpanProbe {
         spark.table(s"span_idx_${tag}"))
       timed(s"$tag.probeBucketed") { noop(probed) }
       spark.catalog.clearCache()
+      // the bucketed claim, ASSERTED per regime with the regime's OWN
+      // batch. In the regime where the store digest set is too big to
+      // broadcast (dist), the bucketed probe must need exactly one
+      // fewer hash exchange than the plain-parquet probe — the store
+      // side's. In the dup regime the distinct store set is SMALL and
+      // the planner broadcasts it for the plain index too (also
+      // store-shuffle-free), so bucketing is moot there: assert only
+      // that it never ADDS an exchange.
+      def exchanges(i: DataFrame): Int =
+        "Exchange hashpartitioning".r.findAllIn(
+          ops.SpanOps.spanDedupVsStore(batch, i)
+            .queryExecution.executedPlan.toString).length
+      val plainEx = exchanges(idx)
+      val bucketEx = exchanges(spark.table(s"span_idx_${tag}"))
+      println(s"SPANPROBE $tag.exchanges plain=$plainEx bucketed=$bucketEx")
+      if (storeBroadcastable)
+        require(bucketEx <= plainEx,
+          s"bucketing must not add exchanges ($plainEx -> $bucketEx)")
+      else
+        require(bucketEx == plainEx - 1,
+          s"bucketed store must remove exactly the store-side exchange " +
+            s"(plain=$plainEx bucketed=$bucketEx)")
+      spark.catalog.clearCache()
     }
 
-    // regime 1: the QScale replica corpus (dup-heavy)
+    // regime 1: the QScale replica corpus (dup-heavy — the distinct
+    // digest set stays corpus-of-origin-sized and broadcasts)
     runCorpus("dup",
-      spark.read.parquet(s"$src/documents.parquet").select("doc_id", "text"))
+      spark.read.parquet(s"$src/documents.parquet").select("doc_id", "text"),
+      storeBroadcastable = true)
 
     // regime 2: distinct-heavy — 50-token docs over a wide id space;
     // multiplying by a large odd constant mod a wide vocab makes
@@ -88,23 +114,8 @@ object QSpanProbe {
       // spell them as letters instead
       .select(col("doc_id"),
         translate(col("text"), "0123456789", "abcdefghij").as("text"))
-    runCorpus("dist", distinct)
+    runCorpus("dist", distinct, storeBroadcastable = false)
 
-    // the bucketed claim, checked on the plan: the bucketed probe
-    // needs exactly ONE FEWER hash exchange than the plain-parquet
-    // probe — the store side's (only batch digests still shuffle)
-    val batchDocs = spark.read.parquet(s"$src/documents.parquet")
-      .select("doc_id", "text")
-      .filter(pmod(col("doc_id"), lit(7L)) === 0L)
-    def exchanges(idx: DataFrame): Int =
-      "Exchange hashpartitioning".r.findAllIn(
-        ops.SpanOps.spanDedupVsStore(batchDocs, idx)
-          .queryExecution.executedPlan.toString).length
-    val plainEx = exchanges(
-      spark.read.parquet(s"$work/dist-spanidx.parquet"))
-    val bucketEx = exchanges(spark.table("span_idx_dist"))
-    println(s"SPANPROBE exchanges plain=$plainEx bucketed=$bucketEx " +
-      s"(expect bucketed = plain - 1)")
     spark.stop()
   }
 }

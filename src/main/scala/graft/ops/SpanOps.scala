@@ -80,13 +80,17 @@ object SpanOps {
   }
 
   /** (doc_id, p, g): token-start position (1-based) + span digest.
-    * One in-row pass; md5 keeps the oracle engine-portable (q99). */
+    * One in-row pass; md5 keeps the dup definition engine-portable
+    * (q99), and unhex packs it to the TRUE 16 bytes — the digest is
+    * the operator's dominant shuffled/persisted column, and the
+    * 32-char hex form would double it (the oracle never sees digests,
+    * only their equivalence classes, so SQL parity is untouched). */
   private[graft] def spanFrame(base: DataFrame): DataFrame =
     base.filter(col("n") >= L)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1L), col("n") - (L - 1)),
-          i => md5(concat_ws(" ",
-            slice(col("t"), i.cast("int"), lit(L)))))))
+          i => unhex(md5(concat_ws(" ",
+            slice(col("t"), i.cast("int"), lit(L))))))))
       .select(col("doc_id"), (col("pos") + 1L).cast("long").as("p"),
         col("col").as("g"))
 
