@@ -70,10 +70,13 @@ object SpanOps {
   /** Tokenized base frame (doc_id, t, n). Fans out BEFORE the digest
     * pass: the per-span slice/concat/md5 is the CPU center and must
     * not serialize on the scan's split count (Tables.fanout contract —
-    * no-op on many-split input). */
+    * no-op on many-split input). Null text coalesces to "" so a null
+    * row yields (n=0, kept_text="") exactly like the oracle's
+    * coalesce — without it, array_join over null tokens would emit
+    * null kept_text and silently diverge. */
   private[graft] def tokenBase(docs: DataFrame): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[^a-z]+"),
-      x => x =!= "")
+    val toks = filter(split(lower(coalesce(col("text"), lit(""))),
+      "[^a-z]+"), x => x =!= "")
     graft.Tables.fanout(docs.select("doc_id", "text"))
       .select(col("doc_id"), toks.as("t"))
       .withColumn("n", size(col("t")).cast("long"))
@@ -144,6 +147,37 @@ object SpanOps {
     assemble(base, spans.join(dupg, "g").select(col("doc_id"), col("p")))
   }
 
+  /** q204's core — the keep-FIRST policy variant of [[spanDedup]]:
+    * production pipelines usually retain one occurrence of each
+    * duplicated span rather than dropping all of them (the q174
+    * segment-dedup decision shape applied at span granularity). The
+    * keeper is the occurrence with the minimum corpus-order key
+    * (doc_id, p) — deterministic, engine-portable — and only the
+    * REMAINING occurrences are dropped. Per duplicated digest the
+    * q202 occurrence set therefore partitions exactly into
+    * {1 keeper} ∪ {this operator's dropped set} (SpanSpec pins the
+    * law). Same all-integer + exact-string output → full DuckDB
+    * oracle.
+    *
+    * Scale: identical shape to [[spanDedup]] — the keeper is a
+    * partial-agg'd min(struct(doc_id, p)) computed IN the same
+    * digest groupBy as the count (a window over g would buffer a
+    * viral span's whole occurrence list in one partition; the
+    * min-aggregate combines map-side), and dropping the keeper is a
+    * row-local struct comparison after the occurrence join. */
+  private[graft] def spanDedupKeepFirst(docs: DataFrame): DataFrame = {
+    val base = tokenBase(docs)
+    val spans = spanFrame(base)
+      .persist() // digests only; both consumers below (harness unpersists)
+    val keep = spans.groupBy("g").agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("p"))).as("k"))
+      .filter(col("c") >= 2L).select("g", "k")
+    val occ = spans.join(keep, "g")
+      .filter(struct(col("doc_id"), col("p")) =!= col("k"))
+      .select("doc_id", "p")
+    assemble(base, occ)
+  }
+
   /** q203's core — incremental exact-substring dedup of a BATCH against
     * a stored span-digest index (the q153/q200 maintenance shape
     * applied to q202): a batch span is duplicated iff its digest is in
@@ -177,31 +211,85 @@ object SpanOps {
   private[graft] def spanIndex(docs: DataFrame): DataFrame =
     spanFrame(tokenBase(docs)).select("g").distinct()
 
-  /** q202 over the documents table. */
+  /** Store-update half of the q203 lifecycle (the q200 ivfAppend
+    * analogue): the digests an admitted batch ADDS to the stored set —
+    * the batch's distinct digests anti-joined against the store, so
+    * merge work is ∝ batch (the store side never shuffles when the
+    * index is the bucketed-state table, and never rewrites: the delta
+    * is APPENDED, see [[spanIndexAppend]]). Appending the RAW batch's
+    * digest set (not just the admitted survivors') is what makes the
+    * sequential law exact: spanIndex(store) ∪ spanIndex(batch) IS the
+    * digest set of store ∪ batch, so dedup(b2 vs merged store) ≡
+    * q202 over store ∪ b1 ∪ b2 restricted to b2 — SpanSpec pins two
+    * sequential batches ≡ one combined corpus bit-for-bit. */
+  private[graft] def spanIndexDelta(batch: DataFrame,
+      storeDigests: DataFrame): DataFrame =
+    spanIndex(batch).join(storeDigests.select("g"), Seq("g"), "left_anti")
+
+  /** Append an admitted batch's new digests to the bucketed span-index
+    * table in place (same bucketing spec as ScaleOps.writeBucketedState
+    * so future probes stay store-shuffle-free). Cost ∝ batch digests:
+    * one anti-join against the bucketed store + one batch-sized
+    * bucketed write — the standing index is never rescanned or
+    * rewritten (QSpanProbe times this against the full rebuild). */
+  private[graft] def spanIndexAppend(spark: SparkSession, batch: DataFrame,
+      table: String, nBuckets: Int = 32): Unit =
+    // materialize the (batch-sized) delta before writing — the write
+    // must not re-read the table it is appending to
+    ScaleOps.stageCheckpoint(spanIndexDelta(batch, spark.table(table)))
+      .write.mode("append")
+      .bucketBy(nBuckets, "g").sortBy("g")
+      .saveAsTable(table)
+
+  /** q202 over the documents table.
+    *
+    * NOTE (caller contract, repo-wide convention): the returned plan
+    * holds a `persist()` on the internal digest frame; run
+    * `spark.catalog.clearCache()` after consuming the result (Verify/
+    * Bench/specs all do) or the digest cache outlives the query. */
   def q202SpanDedup(spark: SparkSession, dir: String): DataFrame =
     spanDedup(Tables.documents(spark, dir).select("doc_id", "text"))
 
+  /** q204 — keep-first span dedup over the documents table (same
+    * digest-persist caller contract as q202). */
+  def q204SpanDedupKeepOne(spark: SparkSession, dir: String): DataFrame =
+    spanDedupKeepFirst(Tables.documents(spark, dir).select("doc_id", "text"))
+
   /** q203 — incremental span dedup over the documents table: docs with
     * doc_id ≡ 0 (mod 7) arrive as the new batch, the rest are the
-    * standing corpus whose digest index exists from its own ingest
-    * (derived inline here — testdata ships no stored index; the q200
-    * declared-query precedent). */
+    * standing corpus whose digest index exists from its own ingest.
+    * The index is derived inline by default — testdata ships no stored
+    * index; the q200 declared-query precedent — but a pre-built store
+    * (parquet path or bucketed table) can be supplied via the
+    * `graft.span.store` system property or `SPARK_GRAFT_SPAN_STORE`
+    * env var, so the declared query and QSpanProbe's bucketed
+    * maintenance tier run EXACTLY this code path. Values containing
+    * '/' are read as parquet paths; anything else as a catalog table.
+    * (Same digest-persist caller contract as q202.) */
   def q203SpanDedupIncr(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val batch = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
-    val store = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
-    spanDedupVsStore(batch, spanIndex(store))
+    val store = sys.props.get("graft.span.store")
+      .orElse(sys.env.get("SPARK_GRAFT_SPAN_STORE")) match {
+        case Some(loc) if loc.contains("/") => spark.read.parquet(loc)
+        case Some(tbl) => spark.table(tbl)
+        case None =>
+          spanIndex(docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L))
+      }
+    spanDedupVsStore(batch, store)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q202_span_dedup" -> (q202SpanDedup _),
-      "q203_span_dedup_incr" -> (q203SpanDedupIncr _))
+      "q203_span_dedup_incr" -> (q203SpanDedupIncr _),
+      "q204_span_dedup_keepone" -> (q204SpanDedupKeepOne _))
 
   val oracleSql: Map[String, String] = Map(
     "q202_span_dedup" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |         list_filter(regexp_split_to_array(
+        |             lower(coalesce(text, '')), '[^a-z]+'),
         |                     x -> x <> '') AS l
         |  FROM documents),
         |s AS (SELECT doc_id, l, len(l) AS n FROM t),
@@ -235,7 +323,8 @@ object SpanOps {
     "q203_span_dedup_incr" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |         list_filter(regexp_split_to_array(
+        |             lower(coalesce(text, '')), '[^a-z]+'),
         |                     x -> x <> '') AS l
         |  FROM documents),
         |s AS (SELECT doc_id, l, len(l) AS n FROM t),
@@ -271,5 +360,45 @@ object SpanOps {
         |FROM s LEFT JOIN occn USING (doc_id) LEFT JOIN covn USING (doc_id)
         |       LEFT JOIN kept USING (doc_id)
         |WHERE s.doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "q204_span_dedup_keepone" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(
+        |             lower(coalesce(text, '')), '[^a-z]+'),
+        |                     x -> x <> '') AS l
+        |  FROM documents),
+        |s AS (SELECT doc_id, l, len(l) AS n FROM t),
+        |sp AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(1, CAST(n AS INT) - 7)) AS p,
+        |         unnest(list_transform(generate_series(1, CAST(n AS INT) - 7),
+        |           i -> md5(array_to_string(list_slice(l, i, i + 7), ' ')))) AS g
+        |  FROM s WHERE n >= 8),
+        |occ AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |           count(*) OVER (PARTITION BY g) AS c,
+        |           row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+        |    FROM sp)
+        |  WHERE c >= 2 AND rn >= 2),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM
+        |        (SELECT doc_id, unnest(generate_series(p, p + 7)) AS tp
+        |         FROM occ)),
+        |covn AS (SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY 1),
+        |occn AS (SELECT doc_id, count(*) AS dup_spans FROM occ GROUP BY 1),
+        |toks AS (SELECT doc_id, unnest(l) AS tok,
+        |                unnest(generate_series(1, CAST(n AS INT))) AS tp
+        |         FROM s WHERE n >= 1),
+        |kept AS (
+        |  SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.tp) AS kept_text
+        |  FROM toks tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.tp = c.tp
+        |  WHERE c.tp IS NULL GROUP BY tk.doc_id)
+        |SELECT s.doc_id, s.n AS n_tokens,
+        |       coalesce(occn.dup_spans, 0) AS dup_spans,
+        |       coalesce(covn.covered_tokens, 0) AS covered_tokens,
+        |       coalesce(kept.kept_text, '') AS kept_text
+        |FROM s LEFT JOIN occn USING (doc_id) LEFT JOIN covn USING (doc_id)
+        |       LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin)
 }

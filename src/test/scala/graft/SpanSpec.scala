@@ -159,6 +159,139 @@ class SpanSpec extends AnyFunSuite {
     assert(alone(7L) === (18L, 0L, 0L, block + " " + filler("bb", 6)))
   }
 
+  private def runKeepFirst(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] =
+    try ops.SpanOps.spanDedupKeepFirst(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    finally spark.catalog.clearCache()
+
+  /** Keep-first ground truth: per duplicated span string the occurrence
+    * with the minimum (doc_id, position) survives; the rest drop. */
+  private def bruteKeepFirst(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] = {
+    val toks = docs.map { case (id, tx) =>
+      id -> tx.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toVector }
+    val spans = toks.flatMap { case (id, t) =>
+      (0 to t.length - L).map(i => (id, i, t.slice(i, i + L).mkString(" "))) }
+    val counts = spans.groupBy(_._3).map { case (g, o) => g -> o.size }
+    val keeper = spans.groupBy(_._3).map { case (g, o) =>
+      g -> o.map(s => (s._1, s._2)).min }
+    toks.map { case (id, t) =>
+      val dropped = spans.filter(s => s._1 == id && counts(s._3) >= 2 &&
+        keeper(s._3) != ((s._1, s._2)))
+      val covered = dropped.flatMap(s => s._2 until s._2 + L).toSet
+      val kept = t.zipWithIndex.collect {
+        case (tok, i) if !covered.contains(i) => tok }.mkString(" ")
+      id -> (t.length.toLong, dropped.size.toLong, covered.size.toLong, kept)
+    }.toMap
+  }
+
+  test("keep-first: the corpus-order first occurrence survives, later copies drop") {
+    val docs = Seq(
+      (1L, filler("aa", 2) + " " + block + " " + filler("bb", 6)),
+      (2L, block + " " + filler("cc", 9)),
+      (3L, filler("dd", 20)))
+    val out = runKeepFirst(docs)
+    // doc 1 carries the (doc_id, p)-minimal copy of every block span →
+    // untouched; doc 2's copy drops entirely
+    assert(out(1L) === (20L, 0L, 0L, docs.head._2))
+    assert(out(2L) === (21L, 5L, 12L, filler("cc", 9)))
+    assert(out(3L) === (20L, 0L, 0L, filler("dd", 20)))
+  }
+
+  test("keep-first cross-impl + partition law vs q202 on the LCG corpus") {
+    val vocab = Vector("alpha", "beta", "gamma")
+    var s = 42L
+    def next(m: Int) = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % m) + m) % m }
+    val docs = (0L until 40L).map { id =>
+      val n = 6 + next(25).toInt
+      id -> (0 until n).map(_ => vocab(next(3).toInt)).mkString(" ")
+    }
+    val expected = bruteKeepFirst(docs)
+    val got = runKeepFirst(docs)
+    assert(got === expected)
+    // partition law: q202 drops ALL occurrences, q204 all-but-one —
+    // summed over the corpus, q202 dup_spans = q204 dup_spans + one
+    // keeper per duplicated span string
+    val all = run(docs)
+    val toks = docs.map { case (id, tx) =>
+      id -> tx.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toVector }
+    val nDupStrings = toks.flatMap { case (_, t) =>
+      (0 to t.length - L).map(i => t.slice(i, i + L).mkString(" ")) }
+      .groupBy(identity).count(_._2.size >= 2)
+    assert(all.values.map(_._2).sum ===
+      got.values.map(_._2).sum + nDupStrings)
+    assert(nDupStrings > 10, "law must be exercised")
+  }
+
+  test("store merge law: two sequential batches ≡ one combined corpus") {
+    // the q200 append≡rebuild analogue for the span index: dedup b1 vs
+    // store, MERGE b1's digests (spanIndexDelta, cost ∝ batch), dedup
+    // b2 vs the merged store — b2's result must bit-equal q202 over
+    // store ∪ b1 ∪ b2 restricted to b2 (the digest set of a union is
+    // the union of digest sets, so the :149 factorization composes)
+    val vocab = Vector("alpha", "beta", "gamma")
+    var s = 7L
+    def next(m: Int) = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % m) + m) % m }
+    val docs = (0L until 60L).map { id =>
+      val n = 6 + next(25).toInt
+      id -> (0 until n).map(_ => vocab(next(3).toInt)).mkString(" ")
+    }
+    val store = docs.filter(_._1 % 3 == 0)
+    val b1 = docs.filter(_._1 % 3 == 1)
+    val b2 = docs.filter(_._1 % 3 == 2)
+    try {
+      val idx0 = ops.SpanOps.spanIndex(store.toDF("doc_id", "text"))
+        .localCheckpoint(true)
+      spark.catalog.clearCache()
+      val delta = ops.SpanOps.spanIndexDelta(b1.toDF("doc_id", "text"), idx0)
+        .localCheckpoint(true)
+      spark.catalog.clearCache()
+      // delta is genuinely new-only: disjoint from idx0
+      assert(delta.join(idx0, Seq("g"), "left_semi").count() === 0L)
+      val merged = idx0.union(delta)
+      val out = ops.SpanOps.spanDedupVsStore(b2.toDF("doc_id", "text"), merged)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toMap
+      spark.catalog.clearCache()
+      val full = run(docs)
+      assert(out === full.view.filterKeys(_ % 3 == 2).toMap)
+      assert(out.values.map(_._2).sum > 0L, "law must be exercised")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("spanIndexAppend: bucketed table after append ≡ rebuilt combined index") {
+    val store = Seq((1L, filler("ss", 3) + " " + block),
+      (2L, filler("tt", 15)))
+    val b1 = Seq((7L, block + " " + filler("bb", 6)),
+      (8L, filler("uu", 12)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanidx").toString
+    try {
+      ops.ScaleOps.writeBucketedState(
+        ops.SpanOps.spanIndex(store.toDF("doc_id", "text")),
+        "span_idx_spec", s"$dir/idx", "g", 4)
+      spark.catalog.clearCache()
+      ops.SpanOps.spanIndexAppend(spark, b1.toDF("doc_id", "text"),
+        "span_idx_spec", nBuckets = 4)
+      spark.catalog.clearCache()
+      val merged = spark.table("span_idx_spec")
+        .collect().map(r => r.getAs[Array[Byte]]("g").toSeq).toSet
+      val rebuilt = ops.SpanOps.spanIndex((store ++ b1).toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Array[Byte]]("g").toSeq).toSet
+      spark.catalog.clearCache()
+      assert(merged === rebuilt)
+      assert(merged.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS span_idx_spec")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("declared q202 plan: one uncached text scan, digest cache reused") {
     val df = ops.SpanOps.q202SpanDedup(spark, SparkTest.sfDir)
     try {
