@@ -202,8 +202,18 @@ object ScaleOps {
     * the accumulated state never crosses the wire again. */
   def writeBucketedState(state: DataFrame, table: String, path: String,
       key: String, nBuckets: Int = 8): Unit =
+    writeBucketedState(state, table, path, Seq(key), nBuckets)
+
+  /** Multi-key variant. NB for a JOIN to reuse the bucketing without
+    * shuffling the state side, the bucket keys must be ALL of the join
+    * keys (spark.sql.requireAllClusterKeysForCoPartition defaults to
+    * true since 3.3 — a subset-keyed layout only helps aggregations
+    * and broadcast-regime scans, measured on the q153 band store). */
+  def writeBucketedState(state: DataFrame, table: String, path: String,
+      keys: Seq[String], nBuckets: Int): Unit =
     state.write.mode("overwrite")
-      .bucketBy(nBuckets, key).sortBy(key)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .saveAsTable(table)
 }

@@ -857,13 +857,54 @@ object Similarity {
     * [[portableSigs]] pass for the oracle's benefit). The per-new-doc
     * best-match window partitions on the new doc id. */
   def q153IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = portableSigs(plantedCorpus(spark, dir)).persist()
-    val bands = sigs.select(col("doc_id"), col("sig"),
-      posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
-    val newSide = bands.filter(col("doc_id") >= 1000000L)
+    val corpus = plantedCorpus(spark, dir)
+    val batch = corpus.filter(col("doc_id") >= 1000000L)
+    // the stored band table is derived inline by default (testdata
+    // ships no signature store; the q200/q203 declared-query
+    // precedent) but a pre-built store — the QSigProbe bucketed
+    // maintenance tier — plugs in via graft.sig.store /
+    // SPARK_GRAFT_SIG_STORE, so the declared query and the probe run
+    // EXACTLY this code path ('/' → parquet path, else catalog table)
+    val store = sys.props.get("graft.sig.store")
+      .orElse(sys.env.get("SPARK_GRAFT_SIG_STORE")) match {
+        case Some(loc) if loc.contains("/") => spark.read.parquet(loc)
+        case Some(tbl) => spark.table(tbl)
+        case None => sigBands(corpus.filter(col("doc_id") < 1000000L))
+      }
+    dedupVsSigStore(batch, store)
+  }
+
+  /** The stored artifact for incremental near-dedup: a corpus's banded
+    * signature table — one row per (doc, band) carrying the band's LSH
+    * key AND the doc's full K-component signature, so a batch probe
+    * verifies candidates without a second store lookup. The store
+    * side of the probe's band join never shuffles in EITHER serving
+    * regime: a broadcastable batch is broadcast (BuildLeft — the store
+    * streams), and when the batch exceeds the broadcast limit the
+    * bucketed layout takes over — bucketed by BOTH join keys
+    * (band_idx, band_key): requireAllClusterKeysForCoPartition
+    * defaults to true since Spark 3.3, so a band_key-only layout
+    * would NOT co-partition the join (measured — the plain and
+    * bucketed plans tied at 5 exchanges until the second key was
+    * added). Only the batch shuffles into the store's bucketing
+    * (QSigProbe asserts both regimes). */
+  private[graft] def sigBands(corpus: DataFrame): DataFrame =
+    portableSigs(corpus).select(col("doc_id"), col("sig"),
+        posexplode(portableBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+      .select("band_idx", "band_key", "doc_id", "sig")
+
+  /** q153's probe half against a STORED band table: each batch doc's
+    * best near-duplicate among the store's docs (max estimate, min
+    * doc_id tie). Work ∝ batch bands + the band equi-join; the store
+    * corpus is never rescanned — its text is not even reachable from
+    * here, only signatures. The per-batch-doc best-match window
+    * partitions on the batch doc id (batch-sized). */
+  private[graft] def dedupVsSigStore(batch: DataFrame,
+      storeBands: DataFrame): DataFrame = {
+    val newSide = sigBands(batch)
       .select(col("band_idx"), col("band_key"),
         col("doc_id").as("new_id"), col("sig").as("sig_n"))
-    val oldSide = bands.filter(col("doc_id") < 1000000L)
+    val oldSide = storeBands
       .select(col("band_idx"), col("band_key"),
         col("doc_id").as("old_id"), col("sig").as("sig_o"))
     val w = Window.partitionBy("new_id")
@@ -881,6 +922,29 @@ object Similarity {
       .select(col("new_id"), col("old_id").as("dup_of"), col("est_jaccard"))
       .orderBy("new_id")
   }
+
+  /** Store-update half of the q153 lifecycle (the q200 ivfAppend /
+    * q203 spanIndexAppend analogue): append an admitted batch's band
+    * rows to the bucketed signature store. Cost ∝ batch — one
+    * signature pass over the batch and a batch-sized bucketed write;
+    * the standing store is never read, rescanned, or rewritten.
+    * Contract: batch doc_ids are FRESH (the ingest invariant — a
+    * pipeline assigns monotone ids); replaying a batch would duplicate
+    * its band rows, which the band join dedups semantically (distinct
+    * before the best-match window) but pays for in candidate volume.
+    * Because signatures are per-document, the appended table is
+    * set-identical to a full rebuild over store ∪ batch, so two
+    * sequential batches ≡ one combined corpus exactly (SigStoreSpec
+    * pins both). */
+  private[graft] def sigStoreAppend(spark: SparkSession, batch: DataFrame,
+      table: String, nBuckets: Int = 32): Unit =
+    // materialize the (batch-sized) delta before writing — the write
+    // must not re-read the table it is appending to
+    ScaleOps.stageCheckpoint(sigBands(batch))
+      .write.mode("append")
+      .bucketBy(nBuckets, "band_idx", "band_key")
+      .sortBy("band_idx", "band_key")
+      .saveAsTable(table)
 
   private[ops] def q153OracleSql: String = {
     val matches = (0 until K).map(i =>
