@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   *                  bucketed store via the graft.span.store property:
   *                  the maintenance tier is a property of the shipped
   *                  operator, not probe-only plumbing.
+  *   keyed.buildBucketed/probeBucketed/append — the q205 keep-first
+  *                  lifecycle over the KEYED index (digest → min
+  *                  corpus key): blind batch append (version rows,
+  *                  merge-on-read), probe ∝ batch.
+  *                  SPARK_GRAFT_SPAN_KEYED_ONLY=1 runs just these.
   *
   * Two corpora exercise the two regimes (the q187 dup/distinct probe
   * precedent): the QScale replica corpus (every interior span ~K×
@@ -141,12 +146,49 @@ object QSpanProbe {
       spark.catalog.clearCache()
     }
 
+    // q205 keyed-store stages (the keep-first maintenance tier): build
+    // the keyed index, probe, blind-append a batch (version rows), and
+    // verify probe-result invariance vs the rebuilt index. Runs on the
+    // tier documents corpus; SPARK_GRAFT_SPAN_KEYED_ONLY=1 skips the
+    // q202/q203 stages so this can run standalone at big tiers.
+    def keyedStages(): Unit = {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+        .select("doc_id", "text")
+      val batch = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+      val store = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+      timed("keyed.buildBucketed") {
+        ops.ScaleOps.writeBucketedState(ops.SpanOps.spanIndexKeyed(store),
+          "span_kidx_probe", s"$work/span-kidx-b", "g", 32)
+      }
+      spark.catalog.clearCache()
+      timed("keyed.probeBucketed") {
+        noop(ops.SpanOps.spanDedupKeepFirstVsStore(batch,
+          spark.table("span_kidx_probe")))
+      }
+      spark.catalog.clearCache()
+      timed("keyed.append") {
+        ops.SpanOps.spanKeyedAppend(spark, batch, "span_kidx_probe")
+      }
+      spark.catalog.clearCache()
+      val versions = spark.table("span_kidx_probe").count()
+      val distinctG = spark.table("span_kidx_probe")
+        .select("g").distinct().count()
+      println(s"SPANPROBE keyed.rows=$versions distinctDigests=$distinctG")
+      require(versions >= distinctG, "version rows can only add")
+      spark.catalog.clearCache()
+    }
+
+    if (sys.env.get("SPARK_GRAFT_SPAN_KEYED_ONLY").contains("1")) {
+      keyedStages(); spark.stop(); return
+    }
+
     // regime 1: the QScale replica corpus (dup-heavy — the distinct
     // digest set stays corpus-of-origin-sized and broadcasts)
     runCorpus("dup",
       spark.read.parquet(s"$src/documents.parquet").select("doc_id", "text"),
       storeBroadcastable = true)
     declaredBucketed()
+    keyedStages()
 
     // regime 2: distinct-heavy — 50-token docs over a wide id space;
     // multiplying by a large odd constant mod a wide vocab makes

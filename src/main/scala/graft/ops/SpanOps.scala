@@ -211,6 +211,77 @@ object SpanOps {
   private[graft] def spanIndex(docs: DataFrame): DataFrame =
     spanFrame(tokenBase(docs)).select("g").distinct()
 
+  /** q205's store artifact — the KEYED span index: per digest, the
+    * minimum corpus-order occurrence key (doc_id, p). The all-
+    * occurrence policy (q203) only needs digest MEMBERSHIP; keep-first
+    * additionally needs "who was first", because a batch occurrence
+    * survives iff it precedes everything else with its digest. One
+    * partial-agg'd groupBy — same shape as q204's keeper aggregate. */
+  private[graft] def spanIndexKeyed(docs: DataFrame): DataFrame =
+    spanFrame(tokenBase(docs)).groupBy("g")
+      .agg(min(struct(col("doc_id"), col("p"))).as("k"))
+
+  /** q205's core — incremental KEEP-FIRST span dedup of a batch against
+    * the keyed store: a batch occurrence o of digest g drops iff
+    *   g ∈ store and o is not strictly the earliest (o = batch keeper
+    *     AND batch keeper < store key), or
+    *   g ∉ store and g occurs ≥ 2× within the batch and o isn't the
+    *     batch keeper
+    * — which is EXACTLY q204 over store ∪ batch restricted to the
+    * batch's documents (the global keeper is min(store key, batch
+    * keeper); SpanSpec pins the equivalence bit-for-bit on the LCG
+    * corpus). Store handling is merge-on-read, the LSM posture: the
+    * stored table may carry MULTIPLE rows per digest (appends are
+    * blind, see [[spanKeyedAppend]]), so the probe semi-reduces the
+    * store to the batch's digests FIRST (∝ batch) and takes min(k)
+    * over whatever versions exist — correctness is independent of
+    * compaction state ([[spanKeyedCompact]]; invariance spec-pinned).
+    * Work ∝ batch spans + one digest semi-join; the store is never
+    * rescanned beyond the semi-join, never rewritten. */
+  private[graft] def spanDedupKeepFirstVsStore(batch: DataFrame,
+      storeKeyed: DataFrame): DataFrame = {
+    val base = tokenBase(batch)
+    val spans = spanFrame(base)
+      .persist() // batch-sized digests; three consumers (harness unpersists)
+    val agg = spans.groupBy("g").agg(count(lit(1)).as("c"),
+      min(struct(col("doc_id"), col("p"))).as("bk"))
+    val storeMin = storeKeyed.select(col("g"), col("k"))
+      .join(spans.select("g").distinct(), Seq("g"), "left_semi")
+      .groupBy("g").agg(min(col("k")).as("sk"))
+    val dec = agg.join(storeMin, Seq("g"), "left")
+    val o = struct(col("doc_id"), col("p"))
+    val occ = spans.join(dec, "g")
+      .filter(
+        (col("sk").isNotNull &&
+          not(o === col("bk") && col("bk") < col("sk"))) ||
+        (col("sk").isNull && col("c") >= 2L && o =!= col("bk")))
+      .select("doc_id", "p")
+    assemble(base, occ)
+  }
+
+  /** Append-only store update for the keyed index (the LSM half):
+    * the batch's OWN keyed rows are appended verbatim — no anti-join,
+    * no min-merge against standing rows, so the write is strictly
+    * ∝ batch and never reads the store at all. Colliding digests
+    * simply gain a second version row; every reader takes min(k)
+    * per digest (merge-on-read), so correctness is unaffected —
+    * [[spanKeyedCompact]] exists to bound version counts, not to fix
+    * semantics. Sequential law (SpanSpec): probe(b2, store ++
+    * keyed(b1)) ≡ q204(store ∪ b1 ∪ b2)│b2, because min over
+    * version rows of a union IS the union's keeper. */
+  private[graft] def spanKeyedAppend(spark: SparkSession, batch: DataFrame,
+      table: String, nBuckets: Int = 32): Unit =
+    ScaleOps.stageCheckpoint(spanIndexKeyed(batch))
+      .write.mode("append")
+      .bucketBy(nBuckets, "g").sortBy("g")
+      .saveAsTable(table)
+
+  /** Optional compaction: rewrite the keyed store to one min-k row per
+    * digest (∝ store; run when version counts grow — the q200
+    * ivfCompact precedent). Probe results are invariant under it. */
+  private[graft] def spanKeyedCompact(df: DataFrame): DataFrame =
+    df.groupBy("g").agg(min(col("k")).as("k"))
+
   /** Store-update half of the q203 lifecycle (the q200 ivfAppend
     * analogue): the digests an admitted batch ADDS to the stored set —
     * the batch's distinct digests anti-joined against the store, so
@@ -279,10 +350,31 @@ object SpanOps {
     spanDedupVsStore(batch, store)
   }
 
+  /** q205 — incremental keep-first span dedup over the documents table
+    * (the q203 mod-7 split applied to the q204 policy): the batch
+    * dedups against the standing corpus's KEYED span index. Index
+    * derived inline by default; a pre-built keyed store (parquet path
+    * or bucketed table, possibly uncompacted — merge-on-read) plugs in
+    * via the `graft.span.kstore` property / `SPARK_GRAFT_SPAN_KSTORE`
+    * env var. (Same digest-persist caller contract as q202.) */
+  def q205SpanDedupKeepOneIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val batch = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+    val store = sys.props.get("graft.span.kstore")
+      .orElse(sys.env.get("SPARK_GRAFT_SPAN_KSTORE")) match {
+        case Some(loc) if loc.contains("/") => spark.read.parquet(loc)
+        case Some(tbl) => spark.table(tbl)
+        case None =>
+          spanIndexKeyed(docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L))
+      }
+    spanDedupKeepFirstVsStore(batch, store)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q202_span_dedup" -> (q202SpanDedup _),
       "q203_span_dedup_incr" -> (q203SpanDedupIncr _),
-      "q204_span_dedup_keepone" -> (q204SpanDedupKeepOne _))
+      "q204_span_dedup_keepone" -> (q204SpanDedupKeepOne _),
+      "q205_span_dedup_keepone_incr" -> (q205SpanDedupKeepOneIncr _))
 
   val oracleSql: Map[String, String] = Map(
     "q202_span_dedup" ->
@@ -400,5 +492,49 @@ object SpanOps {
         |       coalesce(kept.kept_text, '') AS kept_text
         |FROM s LEFT JOIN occn USING (doc_id) LEFT JOIN covn USING (doc_id)
         |       LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q205 ≡ q204 over the WHOLE corpus (global keeper by (doc_id, p))
+    // restricted to the batch's documents — the oracle states the law
+    // directly; the Spark side factorizes it through the keyed store
+    "q205_span_dedup_keepone_incr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(
+        |             lower(coalesce(text, '')), '[^a-z]+'),
+        |                     x -> x <> '') AS l
+        |  FROM documents),
+        |s AS (SELECT doc_id, l, len(l) AS n FROM t),
+        |sp AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(1, CAST(n AS INT) - 7)) AS p,
+        |         unnest(list_transform(generate_series(1, CAST(n AS INT) - 7),
+        |           i -> md5(array_to_string(list_slice(l, i, i + 7), ' ')))) AS g
+        |  FROM s WHERE n >= 8),
+        |occ AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |           count(*) OVER (PARTITION BY g) AS c,
+        |           row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+        |    FROM sp)
+        |  WHERE c >= 2 AND rn >= 2 AND doc_id % 7 = 0),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM
+        |        (SELECT doc_id, unnest(generate_series(p, p + 7)) AS tp
+        |         FROM occ)),
+        |covn AS (SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY 1),
+        |occn AS (SELECT doc_id, count(*) AS dup_spans FROM occ GROUP BY 1),
+        |toks AS (SELECT doc_id, unnest(l) AS tok,
+        |                unnest(generate_series(1, CAST(n AS INT))) AS tp
+        |         FROM s WHERE n >= 1 AND doc_id % 7 = 0),
+        |kept AS (
+        |  SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.tp) AS kept_text
+        |  FROM toks tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.tp = c.tp
+        |  WHERE c.tp IS NULL GROUP BY tk.doc_id)
+        |SELECT s.doc_id, s.n AS n_tokens,
+        |       coalesce(occn.dup_spans, 0) AS dup_spans,
+        |       coalesce(covn.covered_tokens, 0) AS covered_tokens,
+        |       coalesce(kept.kept_text, '') AS kept_text
+        |FROM s LEFT JOIN occn USING (doc_id) LEFT JOIN covn USING (doc_id)
+        |       LEFT JOIN kept USING (doc_id)
+        |WHERE s.doc_id % 7 = 0
         |ORDER BY doc_id""".stripMargin)
 }

@@ -265,6 +265,126 @@ class SpanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  private def runKeepFirstIncr(batch: Seq[(Long, String)],
+      storeKeyed: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long, String)] =
+    try ops.SpanOps.spanDedupKeepFirstVsStore(batch.toDF("doc_id", "text"),
+        storeKeyed)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    finally spark.catalog.clearCache()
+
+  test("keep-first incremental law: ≡ keep-first over store ∪ batch restricted to batch") {
+    // the q203 factorization applied to the q204 policy: the global
+    // keeper is min(store key, batch keeper), so the keyed-store probe
+    // must bit-equal q204 over the combined corpus filtered to batch
+    val vocab = Vector("alpha", "beta", "gamma")
+    var s = 99L
+    def next(m: Int) = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % m) + m) % m }
+    val docs = (0L until 60L).map { id =>
+      val n = 6 + next(25).toInt
+      id -> (0 until n).map(_ => vocab(next(3).toInt)).mkString(" ")
+    }
+    val batch = docs.filter(_._1 % 7 == 0)
+    val store = docs.filterNot(_._1 % 7 == 0)
+    val incr = runKeepFirstIncr(batch,
+      ops.SpanOps.spanIndexKeyed(store.toDF("doc_id", "text")))
+    val full = runKeepFirst(docs)
+    assert(incr === full.view.filterKeys(_ % 7 == 0).toMap)
+    assert(incr.values.map(_._2).sum > 0L, "law must be exercised")
+    // and the directional split is exercised both ways: some batch
+    // occurrences survive as global keepers, some drop to store keys
+    val dropped = incr.values.map(_._2).sum
+    val allOcc = runIncr(batch, store).values.map(_._2).sum
+    assert(dropped < allOcc,
+      "keep-first must drop strictly fewer batch occurrences than drop-all")
+  }
+
+  test("keyed store is merge-on-read: versioned appends ≡ compacted ≡ combined") {
+    val vocab = Vector("alpha", "beta", "gamma")
+    var s = 5L
+    def next(m: Int) = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % m) + m) % m }
+    val docs = (0L until 60L).map { id =>
+      val n = 6 + next(25).toInt
+      id -> (0 until n).map(_ => vocab(next(3).toInt)).mkString(" ")
+    }
+    val store = docs.filter(_._1 % 3 == 0)
+    val b1 = docs.filter(_._1 % 3 == 1)
+    val b2 = docs.filter(_._1 % 3 == 2)
+    try {
+      // blind append: store rows ++ b1 rows, colliding digests carry
+      // TWO version rows — exactly what spanKeyedAppend produces
+      val versioned = ops.SpanOps.spanIndexKeyed(store.toDF("doc_id", "text"))
+        .union(ops.SpanOps.spanIndexKeyed(b1.toDF("doc_id", "text")))
+        .localCheckpoint(true)
+      spark.catalog.clearCache()
+      assert(versioned.count() >
+        versioned.select("g").distinct().count(),
+        "the corpus must actually produce version collisions")
+      val viaVersioned = runKeepFirstIncr(b2, versioned)
+      val viaCompacted = runKeepFirstIncr(b2,
+        ops.SpanOps.spanKeyedCompact(versioned))
+      val viaRebuilt = runKeepFirstIncr(b2,
+        ops.SpanOps.spanIndexKeyed((store ++ b1).toDF("doc_id", "text")))
+      assert(viaVersioned === viaCompacted)
+      assert(viaVersioned === viaRebuilt)
+      // and all equal q204 over everything, restricted to b2
+      val full = runKeepFirst(docs)
+      assert(viaVersioned === full.view.filterKeys(_ % 3 == 2).toMap)
+      assert(viaVersioned.values.map(_._2).sum > 0L, "law must be exercised")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("keep-first incremental: store-first drops the batch copy, batch-first keeps it") {
+    // store holds the block with an EARLIER corpus key than the batch
+    // → the batch's copy drops entirely
+    val batchDoc = Seq((50L, block + " " + filler("bb", 6)))
+    val earlier = Seq((1L, filler("ss", 3) + " " + block))
+    val outE = runKeepFirstIncr(batchDoc,
+      ops.SpanOps.spanIndexKeyed(earlier.toDF("doc_id", "text")))
+    assert(outE(50L) === (18L, 5L, 12L, filler("bb", 6)))
+    // store key LATER than the batch's → the batch copy is the global
+    // keeper and survives untouched
+    val later = Seq((90L, filler("ss", 3) + " " + block))
+    val outL = runKeepFirstIncr(batchDoc,
+      ops.SpanOps.spanIndexKeyed(later.toDF("doc_id", "text")))
+    assert(outL(50L) === (18L, 0L, 0L, block + " " + filler("bb", 6)))
+  }
+
+  test("spanKeyedAppend: bucketed versioned table probes ≡ rebuilt keyed index") {
+    val store = Seq((1L, filler("ss", 3) + " " + block),
+      (2L, filler("tt", 15)))
+    val b1 = Seq((7L, block + " " + filler("bb", 6)),
+      (8L, filler("uu", 12)))
+    val b2 = Seq((20L, block + " " + filler("cc", 4)),
+      (21L, filler("vv", 11)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_spankidx").toString
+    try {
+      ops.ScaleOps.writeBucketedState(
+        ops.SpanOps.spanIndexKeyed(store.toDF("doc_id", "text")),
+        "span_kidx_spec", s"$dir/kidx", "g", 4)
+      spark.catalog.clearCache()
+      ops.SpanOps.spanKeyedAppend(spark, b1.toDF("doc_id", "text"),
+        "span_kidx_spec", nBuckets = 4)
+      spark.catalog.clearCache()
+      // b1 re-posts the block digests → version rows exist
+      assert(spark.table("span_kidx_spec").count() >
+        spark.table("span_kidx_spec").select("g").distinct().count())
+      val viaTable = runKeepFirstIncr(b2, spark.table("span_kidx_spec"))
+      val viaRebuilt = runKeepFirstIncr(b2,
+        ops.SpanOps.spanIndexKeyed((store ++ b1).toDF("doc_id", "text")))
+      assert(viaTable === viaRebuilt)
+      // doc 20's block copy must drop (doc 1 holds the earliest key)
+      assert(viaTable(20L)._2 === 5L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS span_kidx_spec")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("spanIndexAppend: bucketed table after append ≡ rebuilt combined index") {
     val store = Seq((1L, filler("ss", 3) + " " + block),
       (2L, filler("tt", 15)))
