@@ -853,9 +853,10 @@ object Similarity {
     * reports its best existing match (max estimate, min doc_id tie).
     * Scale: the band join is new×existing only — bytes moved follow
     * the BATCH size, not the corpus (the existing side's signature
-    * store is written once and re-read; here both derive from one
-    * [[portableSigs]] pass for the oracle's benefit). The per-new-doc
-    * best-match window partitions on the new doc id. */
+    * store is written once per generation and probed; r14 routes the
+    * declared query through [[dedupVsSigStore]] so it IS the store
+    * path, with the store derived inline when none is supplied). The
+    * per-new-doc best-match window partitions on the new doc id. */
   def q153IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val corpus = plantedCorpus(spark, dir)
     val batch = corpus.filter(col("doc_id") >= 1000000L)

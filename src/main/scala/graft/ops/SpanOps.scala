@@ -248,7 +248,12 @@ object SpanOps {
     val storeMin = storeKeyed.select(col("g"), col("k"))
       .join(spans.select("g").distinct(), Seq("g"), "left_semi")
       .groupBy("g").agg(min(col("k")).as("sk"))
+    // only digests that can drop anything survive into the occurrence
+    // join (store-hit OR batch-internal pair) — the common clean span
+    // then drops AT the join (small build side, broadcastable) instead
+    // of carrying its dec row into the filter
     val dec = agg.join(storeMin, Seq("g"), "left")
+      .filter(col("sk").isNotNull || col("c") >= 2L)
     val o = struct(col("doc_id"), col("p"))
     val occ = spans.join(dec, "g")
       .filter(

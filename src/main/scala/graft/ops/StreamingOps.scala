@@ -260,7 +260,18 @@ object StreamingOps {
     * small outputs. foreachBatch keeps the whole drain path
     * distributed, the posture every other operator already has. */
   private[graft] def drainAndClean(spark: SparkSession, agg: DataFrame,
-      name: String, outputMode: String = "complete")(
+      name: String, outputMode: String = "complete",
+      // driver-side per-trigger hook (default: write the batch as-is).
+      // Runs INSIDE foreachBatch, so it may launch its own batch jobs
+      // against the micro-batch (q206 runs the span-dedup operator and
+      // folds the store); if it changes the schema, pass `outSchema`
+      // so the sink readback matches. A hook that mutates driver state
+      // must be idempotent under batch REPLAY (foreachBatch re-runs a
+      // batch that wrote-then-died with the same batchId — q206's
+      // delta-fold is: re-folding an already-folded batch adds
+      // nothing).
+      perBatch: (DataFrame, Long) => DataFrame = (df, _) => df,
+      outSchema: Option[org.apache.spark.sql.types.StructType] = None)(
       finish: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
@@ -292,7 +303,7 @@ object StreamingOps {
         .foreachBatch { (df: DataFrame, batchId: Long) =>
           val target = if (complete) sink.toString
                        else s"$sink/b$batchId"
-          df.write.mode("overwrite").parquet(target)
+          perBatch(df, batchId).write.mode("overwrite").parquet(target)
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
@@ -302,7 +313,7 @@ object StreamingOps {
       // explicit schema: a drain whose every batch emitted zero rows
       // leaves no part files to infer from; recursive lookup descends
       // the b<id> subdirs (and is a no-op for complete's flat root)
-      finish(spark.read.schema(agg.schema)
+      finish(spark.read.schema(outSchema.getOrElse(agg.schema))
           .option("recursiveFileLookup", "true").parquet(sink.toString))
         .localCheckpoint()
     } finally {
@@ -583,7 +594,67 @@ object StreamingOps {
     }
   }
 
+  // ---------------------------------------------------------------- q206
+  /** Core of q206, driven by any documents stream (the spec feeds it a
+    * multi-file directory with maxFilesPerTrigger=1 to pin the
+    * multi-trigger semantics): every micro-batch runs the SHIPPED
+    * q203 operator against the store-so-far, then folds its own
+    * digests in via [[SpanOps.spanIndexDelta]] — the spanIndexAppend
+    * shape with localCheckpoint standing in for the bucketed table
+    * inside a single-use drain (a long-lived deployment points the
+    * fold at the table instead; the operators are the same). The fold
+    * is idempotent under foreachBatch's batch replay: re-folding an
+    * already-folded batch produces an empty delta. Per-trigger work
+    * ∝ that trigger's batch; the store only ever grows by deltas. */
+  private[graft] def streamingSpanIngest(spark: SparkSession,
+      docStream: DataFrame, store0: DataFrame): DataFrame = {
+    var store = store0.localCheckpoint(true)
+    // analysis-only probe for the output schema (no job: .schema on an
+    // empty-limit plan); the persist it marks is dropped in perBatch
+    val outSchema = SpanOps.spanDedupVsStore(
+      docStream.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        docStream.schema), store).schema
+    spark.catalog.clearCache()
+    drainAndClean(spark, docStream, "q206", outputMode = "append",
+      perBatch = (b: DataFrame, _: Long) => {
+        val bc = b.localCheckpoint(true)
+        val out = SpanOps.spanDedupVsStore(bc, store).localCheckpoint(true)
+        spark.catalog.clearCache() // the digest persist, per trigger
+        store = store.union(SpanOps.spanIndexDelta(bc, store))
+          .localCheckpoint(true)
+        spark.catalog.clearCache()
+        out
+      },
+      outSchema = Some(outSchema))(
+      _.orderBy("doc_id"))
+  }
+
+  /** q206 — STREAMING span-dedup ingest, oracle-checked: the q203
+    * maintenance loop running as a real `readStream` — the batch
+    * documents (doc_id ≡ 0 mod 7) arrive as a file stream and each
+    * micro-batch is deduped against the standing corpus's digest
+    * index, then admitted into it. With the shipped single-file table
+    * AvailableNow yields ONE deterministic trigger, so the finished
+    * result is EXACTLY q203's and shares its DuckDB oracle (the q172
+    * pattern — t2 covers the streaming ingest path end-to-end).
+    * Multi-trigger semantics are the sequential contract SpanSpec
+    * pins: every occurrence is judged against everything that arrived
+    * before it (trigger granularity), which at scale IS the
+    * production ingest loop. */
+  def q206StreamingSpanIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val store0 = SpanOps.spanIndex(
+      docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = tableStream(spark, dir, "documents", schema)
+      .filter(pmod(col("doc_id"), lit(7L)) === 0L)
+      .select("doc_id", "text")
+    streamingSpanIngest(spark, stream, store0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_streaming_span_ingest" -> (q206StreamingSpanIngest _),
     "q28_tumbling" -> (q28Tumbling _),
     "q29_sliding" -> (q29Sliding _),
     "q30_session" -> (q30Session _),
@@ -595,6 +666,11 @@ object StreamingOps {
     "q198_streaming_upsert" -> (q198StreamingUpsert _))
 
   val oracleSql: Map[String, String] = Map(
+    // single AvailableNow trigger over the shipped single-file table →
+    // the streaming ingest finishes with exactly the batch q203 answer
+    // and shares its oracle verbatim (the q172/q28 precedent)
+    "q206_streaming_span_ingest" ->
+      SpanOps.oracleSql("q203_span_dedup_incr"),
     // latest event per (user_id, event_type); the shipped data has no
     // max-ts tie on any key (verified at every sf), so the arrival-
     // order tie rule never fires and the argmax is the exact answer

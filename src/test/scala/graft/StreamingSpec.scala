@@ -49,6 +49,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("q206 AvailableNow streaming span ingest equals batch q203 exactly") {
+    val streamed = StreamingOps
+      .q206StreamingSpanIngest(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val batch = ops.SpanOps.q203SpanDedupIncr(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("q206 multi-trigger ingest: each trigger judged against all prior arrivals") {
+    // two-file directory + maxFilesPerTrigger=1 → two DETERMINISTIC
+    // triggers (file source orders by modification time, set explicitly
+    // a full second apart). Ground truth composed from the batch
+    // operators: t1 vs store, then t2 vs store ∪ digests(t1) — the
+    // sequential contract (a cross-trigger pair keeps its first
+    // arrival, unlike single-batch q203 which drops both).
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma")
+    var s = 21L
+    def next(m: Int) = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % m) + m) % m }
+    val docs = (0L until 40L).map { id =>
+      val n = 6 + next(25).toInt
+      id -> (0 until n).map(_ => vocab(next(3).toInt)).mkString(" ")
+    }
+    val store = docs.filter(_._1 % 3 == 0)
+    val t1 = docs.filter(_._1 % 3 == 1)
+    val t2 = docs.filter(_._1 % 3 == 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q206").toString
+    try {
+      t1.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/stream/f1")
+      t2.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/stream/f2")
+      // deterministic trigger order: f1 strictly older than f2
+      val base = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+      def stamp(sub: String, t: java.nio.file.attribute.FileTime): Unit = {
+        val walked = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/stream/$sub"))
+        try walked.forEach(p =>
+          java.nio.file.Files.setLastModifiedTime(p, t))
+        finally walked.close()
+      }
+      stamp("f1", base)
+      stamp("f2",
+        java.nio.file.attribute.FileTime.fromMillis(1700000001000L))
+      val schema = t1.toDF("doc_id", "text").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$dir/stream")
+      val store0 = ops.SpanOps.spanIndex(store.toDF("doc_id", "text"))
+        .localCheckpoint(true)
+      spark.catalog.clearCache()
+      val streamed = StreamingOps.streamingSpanIngest(spark, stream, store0)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      spark.catalog.clearCache()
+      // batch-operator ground truth, trigger by trigger
+      def runVs(batch: Seq[(Long, String)],
+          idx: org.apache.spark.sql.DataFrame) =
+        try ops.SpanOps.spanDedupVsStore(batch.toDF("doc_id", "text"), idx)
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+        finally spark.catalog.clearCache()
+      val out1 = runVs(t1, store0)
+      val idx1 = store0.union(ops.SpanOps.spanIndexDelta(
+        t1.toDF("doc_id", "text"), store0)).localCheckpoint(true)
+      spark.catalog.clearCache()
+      val out2 = runVs(t2, idx1)
+      assert(streamed === out1 ++ out2)
+      assert(streamed.values.map(_._2).sum > 0L, "law must be exercised")
+      // and it differs from single-batch q203 on a cross-trigger pair
+      // only when one exists; at minimum the sequential result never
+      // flags MORE than the single-batch one
+      val single = runVs(t1 ++ t2, store0)
+      assert(streamed.values.map(_._2).sum <= single.values.map(_._2).sum)
+    } finally {
+      val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walked
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
   test("q194 AvailableNow session-window stream equals batch q30 exactly") {
     val streamed = StreamingOps
       .q194StreamingSession(spark, SparkTest.sfDir)
