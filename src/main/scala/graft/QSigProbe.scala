@@ -137,7 +137,7 @@ object QSigProbe {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.catalog.clearCache()
     timed("mergeBucketed") {
-      ops.Similarity.sigStoreAppend(spark, batch, "sig_bands_probe")
+      ops.Similarity.sigStoreAppend(batch, "sig_bands_probe")
     }
     spark.catalog.clearCache()
     val mergedCnt = spark.table("sig_bands_probe").count()

@@ -167,7 +167,7 @@ object QSpanProbe {
       }
       spark.catalog.clearCache()
       timed("keyed.append") {
-        ops.SpanOps.spanKeyedAppend(spark, batch, "span_kidx_probe")
+        ops.SpanOps.spanKeyedAppend(batch, "span_kidx_probe")
       }
       spark.catalog.clearCache()
       val versions = spark.table("span_kidx_probe").count()

@@ -937,7 +937,7 @@ object Similarity {
     * set-identical to a full rebuild over store ∪ batch, so two
     * sequential batches ≡ one combined corpus exactly (SigStoreSpec
     * pins both). */
-  private[graft] def sigStoreAppend(spark: SparkSession, batch: DataFrame,
+  private[graft] def sigStoreAppend(batch: DataFrame,
       table: String, nBuckets: Int = 32): Unit =
     // materialize the (batch-sized) delta before writing — the write
     // must not re-read the table it is appending to

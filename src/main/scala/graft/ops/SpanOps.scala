@@ -274,7 +274,7 @@ object SpanOps {
     * semantics. Sequential law (SpanSpec): probe(b2, store ++
     * keyed(b1)) ≡ q204(store ∪ b1 ∪ b2)│b2, because min over
     * version rows of a union IS the union's keeper. */
-  private[graft] def spanKeyedAppend(spark: SparkSession, batch: DataFrame,
+  private[graft] def spanKeyedAppend(batch: DataFrame,
       table: String, nBuckets: Int = 32): Unit =
     ScaleOps.stageCheckpoint(spanIndexKeyed(batch))
       .write.mode("append")

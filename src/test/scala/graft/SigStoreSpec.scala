@@ -83,7 +83,7 @@ class SigStoreSpec extends AnyFunSuite {
         ops.Similarity.sigBands(store.toDF("doc_id", "text")),
         "sig_store_spec", s"$dir/bands", Seq("band_idx", "band_key"), 4)
       spark.catalog.clearCache()
-      ops.Similarity.sigStoreAppend(spark, b1.toDF("doc_id", "text"),
+      ops.Similarity.sigStoreAppend(b1.toDF("doc_id", "text"),
         "sig_store_spec", nBuckets = 4)
       spark.catalog.clearCache()
       def canon(df: org.apache.spark.sql.DataFrame) =

@@ -367,7 +367,7 @@ class SpanSpec extends AnyFunSuite {
         ops.SpanOps.spanIndexKeyed(store.toDF("doc_id", "text")),
         "span_kidx_spec", s"$dir/kidx", "g", 4)
       spark.catalog.clearCache()
-      ops.SpanOps.spanKeyedAppend(spark, b1.toDF("doc_id", "text"),
+      ops.SpanOps.spanKeyedAppend(b1.toDF("doc_id", "text"),
         "span_kidx_spec", nBuckets = 4)
       spark.catalog.clearCache()
       // b1 re-posts the block digests → version rows exist
