@@ -671,8 +671,20 @@ object Extended10 {
       .join(broadcast(qterms.select("w").distinct()), "w")
       .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
       .persist()
-    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val out = tf.join(broadcast(qterms), "w")
+    (bm25Score(qterms, tf, stats), Seq(tf, d))
+  }
+
+  /** Shared BM25 scoring tail over query-term-restricted postings
+    * `tfq` (doc_id, dl, w, tf): per-term integerized score (see the
+    * q190 scaladoc for the staged-division algebra and its BIGINT
+    * headroom bounds), summed per (query, doc), top-10 per query via
+    * rank-limit pushdown. df aggregates over whatever postings frame
+    * it is given — one segment or many (q207's merge-on-read). */
+  private def bm25Score(qterms: DataFrame, tfq: DataFrame,
+      stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfq = tfq.groupBy("w").agg(count(lit(1)).as("df"))
+    tfq.join(broadcast(qterms), "w")
       .join(broadcast(dfq), "w")
       .crossJoin(broadcast(stats))
       .select(col("q_id"), col("doc_id"),
@@ -687,7 +699,92 @@ object Extended10 {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"),
         col("doc_id"), col("score"))
       .orderBy("q_id", "rnk")
-    (out, Seq(tf, d))
+  }
+
+  // ---------------------------------------------------------------- q207
+  /** The sparse retrieval index's stored artifact: per-doc POSTINGS —
+    * one row per (doc, term) with the doc length and term frequency.
+    * Building it is the ingest cost (∝ corpus, once per segment); at
+    * rest it lives bucketed + sorted by `w`, so a query's ≤20 pushed
+    * term literals read only matching row groups — postings point
+    * lookups, never a vocabulary scan. */
+  private[graft] def sparseIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("w"))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+
+  /** One stats row per ingested segment (doc count, Σ doc length).
+    * Append-only; readers SUM across segment rows (merge-on-read), so
+    * corpus-level N and avgdl are exact without ever rescanning
+    * earlier segments. */
+  private[graft] def sparseStats(docs: DataFrame): DataFrame =
+    docs.select(toks(col("text")).as("t"))
+      .agg(count(lit(1)).as("n"), sum(size(col("t")).cast("long")).as("l"))
+
+  /** Ingest a batch as a NEW SEGMENT (the Lucene shape, and the
+    * sigStoreAppend contract): blind appends of the batch's postings
+    * (bucketed by w) and its one stats row — the standing index is
+    * never read, rescanned, or rewritten; cost ∝ batch. Ingest
+    * invariant: batch doc_ids are fresh (re-ingesting a doc would
+    * double-count its postings and stats). */
+  private[graft] def sparseIndexAppend(batch: DataFrame,
+      postingsTable: String, statsTable: String, nBuckets: Int = 32): Unit = {
+    ScaleOps.stageCheckpoint(sparseIndex(batch))
+      .write.mode("append")
+      .bucketBy(nBuckets, "w").sortBy("w")
+      .saveAsTable(postingsTable)
+    sparseStats(batch).write.mode("append").saveAsTable(statsTable)
+  }
+
+  /** BM25 top-10 against the STORED segmented index: df for the query
+    * terms aggregates across all segments and corpus stats sum across
+    * segment rows, so segmented ≡ rebuilt exactly. The distinct query
+    * terms (bounded by construction: 5 queries × ≤4 tokens) are
+    * collected and pushed as an isin() parquet filter — the q201
+    * literal-pushdown precedent — so the bucketed store serves the
+    * query with point lookups. */
+  private[graft] def bm25VsIndex(qterms: DataFrame, postings: DataFrame,
+      segStats: DataFrame): DataFrame = {
+    // bounded driver-side collect: ≤20 distinct query terms by
+    // construction (guarded — this is a term LIST, never data)
+    val terms = qterms.select("w").distinct().collect().map(_.getString(0))
+    require(terms.length <= 64,
+      s"query-term pushdown is bounded by design (got ${terms.length})")
+    val tfq = postings.filter(col("w").isin(terms.toIndexedSeq: _*))
+    val stats = segStats.agg(sum("n").as("n"), sum("l").as("l"))
+    bm25Score(qterms, tfq, stats)
+  }
+
+  /** q207 — BM25 over the segmented sparse index (the q190 ranking
+    * against stored postings instead of a corpus scan): the standing
+    * corpus (doc_id ≢ 0 mod 7) is one segment, the arriving batch
+    * (≡ 0 mod 7) another — merged on read, so the answer is EXACTLY
+    * q190's and shares its oracle verbatim (the q172/q206 precedent:
+    * same contract, different mechanism — here the mechanism is the
+    * segment lifecycle). Segments derive inline by default (testdata
+    * ships no index); a pre-built store plugs in via the
+    * `graft.sparse.store` property / SPARK_GRAFT_SPARSE_STORE env var
+    * naming a table prefix P → tables P_postings and P_stats (the
+    * pair sparseIndexAppend maintains). */
+  def q207Bm25Incr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanout(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+    val (postings, segStats) = sys.props.get("graft.sparse.store")
+      .orElse(sys.env.get("SPARK_GRAFT_SPARSE_STORE")) match {
+        case Some(p) => (spark.table(s"${p}_postings"),
+          spark.table(s"${p}_stats"))
+        case None =>
+          val store = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+          val batch = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+          (sparseIndex(store).union(sparseIndex(batch)),
+            sparseStats(store).union(sparseStats(batch)))
+      }
+    val qterms = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .orderBy("doc_id").limit(5)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(col("t"), 1, 4)).as("w")).distinct()
+    bm25VsIndex(qterms, postings, segStats)
   }
 
   private val q190Oracle: String =
@@ -1573,6 +1670,7 @@ object Extended10 {
     "q193_bloom_decontaminate" -> (q193BloomDecontaminate _),
     "q191_kmv_overlap" -> (q191KmvOverlap _),
     "q190_bm25" -> (q190Bm25 _),
+    "q207_bm25_incr" -> (q207Bm25Incr _),
     "q185_dsir_buckets" -> (q185DsirBuckets _),
     "q186_dsir_select" -> (q186DsirSelect _),
     "q187_semdedup" -> (q187SemDedup _),
@@ -1584,6 +1682,9 @@ object Extended10 {
     "q193_bloom_decontaminate" -> q193Oracle,
     "q191_kmv_overlap" -> q191Oracle,
     "q190_bm25" -> q190Oracle,
+    // segmented index merged on read ≡ the full-corpus ranking — shares
+    // q190's oracle verbatim (the q172/q206 same-answer precedent)
+    "q207_bm25_incr" -> q190Oracle,
     "q185_dsir_buckets" -> q185Oracle,
     "q186_dsir_select" -> q186Oracle,
     "q188_unimax_mixture" -> q188Oracle,
