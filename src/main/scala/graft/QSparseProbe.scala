@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: q207 sparse-index tier probe — the ingest/serving split
+  * for the segmented BM25 store (the QSpanProbe/QSigProbe shape).
+  *
+  *   runMain graft.QSparseProbe [srcDir] [workDir]
+  *
+  * Stages:
+  *   full           — q190 over the tier corpus (corpus-scan ranking:
+  *                    tokenize + explode every document per query set)
+  *   build          — store segment's postings written bucketed by w +
+  *                    its stats row (∝ corpus, once per generation)
+  *   append         — sparseIndexAppend of the batch segment (blind;
+  *                    ∝ batch — must sit far under build)
+  *   declared.query — the DECLARED q207 through graft.sparse.store:
+  *                    BM25 served from the segmented tables via the
+  *                    pushed In(w, …) point lookups — the win an index
+  *                    exists for (must sit far under full)
+  */
+object QSparseProbe {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/tmp/graft_scale100"
+    val work = if (args.length > 1) args(1) else "/tmp/graft_sparse_probe"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", s"$work/warehouse")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"SPARSEPROBE $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    timed("full") { noop(ops.Extended10.q190Bm25(spark, src)) }
+    spark.catalog.clearCache()
+
+    val docs = Tables.fanout(spark.read
+      .parquet(s"$src/documents.parquet").select("doc_id", "text"))
+    val store = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+    val batch = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+    timed("build") {
+      ops.ScaleOps.writeBucketedState(ops.Extended10.sparseIndex(store),
+        "sparse_probe_postings", s"$work/postings", "w", 32)
+      ops.Extended10.sparseStats(store).write.mode("overwrite")
+        .option("path", s"$work/stats").saveAsTable("sparse_probe_stats")
+    }
+    spark.catalog.clearCache()
+    timed("append") {
+      ops.Extended10.sparseIndexAppend(batch,
+        "sparse_probe_postings", "sparse_probe_stats")
+    }
+    spark.catalog.clearCache()
+    val segs = spark.table("sparse_probe_stats").count()
+    require(segs == 2, s"expected 2 segment stats rows, got $segs")
+    sys.props("graft.sparse.store") = "sparse_probe"
+    try timed("declared.query") {
+      noop(ops.Extended10.q207Bm25Incr(spark, src))
+    } finally sys.props.remove("graft.sparse.store")
+    spark.catalog.clearCache()
+    // the declared entry derives its query terms from the corpus (a
+    // testdata artifact — production queries ARRIVE), so its timing is
+    // dominated by that derivation's full text scan. `serve` isolates
+    // what the index is for: qterms pre-materialized, ranking served
+    // entirely from the stored segments via the pushed In(w, …)
+    // point lookups — this is the per-query serving cost.
+    val qtermsPre = docs
+      .select(col("doc_id"), ops.Extended10.toks(col("text")).as("t"))
+      .orderBy("doc_id").limit(5)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(col("t"), 1, 4)).as("w")).distinct()
+      .localCheckpoint(true)
+    spark.catalog.clearCache()
+    timed("serve") {
+      noop(ops.Extended10.bm25VsIndex(qtermsPre,
+        spark.table("sparse_probe_postings"),
+        spark.table("sparse_probe_stats")))
+    }
+    spark.catalog.clearCache()
+
+    spark.stop()
+  }
+}
