@@ -732,7 +732,10 @@ object Extended10 {
       postingsTable: String, statsTable: String, nBuckets: Int = 32): Unit = {
     ScaleOps.stageCheckpoint(sparseIndex(batch))
       .write.mode("append")
-      .bucketBy(nBuckets, "w").sortBy("w")
+      // existing bucket spec wins over nBuckets (ADVICE r14)
+      .bucketBy(ScaleOps.appendBuckets(batch.sparkSession, postingsTable,
+        nBuckets), "w")
+      .sortBy("w")
       .saveAsTable(postingsTable)
     sparseStats(batch).write.mode("append").saveAsTable(statsTable)
   }
@@ -747,10 +750,15 @@ object Extended10 {
   private[graft] def bm25VsIndex(qterms: DataFrame, postings: DataFrame,
       segStats: DataFrame): DataFrame = {
     // bounded driver-side collect: ≤20 distinct query terms by
-    // construction (guarded — this is a term LIST, never data)
+    // construction (guarded — this is a term LIST, never data). The
+    // bound is the DOCUMENTED one: the BM25 staged-division headroom
+    // analysis (q190 scaladoc) assumes per-(q,doc) sums over ≤20
+    // terms, so a wider caller must redo that algebra, not just the
+    // collect bound (ADVICE r14 — the guard previously allowed 64)
     val terms = qterms.select("w").distinct().collect().map(_.getString(0))
-    require(terms.length <= 64,
-      s"query-term pushdown is bounded by design (got ${terms.length})")
+    require(terms.length <= 20,
+      s"query-term pushdown is bounded by design (got ${terms.length}; " +
+        "the BIGINT headroom analysis covers <= 20 query terms)")
     val tfq = postings.filter(col("w").isin(terms.toIndexedSeq: _*))
     val stats = segStats.agg(sum("n").as("n"), sum("l").as("l"))
     bm25Score(qterms, tfq, stats)

@@ -216,4 +216,33 @@ object ScaleOps {
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .saveAsTable(table)
+
+  /** Resolve a store-location string (the q153/q203/q205 pre-built
+    * store knobs) to a DataFrame. Explicit schemes remove the
+    * ambiguity ADVICE r14 flagged — a bare relative path like
+    * 'store.parquet' was silently misread as a catalog table name:
+    *   - "parquet:<path>"  → parquet read of <path>
+    *   - "table:<name>"    → catalog table <name>
+    * Bare values keep the legacy heuristic for back-compat ('/' →
+    * parquet path, anything else → table name). */
+  def loadStore(spark: org.apache.spark.sql.SparkSession,
+      loc: String): DataFrame =
+    if (loc.startsWith("parquet:"))
+      spark.read.parquet(loc.stripPrefix("parquet:"))
+    else if (loc.startsWith("table:")) spark.table(loc.stripPrefix("table:"))
+    else if (loc.contains("/")) spark.read.parquet(loc)
+    else spark.table(loc)
+
+  /** The bucket count an APPEND into `table` must use: the existing
+    * table's own bucket spec when the table exists (Spark throws an
+    * AnalysisException on a bucket-spec mismatch at append time —
+    * ADVICE r14: a store built via [[writeBucketedState]] (default 8)
+    * then appended with a helper's own default (32) exploded), else
+    * the caller's default for the initial create. */
+  def appendBuckets(spark: org.apache.spark.sql.SparkSession,
+      table: String, default: Int): Int =
+    if (!spark.catalog.tableExists(table)) default
+    else spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(default)
 }

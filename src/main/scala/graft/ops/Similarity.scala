@@ -865,11 +865,11 @@ object Similarity {
     // precedent) but a pre-built store — the QSigProbe bucketed
     // maintenance tier — plugs in via graft.sig.store /
     // SPARK_GRAFT_SIG_STORE, so the declared query and the probe run
-    // EXACTLY this code path ('/' → parquet path, else catalog table)
+    // EXACTLY this code path (ScaleOps.loadStore syntax: explicit
+    // "parquet:<path>"/"table:<name>", legacy '/'-heuristic for bare)
     val store = sys.props.get("graft.sig.store")
       .orElse(sys.env.get("SPARK_GRAFT_SIG_STORE")) match {
-        case Some(loc) if loc.contains("/") => spark.read.parquet(loc)
-        case Some(tbl) => spark.table(tbl)
+        case Some(loc) => ScaleOps.loadStore(spark, loc)
         case None => sigBands(corpus.filter(col("doc_id") < 1000000L))
       }
     dedupVsSigStore(batch, store)
@@ -943,7 +943,9 @@ object Similarity {
     // must not re-read the table it is appending to
     ScaleOps.stageCheckpoint(sigBands(batch))
       .write.mode("append")
-      .bucketBy(nBuckets, "band_idx", "band_key")
+      // existing bucket spec wins over nBuckets (ADVICE r14)
+      .bucketBy(ScaleOps.appendBuckets(batch.sparkSession, table, nBuckets),
+        "band_idx", "band_key")
       .sortBy("band_idx", "band_key")
       .saveAsTable(table)
 

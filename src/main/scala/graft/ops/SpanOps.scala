@@ -278,7 +278,10 @@ object SpanOps {
       table: String, nBuckets: Int = 32): Unit =
     ScaleOps.stageCheckpoint(spanIndexKeyed(batch))
       .write.mode("append")
-      .bucketBy(nBuckets, "g").sortBy("g")
+      // an existing table's own bucket spec wins — a mismatched append
+      // throws at runtime (ADVICE r14; nBuckets only sizes the create)
+      .bucketBy(ScaleOps.appendBuckets(batch.sparkSession, table, nBuckets),
+        "g").sortBy("g")
       .saveAsTable(table)
 
   /** Optional compaction: rewrite the keyed store to one min-k row per
@@ -314,7 +317,9 @@ object SpanOps {
     // must not re-read the table it is appending to
     ScaleOps.stageCheckpoint(spanIndexDelta(batch, spark.table(table)))
       .write.mode("append")
-      .bucketBy(nBuckets, "g").sortBy("g")
+      // existing bucket spec wins over nBuckets (ADVICE r14)
+      .bucketBy(ScaleOps.appendBuckets(spark, table, nBuckets), "g")
+      .sortBy("g")
       .saveAsTable(table)
 
   /** q202 over the documents table.
@@ -339,16 +344,16 @@ object SpanOps {
     * (parquet path or bucketed table) can be supplied via the
     * `graft.span.store` system property or `SPARK_GRAFT_SPAN_STORE`
     * env var, so the declared query and QSpanProbe's bucketed
-    * maintenance tier run EXACTLY this code path. Values containing
-    * '/' are read as parquet paths; anything else as a catalog table.
+    * maintenance tier run EXACTLY this code path. Location syntax is
+    * [[ScaleOps.loadStore]]: explicit "parquet:<path>"/"table:<name>"
+    * schemes, with the legacy '/'-heuristic for bare values.
     * (Same digest-persist caller contract as q202.) */
   def q203SpanDedupIncr(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val batch = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
     val store = sys.props.get("graft.span.store")
       .orElse(sys.env.get("SPARK_GRAFT_SPAN_STORE")) match {
-        case Some(loc) if loc.contains("/") => spark.read.parquet(loc)
-        case Some(tbl) => spark.table(tbl)
+        case Some(loc) => ScaleOps.loadStore(spark, loc)
         case None =>
           spanIndex(docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L))
       }
@@ -367,8 +372,7 @@ object SpanOps {
     val batch = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
     val store = sys.props.get("graft.span.kstore")
       .orElse(sys.env.get("SPARK_GRAFT_SPAN_KSTORE")) match {
-        case Some(loc) if loc.contains("/") => spark.read.parquet(loc)
-        case Some(tbl) => spark.table(tbl)
+        case Some(loc) => ScaleOps.loadStore(spark, loc)
         case None =>
           spanIndexKeyed(docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L))
       }

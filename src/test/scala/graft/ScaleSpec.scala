@@ -127,6 +127,64 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("loadStore resolves explicit schemes and the legacy heuristic") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_loadstore")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    df.write.mode("overwrite").parquet(s"$tmp/store")
+    df.write.mode("overwrite").saveAsTable("graft_loadstore_t")
+    try {
+      // explicit schemes are unambiguous regardless of path shape
+      assert(ScaleOps.loadStore(spark, s"parquet:$tmp/store").count() == 2)
+      assert(ScaleOps.loadStore(spark, "table:graft_loadstore_t").count() == 2)
+      // legacy bare values: '/' → parquet path, else catalog table
+      assert(ScaleOps.loadStore(spark, s"$tmp/store").count() == 2)
+      assert(ScaleOps.loadStore(spark, "graft_loadstore_t").count() == 2)
+      // the ADVICE r14 trap: a RELATIVE parquet path without a scheme
+      // is misread as a table name by the heuristic — the scheme is
+      // the documented fix, so pin that it indeed resolves via scheme
+      val rel = "graft_rel_store.parquet"
+      df.write.mode("overwrite").parquet(rel)
+      try assert(ScaleOps.loadStore(spark, s"parquet:$rel").count() == 2)
+      finally {
+        val p = java.nio.file.Paths.get(rel)
+        val walked = java.nio.file.Files.walk(p)
+        try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walked.close()
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_loadstore_t")
+      val walked = java.nio.file.Files.walk(tmp)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walked.close()
+    }
+  }
+
+  test("append helpers adopt an existing table's bucket spec") {
+    import spark.implicits._
+    // the ADVICE r14 crash: build the store with writeBucketedState's
+    // default (8 buckets), then append with a helper whose own default
+    // differs (32) — the append must adopt the table's spec, not throw
+    val tmp = java.nio.file.Files.createTempDirectory("graft_abuckets").toString
+    val store = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val batch = Seq((3L, "x y z w a b c d e f g h")).toDF("doc_id", "text")
+    ScaleOps.writeBucketedState(
+      graft.ops.SpanOps.spanIndexKeyed(store), "graft_kstore8", tmp, "g")
+    try {
+      assert(ScaleOps.appendBuckets(spark, "graft_kstore8", 32) == 8)
+      assert(ScaleOps.appendBuckets(spark, "graft_no_such_table_xyz", 32) == 32)
+      // the end-to-end repro: spanKeyedAppend(default nBuckets=32)
+      // into the 8-bucket table must succeed and stay 8-bucketed
+      graft.ops.SpanOps.spanKeyedAppend(batch, "graft_kstore8")
+      assert(ScaleOps.appendBuckets(spark, "graft_kstore8", 32) == 8)
+      assert(spark.table("graft_kstore8").count() >= 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_kstore8")
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     // the runtime half of the skew story (saltedEquiJoin is the manual
