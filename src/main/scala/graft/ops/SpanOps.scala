@@ -322,6 +322,59 @@ object SpanOps {
       .sortBy("g")
       .saveAsTable(table)
 
+  // ------------------------------------------- durable span store (q206)
+  /** Initialize a batchId-VERSIONED span-digest store: a parquet
+    * directory holding the standing corpus's digest set as segment
+    * `init` plus one `b<id>` delta segment per committed ingest batch
+    * (written by [[spanIngestTrigger]]). Externalizing the store to
+    * versioned segments is what makes the q206 ingest loop
+    * restart-durable (r14 verdict item 1): the driver holds NO store
+    * state, so a JVM restart loses nothing, and a replayed batch can
+    * reconstruct exactly the snapshot it first probed. */
+  private[graft] def spanStoreInit(store0: DataFrame, root: String): Unit =
+    store0.write.mode("overwrite").parquet(s"$root/init")
+
+  /** The store AS OF batch `id`: segment `init` plus every delta
+    * segment with batchId < id. A REPLAYED batch — in-JVM foreachBatch
+    * re-run or a cross-restart WAL replay with the same batchId —
+    * probes the PRE-FOLD snapshot by construction, because its own
+    * b<id> segment is excluded; no driver-held preFold bookkeeping
+    * (the r14 in-JVM-only guard this replaces). One file listing per
+    * trigger; the read scans prior segments, which is the probe's
+    * inherent cost (the bucketed-table tier removes its shuffle, not
+    * its scan). */
+  private[graft] def spanStoreBefore(spark: SparkSession, root: String,
+      id: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val segs = fs.listStatus(p).toSeq.map(_.getPath).filter { d =>
+      val n = d.getName
+      n == "init" ||
+        (n.startsWith("b") && n.drop(1).toLongOption.exists(_ < id))
+    }.map(_.toString)
+    spark.read.parquet(segs: _*)
+  }
+
+  /** One durable ingest trigger (q206's perBatch hook, shared verbatim
+    * with the restart spec): probe the batch against the store as of
+    * this batchId, then fold the batch's NEW digests in by overwriting
+    * segment b<id>. Idempotent under replay — the probe excludes b<id>
+    * and the fold rewrites it with the same deterministic content, so
+    * a batch that wrote-then-died before its WAL commit replays to the
+    * identical sink AND store state. Per-trigger work ∝ batch (probe
+    * semi-join + batch-sized delta write); the standing segments are
+    * never rewritten. */
+  private[graft] def spanIngestTrigger(spark: SparkSession, root: String)(
+      b: DataFrame, id: Long): DataFrame = {
+    val bc = b.localCheckpoint(true)
+    val probeStore = spanStoreBefore(spark, root, id)
+    val out = spanDedupVsStore(bc, probeStore).localCheckpoint(true)
+    spark.catalog.clearCache() // the digest persist, per trigger
+    spanIndexDelta(bc, probeStore)
+      .write.mode("overwrite").parquet(s"$root/b$id")
+    out
+  }
+
   /** q202 over the documents table.
     *
     * NOTE (caller contract, repo-wide convention): the returned plan

@@ -600,36 +600,22 @@ object StreamingOps {
     * multi-file directory with maxFilesPerTrigger=1 to pin the
     * multi-trigger semantics): every micro-batch runs the SHIPPED
     * q203 operator against the store-so-far, then folds its own
-    * digests in via [[SpanOps.spanIndexDelta]] — the spanIndexAppend
-    * shape with checkpointed delta frames standing in for the bucketed
-    * table inside a single-use drain (a long-lived deployment points
-    * the fold at the table instead; the operators are the same). The
-    * store grows by per-trigger deltas only (never re-materialized),
-    * and an in-JVM foreachBatch replay re-probes against the PRE-fold
-    * store so the rewritten b<id> output is identical — see the
-    * replay-guard comment in the body for the cross-restart caveat. */
+    * digests in — [[SpanOps.spanIngestTrigger]], the spanIndexAppend
+    * shape over a batchId-VERSIONED parquet store at `storeRoot`
+    * (segment `init` + one `b<id>` delta per batch; store bytes
+    * written per trigger ∝ batch, the standing segments never
+    * rewritten). RESTART-DURABLE (r14 verdict item 1): the driver
+    * holds no store state — the probe for batch id reads only
+    * segments < id and the fold overwrites b<id>, so BOTH replay
+    * shapes (an in-JVM foreachBatch re-run and a cross-restart WAL
+    * replay of a batch that wrote-then-died before its commit)
+    * re-probe the exact pre-fold snapshot and rewrite identical sink
+    * and store state. StreamingSpec pins the cross-restart case by
+    * deleting the checkpoint's commit marker between drains. */
   private[graft] def streamingSpanIngest(spark: SparkSession,
-      docStream: DataFrame, store0: DataFrame): DataFrame = {
-    // the store accumulates as a LIST of checkpointed delta frames
-    // unioned lazily — each trigger materializes ONLY its own delta
-    // (store bytes written per trigger ∝ batch, the spanIndexAppend
-    // posture; a monolithic re-checkpoint of the union would be
-    // O(|store|) churn per trigger). The anti-join/semi-join still
-    // SCANS the parts — inherent to the probe, and what the bucketed
-    // table removes the shuffle (not the scan) of at scale.
-    var parts: List[DataFrame] = List(store0.localCheckpoint(true))
-    def store: DataFrame = parts.reduce(_ union _)
-    // in-JVM replay guard: foreachBatch re-runs a batch that wrote and
-    // died with the SAME batchId; by then this batch's digests are
-    // already folded, and re-probing against them would flag every
-    // span as a store hit. Track the pre-fold store per batchId and
-    // probe the replay against THAT. (Cross-restart replay is out of
-    // scope for this single-use-checkpoint drain: driver state dies
-    // with the JVM — a long-lived deployment must snapshot the store
-    // table per committed batch, e.g. the bucketed-append + overwrite-
-    // into-b<id> pairing, before reusing a checkpoint.)
-    var lastId = Long.MinValue
-    var preFold: List[DataFrame] = parts
+      docStream: DataFrame, store0: DataFrame,
+      storeRoot: String): DataFrame = {
+    SpanOps.spanStoreInit(store0, storeRoot)
     // analysis-only probe for the output schema (no job: .schema on an
     // empty frame); the persist it marks is dropped right after
     val outSchema = SpanOps.spanDedupVsStore(
@@ -638,22 +624,7 @@ object StreamingOps {
         docStream.schema), store0).schema
     spark.catalog.clearCache()
     drainAndClean(spark, docStream, "q206", outputMode = "append",
-      perBatch = (b: DataFrame, id: Long) => {
-        val bc = b.localCheckpoint(true)
-        val probeParts = if (id == lastId) preFold else parts
-        val probeStore = probeParts.reduce(_ union _)
-        val out = SpanOps.spanDedupVsStore(bc, probeStore)
-          .localCheckpoint(true)
-        spark.catalog.clearCache() // the digest persist, per trigger
-        if (id != lastId) {
-          lastId = id
-          preFold = parts
-          parts = SpanOps.spanIndexDelta(bc, probeStore)
-            .localCheckpoint(true) :: parts
-          spark.catalog.clearCache()
-        }
-        out
-      },
+      perBatch = SpanOps.spanIngestTrigger(spark, storeRoot),
       outSchema = Some(outSchema))(
       _.orderBy("doc_id"))
   }
@@ -669,7 +640,11 @@ object StreamingOps {
     * Multi-trigger semantics are the sequential contract SpanSpec
     * pins: every occurrence is judged against everything that arrived
     * before it (trigger granularity), which at scale IS the
-    * production ingest loop. */
+    * production ingest loop. The declared query's versioned store
+    * lives in a throwaway temp dir (testdata ships no store — the
+    * q200/q203 precedent); a production deployment points storeRoot
+    * at shared storage and REUSES it with the checkpoint across
+    * restarts. */
   def q206StreamingSpanIngest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val store0 = SpanOps.spanIndex(
@@ -678,7 +653,17 @@ object StreamingOps {
     val stream = tableStream(spark, dir, "documents", schema)
       .filter(pmod(col("doc_id"), lit(7L)) === 0L)
       .select("doc_id", "text")
-    streamingSpanIngest(spark, stream, store0)
+    val root = java.nio.file.Files.createTempDirectory("graft-spanstore")
+    // the result is localCheckpoint'd by the drain, so the store dir
+    // can be deleted as soon as the drain returns
+    try streamingSpanIngest(spark, stream, store0, root.toString)
+    finally {
+      val walked = java.nio.file.Files.walk(root)
+      try walked
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -105,7 +105,8 @@ class StreamingSpec extends AnyFunSuite {
       val store0 = ops.SpanOps.spanIndex(store.toDF("doc_id", "text"))
         .localCheckpoint(true)
       spark.catalog.clearCache()
-      val streamed = StreamingOps.streamingSpanIngest(spark, stream, store0)
+      val streamed = StreamingOps.streamingSpanIngest(spark, stream, store0,
+          s"$dir/store")
         .collect().map(r => r.getLong(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
       spark.catalog.clearCache()
@@ -130,6 +131,104 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.values.map(_._2).sum <= single.values.map(_._2).sum)
     } finally {
       val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walked
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
+  test("q206 ingest survives a cross-restart WAL replay (versioned store)") {
+    // The r14 durability gap, now closed: foreachBatch writes its sink
+    // and store delta BEFORE the WAL commit, so a batch that wrote and
+    // died is re-run on restart with the same batchId. Simulated
+    // exactly: drain batch 0, delete the checkpoint's commits/0 marker
+    // (the on-disk state of a post-write pre-commit crash), add a
+    // second file, drain again from the SAME checkpoint — the
+    // restarted query REPLAYS batch 0 (from the source metadata log)
+    // and then processes batch 1. With the batchId-versioned store the
+    // replay probes segments < 0 (init only — the pre-fold snapshot)
+    // and overwrites b0 idempotently; the old driver-held guard lost
+    // exactly this case, flagging every replayed span a store hit.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_q206_restart")
+    val streamDir = java.nio.file.Files.createDirectory(root.resolve("stream"))
+    val ckpt = root.resolve("ckpt")
+    val sink = java.nio.file.Files.createDirectory(root.resolve("sink"))
+    val storeRoot = root.resolve("store").toString
+    // 8-token docs → exactly one span each
+    val standing = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot golf hotel"))
+    val b1 = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"), // store dup
+      (2L, "one two three four five six seven eight")) // fresh span
+    val b2 = Seq(
+      (3L, "one two three four five six seven eight"), // dup via b0's fold
+      (4L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("recursiveFileLookup", "true").parquet(streamDir.toString)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          // the SHIPPED per-trigger hook, sink written like drainAndClean
+          ops.SpanOps.spanIngestTrigger(spark, storeRoot)(df, id)
+            .write.mode("overwrite").parquet(s"$sink/b$id")
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      val init = ops.SpanOps.spanIndex(standing.toDF("doc_id", "text"))
+      ops.SpanOps.spanStoreInit(init, storeRoot)
+      b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$streamDir/f1")
+      drain() // batch 0 commits: sink/b0, store/b0
+      assert(java.nio.file.Files.exists(ckpt.resolve("commits").resolve("0")))
+      val b0Digests = spark.read.parquet(s"$storeRoot/b0")
+        .collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+      // the crash: batch 0's writes landed but its commit marker did
+      // not (the local ChecksumFs keeps a .crc sidecar — remove it
+      // too, or the replayed commit's rename collides on it)
+      java.nio.file.Files.delete(ckpt.resolve("commits").resolve("0"))
+      java.nio.file.Files.deleteIfExists(
+        ckpt.resolve("commits").resolve(".0.crc"))
+      b2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$streamDir/f2")
+      drain() // replays batch 0, then batch 1
+      spark.catalog.clearCache()
+      val streamed = spark.read
+        .option("recursiveFileLookup", "true").parquet(sink.toString)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      // ground truth composed from the batch operators, trigger order
+      def runVs(batch: Seq[(Long, String)], idx: DataFrame) =
+        try ops.SpanOps.spanDedupVsStore(batch.toDF("doc_id", "text"), idx)
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+        finally spark.catalog.clearCache()
+      val out1 = runVs(b1, init)
+      val idx1 = init.union(
+        ops.SpanOps.spanIndexDelta(b1.toDF("doc_id", "text"), init))
+        .localCheckpoint(true)
+      spark.catalog.clearCache()
+      val out2 = runVs(b2, idx1)
+      assert(streamed === out1 ++ out2)
+      // the replay pin itself: doc 2's span must NOT read as a store
+      // hit on replay (the lost-guard failure mode), while the genuine
+      // dups (doc 1 vs store, doc 3 vs batch-0's fold) must
+      assert(streamed(2L)._2 == 0L, s"replay flagged a fresh span: $streamed")
+      assert(streamed(1L)._2 == 1L && streamed(3L)._2 == 1L)
+      assert(streamed(4L)._2 == 0L)
+      // folded exactly once, replay overwrote b0 with identical content
+      assert(spark.read.parquet(s"$storeRoot/b0")
+        .collect().map(_.getAs[Array[Byte]](0).toSeq).toSet === b0Digests)
+      val all = spark.read.parquet(
+        s"$storeRoot/init", s"$storeRoot/b0", s"$storeRoot/b1")
+      assert(all.count() == all.distinct().count(),
+        "a digest was folded into more than one segment")
+    } finally {
+      val walked = java.nio.file.Files.walk(root)
       try walked
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
