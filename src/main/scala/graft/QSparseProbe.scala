@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *                    BM25 served from the segmented tables via the
   *                    pushed In(w, …) point lookups — the win an index
   *                    exists for (must sit far under full)
+  *   compact        — sparseStoreCompact (∝ store; the amortized
+  *                    rewrite blind appends defer)
+  *   serve.compacted— the serve stage again over the single merged
+  *                    segment (must sit ≤ serve)
   */
 object QSparseProbe {
   def main(args: Array[String]): Unit = {
@@ -54,13 +58,19 @@ object QSparseProbe {
         .option("path", s"$work/stats").saveAsTable("sparse_probe_stats")
     }
     spark.catalog.clearCache()
-    timed("append") {
-      ops.Extended10.sparseIndexAppend(batch,
-        "sparse_probe_postings", "sparse_probe_stats")
+    // four sub-batch appends → five segments, so the compaction stage
+    // below merges a REAL segment spread (two segments give the merge
+    // nothing to win back; Lucene's merge pressure comes from many)
+    (0L until 4L).foreach { i =>
+      timed(s"append.$i") {
+        ops.Extended10.sparseIndexAppend(
+          batch.filter(pmod(col("doc_id"), lit(4L)) === i),
+          "sparse_probe_postings", "sparse_probe_stats")
+      }
+      spark.catalog.clearCache()
     }
-    spark.catalog.clearCache()
     val segs = spark.table("sparse_probe_stats").count()
-    require(segs == 2, s"expected 2 segment stats rows, got $segs")
+    require(segs == 5, s"expected 5 segment stats rows, got $segs")
     sys.props("graft.sparse.store") = "sparse_probe"
     try timed("declared.query") {
       noop(ops.Extended10.q207Bm25Incr(spark, src))
@@ -80,6 +90,22 @@ object QSparseProbe {
       .localCheckpoint(true)
     spark.catalog.clearCache()
     timed("serve") {
+      noop(ops.Extended10.bm25VsIndex(qtermsPre,
+        spark.table("sparse_probe_postings"),
+        spark.table("sparse_probe_stats")))
+    }
+    spark.catalog.clearCache()
+    // compaction (∝ store — the amortized rewrite appends defer) and
+    // the serve it buys back: one file per bucket instead of one per
+    // segment per bucket, so serve.compacted must sit ≤ serve
+    timed("compact") {
+      ops.Extended10.sparseStoreCompact(spark,
+        "sparse_probe_postings", "sparse_probe_stats")
+    }
+    spark.catalog.clearCache()
+    val segsAfter = spark.table("sparse_probe_stats").count()
+    require(segsAfter == 1, s"expected 1 stats row post-compaction, got $segsAfter")
+    timed("serve.compacted") {
       noop(ops.Extended10.bm25VsIndex(qtermsPre,
         spark.table("sparse_probe_postings"),
         spark.table("sparse_probe_stats")))

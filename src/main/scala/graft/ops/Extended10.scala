@@ -740,6 +740,45 @@ object Extended10 {
     sparseStats(batch).write.mode("append").saveAsTable(statsTable)
   }
 
+  /** Compact the segmented sparse store in place — the Lucene
+    * forceMerge(1) half of the q207 lifecycle: rewrite every segment's
+    * postings as ONE bucketed+sorted-by-w segment and collapse the
+    * per-segment stats rows into one (exact — readers SUM across
+    * stats rows anyway). Postings rows are DISJOINT across segments
+    * (the fresh-doc ingest invariant), so the merge is purely
+    * physical: fewer files and one sorted run per bucket, restoring
+    * the point-lookup locality appends erode (each blind append adds
+    * one file per bucket, and a query's pushed In(w,…) lookup must
+    * touch every segment's files). Every query result is invariant
+    * under it — SparseIndexSpec pins bit-for-bit equality, the
+    * spanKeyedCompact/ivfCompact precedent. Cost ∝ store (run when
+    * segment counts grow); the store's own bucket spec and table
+    * locations are preserved, and both frames are materialized
+    * (stageCheckpoint) before the overwrite so the rewrite never
+    * reads the table it is replacing. */
+  private[graft] def sparseStoreCompact(spark: SparkSession,
+      postingsTable: String, statsTable: String): Unit = {
+    def extLoc(t: String): Option[String] = {
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+      if (meta.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+        Some(meta.location.toString)
+      else None
+    }
+    val nb = ScaleOps.appendBuckets(spark, postingsTable, 32)
+    val postings = ScaleOps.stageCheckpoint(spark.table(postingsTable))
+    val stats = ScaleOps.stageCheckpoint(
+      spark.table(statsTable).agg(sum("n").as("n"), sum("l").as("l")))
+    val pw = postings.write.mode("overwrite")
+      .bucketBy(nb, "w").sortBy("w")
+    extLoc(postingsTable).fold(pw)(p => pw.option("path", p))
+      .saveAsTable(postingsTable)
+    val sw = stats.write.mode("overwrite")
+    extLoc(statsTable).fold(sw)(p => sw.option("path", p))
+      .saveAsTable(statsTable)
+  }
+
   /** BM25 top-10 against the STORED segmented index: df for the query
     * terms aggregates across all segments and corpus stats sum across
     * segment rows, so segmented ≡ rebuilt exactly. The distinct query

@@ -68,6 +68,42 @@ class SparseIndexSpec extends AnyFunSuite {
       assert(plan.contains("PushedFilters: [In(w, "),
         s"expected pushed In(w, …) filter on the postings scan:\n$plan")
       spark.catalog.clearCache()
+      // compaction (the Lucene forceMerge half): stats collapse to one
+      // row, the bucket spec survives, and the ranking is invariant
+      // bit-for-bit — postings rows are disjoint across segments, so
+      // the merge is purely physical
+      ops.Extended10.sparseStoreCompact(spark,
+        "sparse_spec_postings", "sparse_spec_stats")
+      spark.catalog.clearCache()
+      assert(spark.table("sparse_spec_stats").count() === 1L)
+      assert(ops.ScaleOps.appendBuckets(spark, "sparse_spec_postings", 32)
+        === 4)
+      val compacted = ops.Extended10.bm25VsIndex(qterms,
+          spark.table("sparse_spec_postings"),
+          spark.table("sparse_spec_stats"))
+        .collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      assert(compacted == rebuilt)
+      // a post-compaction append still works (the lifecycle loops:
+      // append → … → compact → append), and merges on read again
+      ops.Extended10.sparseIndexAppend(
+        (200L until 203L).map(id => id -> text(id)).toDF("doc_id", "text"),
+        "sparse_spec_postings", "sparse_spec_stats", nBuckets = 4)
+      spark.catalog.clearCache()
+      assert(spark.table("sparse_spec_stats").count() === 2L)
+      val all2 = (store ++ batch ++
+        (200L until 203L).map(id => id -> text(id))).toDF("doc_id", "text")
+      val viaTables2 = ops.Extended10.bm25VsIndex(qterms,
+          spark.table("sparse_spec_postings"),
+          spark.table("sparse_spec_stats"))
+        .collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      val rebuilt2 = ops.Extended10.bm25VsIndex(qterms,
+          ops.Extended10.sparseIndex(all2),
+          ops.Extended10.sparseStats(all2))
+        .collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      assert(viaTables2.nonEmpty && viaTables2 == rebuilt2)
     } finally {
       spark.sql("DROP TABLE IF EXISTS sparse_spec_postings")
       spark.sql("DROP TABLE IF EXISTS sparse_spec_stats")
