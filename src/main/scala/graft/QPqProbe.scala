@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   *   adc ×2     — 5 queries over the STORED 8-byte code column +
   *                exact top-32 refinement (the serving shape); run
   *                twice, min is the number (host throttle rule)
+  *   encode.base/
+  *   append/audit — the add-with-ids lifecycle: encode a 90% base,
+  *                blind-append the 10% batch under the frozen model
+  *                (∝ batch — must sit far under encode.base), run the
+  *                2× reconstruction-MSE drift audit
   *   brute ×2   — 5 queries exact squared-L2 over the raw 512-byte
   *                e0 column, top-10 (the comparator q26 shape)
   * Also prints the stored-bytes ratio codes vs raw — the published
@@ -100,6 +105,27 @@ object QPqProbe {
           nProbe = 4, topR = 32, depth = 10, pruneCells = true)
           .write.format("noop").mode("overwrite").save()
       }
+    }
+    // append lifecycle (add-with-ids): encode a 10% batch under the
+    // FROZEN model and blind-append — must sit far under encode (the
+    // full-corpus pass), since the stored codes are never read. The
+    // audit is the q200 2× MSE trigger on reconstruction error.
+    val lifeDir = "/tmp/graft_pq_codes_life"
+    locally {
+      val d = new java.io.File(lifeDir)
+      if (d.exists) d.listFiles.foreach(f => f.delete())
+    }
+    val lifeBase = emb().filter(pmod(col("id"), lit(10L)) =!= 9)
+    val lifeBatch = emb().filter(pmod(col("id"), lit(10L)) === 9)
+    timed("encode.base") {
+      ops.PqOps.pqAppend(lifeBase, model, lifeDir)
+    }
+    timed("append") {
+      ops.PqOps.pqAppend(lifeBatch, model, lifeDir)
+    }
+    timed("audit") {
+      ops.PqOps.pqAppendAudit(lifeBase, lifeBatch, model)
+        .write.format("noop").mode("overwrite").save()
     }
     (1 to 2).foreach { i =>
       timed(s"brute_$i") {

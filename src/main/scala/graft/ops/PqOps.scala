@@ -441,6 +441,88 @@ object PqOps {
     } finally emb.unpersist()
   }
 
+  // ------------------------------------------------- append lifecycle
+  /** PQ add-with-ids (the Faiss shape — closes the PQ store
+    * lifecycle): encode an ARRIVING batch under the STORED, frozen
+    * codebooks and blind-append its packed codes beside the standing
+    * code files. Because encode is a pure per-row function of the
+    * frozen model, append ≡ rebuild is BIT-EXACT on the code column
+    * (PqSpec pins it) — no approximation enters until the model is
+    * retrained. Cost ∝ batch: one in-row encode pass (M·ks·subDim
+    * doubles ride the closure) + one batch-sized parquet append,
+    * id-sorted within partitions so the refinement's literal-isin
+    * point lookups keep their row-group pruning; the stored codes are
+    * never read, rescanned, or rewritten. Ingest invariant: batch ids
+    * are fresh (re-appending a vector would duplicate its code row). */
+  private[graft] def pqAppend(batch: DataFrame, model: PqModel,
+      codesPath: String): Unit =
+    batch.select(col("id"), pqEncode(model)(col("e")).as("code"))
+      .sortWithinPartitions("id")
+      .write.mode("append").parquet(codesPath)
+
+  /** IVFADC add-with-ids: assign the batch to the STORED coarse cells
+    * ([[Extended10.ivfAppend]] — same argmin and tie rule as ingest),
+    * attach residual codes under the stored codebooks
+    * ([[ivfAdcIndex]]), and blind-append beside the cell partitions —
+    * batch-sized files land in their cell directories, the standing
+    * index is untouched. Same frozen-model bit-exactness law as
+    * [[pqAppend]] (PqSpec), and the same full-probe query-equality
+    * contract as q200's coarse append. */
+  private[graft] def ivfAdcAppend(batch: DataFrame,
+      cents: Array[(Long, Array[Double])], model: PqModel,
+      indexPath: String): Unit =
+    ivfAdcIndex(Extended10.ivfAppend(cents, batch, model.dim), cents,
+      model)
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
+
+  /** Per-row PQ reconstruction error ||x − decode(encode(x))||² under
+    * a frozen model — encode and decode fused into one argmin pass
+    * (argminLocal returns the squared distance to the chosen codeword,
+    * which per subspace IS the reconstruction error; summed across
+    * subspaces in ascending order, the same IEEE fold as the ADC
+    * equality law). */
+  private[graft] def reconErr(model: PqModel): UserDefinedFunction = {
+    val books = model.codebooks
+    val m = model.m
+    val sub = model.subDim
+    udf { (e: Seq[Double]) =>
+      val arr = e.toArray
+      var d = 0.0
+      var i = 0
+      while (i < m) {
+        val s = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          java.util.Arrays.copyOfRange(arr, i * sub, (i + 1) * sub))
+        d += Clustering.argminLocal(books(i), s)._2
+        i += 1
+      }
+      d
+    }.asNonNullable()
+  }
+
+  /** Drift audit for the frozen-codebook append — q200's 2× MSE
+    * trigger applied to PQ reconstruction error: one in-row pass per
+    * side computing ||x − decode(encode(x))||² under the stored model,
+    * retrain when the batch's mean reconstruction error exceeds 2× the
+    * base's (batch vectors landing systematically farther from every
+    * codeword than the corpus the codebooks were trained on — the
+    * ivfAppendAudit decision, model-global here because the codebooks
+    * are). One row out (the audit-artifact class); the 1×1 crossJoin
+    * is the scalar-fanout shape. */
+  private[graft] def pqAppendAudit(base: DataFrame, batch: DataFrame,
+      model: PqModel): DataFrame = {
+    val err = reconErr(model)
+    val b = base.select(err(col("e")).as("d2"))
+      .agg(count(lit(1)).as("n_base"), avg(col("d2")).as("base_mse"))
+    val t = batch.select(err(col("e")).as("d2"))
+      .agg(count(lit(1)).as("n_batch"), avg(col("d2")).as("batch_mse"))
+    b.crossJoin(broadcast(t))
+      .select(col("n_base"), col("n_batch"),
+        round(col("base_mse"), 6).as("base_mse"),
+        round(col("batch_mse"), 6).as("batch_mse"),
+        coalesce(col("batch_mse") > col("base_mse") * 2, lit(false))
+          .as("retrain"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q201_pq_adc" -> (q201PqAdc _))
 

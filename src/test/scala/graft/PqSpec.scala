@@ -321,6 +321,100 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("pqAppend: frozen-model append ≡ rebuild bit-exact; drift trigger") {
+    // the add-with-ids law: encode is a pure per-row function of the
+    // FROZEN codebooks, so codes appended batch-by-batch are
+    // bit-identical to a one-shot encode of the union — the exactness
+    // that makes the append path safe (no approximation until retrain)
+    val rows = plantedDense(200)
+    val base = rows.filter(_._1 % 10 != 9)
+    val batch = rows.filter(_._1 % 10 == 9)
+    val baseDf = base.toDF("id", "e")
+    val model = PqOps.pqTrain(baseDf, dim = 16, m = 8, ks = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_append")
+    try {
+      PqOps.pqAppend(baseDf, model, s"$dir/codes")
+      PqOps.pqAppend(batch.toDF("id", "e"), model, s"$dir/codes")
+      val stored = spark.read.parquet(s"$dir/codes")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rebuilt = rows.toDF("id", "e")
+        .select(col("id"), PqOps.pqEncode(model)(col("e")).as("code"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stored.size == rows.size && stored == rebuilt)
+      // drift audit (q200's 2× MSE trigger on reconstruction error):
+      // an in-distribution batch must not trip retrain…
+      val audit = PqOps.pqAppendAudit(baseDf, batch.toDF("id", "e"),
+        model).collect().head
+      assert(audit.getLong(0) == base.size && audit.getLong(1) == batch.size)
+      assert(!audit.getBoolean(4),
+        s"in-distribution batch tripped retrain: $audit")
+      // …and a planted off-distribution batch (far from every
+      // codeword) must
+      val off = (900L until 920L).map(i =>
+        (i, Seq.tabulate(16)(j => 1000.0 + i * 0.1 + j)))
+      val audit2 = PqOps.pqAppendAudit(baseDf, off.toDF("id", "e"),
+        model).collect().head
+      assert(audit2.getBoolean(4),
+        s"off-distribution batch must trip retrain: $audit2")
+    } finally {
+      val walked = java.nio.file.Files.walk(dir)
+      try walked
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
+  test("ivfAdcAppend: appended cell partitions ≡ rebuilt; stored query intact") {
+    // the IVFADC half: batch assigned to the STORED coarse cells,
+    // residual-coded under the stored codebooks, blind-appended beside
+    // the cell partitions — (vec_id, cell, code) triples must equal a
+    // one-shot rebuild under the same frozen quantizer and model
+    val rows = plantedDense(160)
+    val base = rows.filter(_._1 % 10 != 9)
+    val batch = rows.filter(_._1 % 10 == 9)
+    def asIdx(s: Seq[(Long, Seq[Double])]) = s.toDF("id", "e")
+      .select(col("id").as("vec_id"), col("e").as("e0"))
+    val (index, cents) = Extended10.ivfIndex(asIdx(base), dim = 16,
+      nCells = 4)
+    val model = PqOps.pqTrainResidual(index, cents, dim = 16, m = 8,
+      ks = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_app")
+    try {
+      PqOps.ivfAdcIndex(index, cents, model)
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$dir/index")
+      PqOps.ivfAdcAppend(asIdx(batch), cents, model, s"$dir/index")
+      val stored = spark.read.parquet(s"$dir/index")
+      val sTriples = stored
+        .select(col("vec_id"), col("cell").cast("long"), col("code"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val rTriples = PqOps.ivfAdcIndex(
+          Extended10.ivfAppend(cents, asIdx(rows), 16), cents, model)
+        .select(col("vec_id"), col("cell"), col("code"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(sTriples.size == rows.size && sTriples == rTriples)
+      // the appended store still serves: self-retrieval for batch
+      // vectors through the full stored-index query path
+      val qvecs = batch.take(2).map { case (i, v) => (i, v.toArray) }
+        .toArray
+      val out = PqOps.ivfAdcQuery(stored, cents, model, qvecs,
+        nProbe = 4, topR = 160, depth = 3, pruneCells = true).collect()
+      qvecs.foreach { case (q, _) =>
+        val top = out.filter(_.getLong(0) == q).minBy(_.getLong(1))
+        assert(top.getLong(2) == q && top.getDouble(4) == 0.0)
+      }
+    } finally {
+      val walked = java.nio.file.Files.walk(dir)
+      try walked
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
   test("q201 over embeddings: shape, self-retrieval, refinement order") {
     val out = ops.PqOps.q201PqAdc(spark, SparkTest.sfDir).collect()
     val qids = out.map(_.getLong(0)).distinct
