@@ -24,6 +24,7 @@ object QSemProf {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_semprof/warehouse")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def timed(label: String)(f: => Unit): Unit = {
@@ -72,6 +73,39 @@ object QSemProf {
       println(s"SEMPROF cells=${outRows.length}" +
         s" maxMembers=${outRows.map(_.getLong(1)).max}" +
         s" maxCid=${outRows.map(_.getLong(0)).max}")
+    // q208 maintenance tier: build the cells+reps store once (∝ corpus,
+    // the generation cost), then probe an arriving batch against the
+    // STORED tables through the declared q208 — must sit far under
+    // `full` (the probe never re-quantizes or re-pairs the corpus,
+    // only the batch's cells)
+    val batchFrac = emb().filter(pmod(col("id"), lit(7L)) === 0L)
+    val storeFrac = emb().filter(pmod(col("id"), lit(7L)) =!= 0L)
+    spark.sql("DROP TABLE IF EXISTS sem_prof_reps")
+    spark.sql("DROP TABLE IF EXISTS sem_prof_cents")
+    timed("store.build") {
+      val (cents, reps) = ops.SemStoreOps.semStoreBuild(storeFrac,
+        dim = 64)
+      ops.SemStoreOps.semStoreAppend(reps, "sem_prof_reps")
+      import spark.implicits._
+      cents.toSeq.map { case (cid, ce) => (cid, ce.toSeq) }
+        .toDF("cid", "ce").write.mode("overwrite")
+        .saveAsTable("sem_prof_cents")
+    }
+    sys.props("graft.sem.store") = "sem_prof"
+    try timed("probe") {
+      ops.SemStoreOps.q208SemDedupIncr(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    } finally sys.props.remove("graft.sem.store")
+    spark.catalog.clearCache()
+    val drift = ops.SemStoreOps.semDriftAudit(
+      spark.table("sem_prof_reps"),
+      batchFrac,
+      spark.table("sem_prof_cents").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
+      dim = 64)
+    timed("drift.audit") {
+      drift.write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

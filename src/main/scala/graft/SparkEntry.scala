@@ -31,7 +31,8 @@ object SparkEntry {
       ops.Extended5.queries ++ ops.Extended6.queries ++
       ops.Extended7.queries ++ ops.Extended8.queries ++
       ops.Extended9.queries ++ ops.BpeOps.queries ++ ops.LrOps.queries ++
-      ops.Extended10.queries ++ ops.PqOps.queries ++ ops.SpanOps.queries
+      ops.Extended10.queries ++ ops.PqOps.queries ++
+      ops.SpanOps.queries ++ ops.SemStoreOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -47,5 +48,5 @@ object SparkEntry {
       ops.Extended7.oracleSql ++ ops.Extended8.oracleSql ++
       ops.Extended9.oracleSql ++ ops.BpeOps.oracleSql ++ ops.LrOps.oracleSql ++
       ops.Extended10.oracleSql ++ ops.PqOps.oracleSql ++
-      ops.SpanOps.oracleSql
+      ops.SpanOps.oracleSql ++ ops.SemStoreOps.oracleSql
 }

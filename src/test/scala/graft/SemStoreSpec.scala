@@ -1,0 +1,139 @@
+package graft
+
+import graft.ops.{Extended10, SemStoreOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q208 incremental SemDeDup lifecycle (rows-only in t2 — float
+  * k-means cells, the q45/q108/q187/q200 precedent). Pins:
+  *  - planted-copy recovery: batch copies of store vectors drop, the
+  *    within-batch extra copy drops, fresh vectors never drop;
+  *  - incremental ≡ full q187 on planted exact cliques: the batch
+  *    probe's total drop count equals the full-corpus run's drop over
+  *    the union minus the store's own (0 on a distinct store) —
+  *    exact-copy groups co-cell under ANY quantizer, so the law is
+  *    partition-independent;
+  *  - append law: a later batch's copy of an ADMITTED rep drops, and
+  *    probing the appended TABLE ≡ probing the unioned frames;
+  *  - drift reuse: a batch of exact store copies reproduces the base
+  *    MSE (ratio 1 — no retrain, deterministically), a far
+  *    off-distribution batch trips the 2× trigger.
+  */
+class SemStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private val Dim = 8
+
+  /** Distinct well-separated vectors: e_p + 0.3·e_q with distinct
+    * (p, q) pairs — any two DIFFERENT pairs have cosine ≤ 1/1.09 ≈
+    * 0.917 < τ = 0.99, so only exact copies are near-dups. */
+  private def vec(i: Long): Seq[Double] = {
+    val p = (i % Dim).toInt
+    val q = ((p + 1 + i / Dim) % Dim).toInt
+    Seq.tabulate(Dim)(j => (if (j == p) 1.0 else 0.0) +
+      (if (j == q) 0.3 else 0.0))
+  }
+
+  // store: 40 distinct vectors, ids 0–39
+  private def storeRows: Seq[(Long, Seq[Double])] =
+    (0L until 40L).map(i => (i, vec(i)))
+  // batch: 5 copies of store vecs 0–4, a within-batch pair of a fresh
+  // vector, 3 fresh distinct vectors
+  private def batchRows: Seq[(Long, Seq[Double])] =
+    (100L until 105L).map(i => (i, vec(i - 100L))) ++
+      Seq((105L, vec(45L)), (106L, vec(45L))) ++
+      (107L until 110L).map(i => (i, vec(i - 60L))) // vec 47..49, fresh
+
+  test("planted copies drop, fresh vectors don't; incremental ≡ full cliques") {
+    val (cents, reps) = SemStoreOps.semStoreBuild(
+      storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(4))
+    val audit = SemStoreOps.semDedupVsStore(
+      batchRows.toDF("id", "e"), cents, reps).collect()
+    val dropped = audit.map(_.getLong(3)).sum
+    val nBatch = audit.map(_.getLong(2)).sum
+    assert(nBatch == 10L)
+    // 5 store copies + 1 within-batch extra copy; the 4 fresh distinct
+    // reps (105's keeper + 107–109) must NOT drop
+    assert(dropped == 6L, s"expected 6 drops, got $dropped: " +
+      audit.mkString(", "))
+    // incremental ≡ full on planted cliques: the full q187 pipeline
+    // over store ∪ batch drops the same 6 rows (store alone drops 0 —
+    // all distinct), under ITS OWN quantizer
+    val fullUnion = Extended10.semDedupCells(
+      (storeRows ++ batchRows).toDF("id", "e"), k = 4, dim = Dim,
+      tau = 0.99).collect().map(_.getLong(2)).sum
+    spark.catalog.clearCache()
+    val fullStore = Extended10.semDedupCells(
+      storeRows.toDF("id", "e"), k = 4, dim = Dim, tau = 0.99)
+      .collect().map(_.getLong(2)).sum
+    spark.catalog.clearCache()
+    assert(fullStore == 0L)
+    assert(dropped == fullUnion - fullStore)
+    // per-cell audit shape: n_store counts only the batch's cells
+    audit.foreach { r =>
+      assert(r.getLong(2) > 0L, "every emitted cell saw batch rows")
+    }
+  }
+
+  test("append law: admitted reps join the store; table ≡ frames") {
+    val (cents, reps) = SemStoreOps.semStoreBuild(
+      storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(4))
+    val admitted = SemStoreOps.semAdmitted(
+      batchRows.toDF("id", "e"), cents, reps)
+    // admitted = the pair's keeper (105, cnt 2) + the 3 fresh reps
+    val adm = admitted.collect().map(r => r.getLong(1) -> r.getLong(3))
+      .toMap
+    assert(adm.keySet == Set(105L, 107L, 108L, 109L))
+    assert(adm(105L) == 2L)
+    try {
+      SemStoreOps.semStoreAppend(reps, "sem_spec_reps")
+      SemStoreOps.semStoreAppend(admitted, "sem_spec_reps")
+      // batch 2: a copy of ADMITTED 105 must now drop, a copy of a
+      // store vector still drops, a fresh vector doesn't
+      val b2 = Seq((200L, vec(45L)), (201L, vec(10L)), (202L, vec(50L)))
+      val viaTable = SemStoreOps.semDedupVsStore(
+        b2.toDF("id", "e"), cents, spark.table("sem_spec_reps"))
+        .collect()
+      assert(viaTable.map(_.getLong(3)).sum == 2L,
+        s"expected 2 drops vs appended store: ${viaTable.mkString(", ")}")
+      // probing the appended TABLE ≡ probing the unioned frames
+      val viaFrames = SemStoreOps.semDedupVsStore(
+        b2.toDF("id", "e"), cents, reps.unionByName(admitted))
+        .collect()
+      assert(viaTable.map(_.toSeq).toSeq == viaFrames.map(_.toSeq).toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sem_spec_reps")
+    }
+  }
+
+  test("drift: exact-copy batch ratio 1 (no retrain), far batch trips 2×") {
+    val (cents, reps) = SemStoreOps.semStoreBuild(
+      storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(4))
+    // a batch of exact store copies reproduces the base MSE exactly —
+    // same points, same frozen assignment — so the trigger stays off
+    // deterministically (ratio 1 < 2)
+    val same = SemStoreOps.semDriftAudit(reps,
+      storeRows.map { case (i, v) => (i + 1000L, v) }.toDF("id", "e"),
+      cents, Dim).collect()
+    assert(same.nonEmpty && same.forall(!_.getBoolean(5)),
+      s"exact-copy batch tripped retrain: ${same.mkString(", ")}")
+    val off = (2000L until 2010L)
+      .map(i => (i, Seq.tabulate(Dim)(j => 1000.0 + i * 0.1 + j)))
+    val far = SemStoreOps.semDriftAudit(reps, off.toDF("id", "e"),
+      cents, Dim).collect()
+    assert(far.nonEmpty && far.forall(_.getBoolean(5)),
+      s"far batch must trip retrain: ${far.mkString(", ")}")
+  }
+
+  test("declared q208: audit shape, totals, stored-path parity") {
+    val out = SemStoreOps.q208SemDedupIncr(spark, SparkTest.sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    out.foreach { r =>
+      assert(r.getLong(2) > 0L && r.getLong(3) >= 0L &&
+        r.getLong(3) <= r.getLong(2))
+    }
+  }
+}
