@@ -82,6 +82,19 @@ object QSemProf {
     val storeFrac = emb().filter(pmod(col("id"), lit(7L)) =!= 0L)
     spark.sql("DROP TABLE IF EXISTS sem_prof_reps")
     spark.sql("DROP TABLE IF EXISTS sem_prof_cents")
+    // the in-memory catalog is fresh per JVM, so DROP alone leaves a
+    // stale managed-table LOCATION from a previous run on disk and the
+    // create fails with LOCATION_ALREADY_EXISTS — remove the dirs too
+    Seq("sem_prof_reps", "sem_prof_cents").foreach { t =>
+      val p = java.nio.file.Paths.get(s"/tmp/graft_semprof/warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        val walked = java.nio.file.Files.walk(p)
+        try walked
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walked.close()
+      }
+    }
     timed("store.build") {
       val (cents, reps) = ops.SemStoreOps.semStoreBuild(storeFrac,
         dim = 64)
@@ -97,14 +110,16 @@ object QSemProf {
         .write.format("noop").mode("overwrite").save()
     } finally sys.props.remove("graft.sem.store")
     spark.catalog.clearCache()
-    val drift = ops.SemStoreOps.semDriftAudit(
-      spark.table("sem_prof_reps"),
-      batchFrac,
-      spark.table("sem_prof_cents").collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
-      dim = 64)
     timed("drift.audit") {
-      drift.write.format("noop").mode("overwrite").save()
+      // constructed INSIDE the timed block: the audit materializes
+      // its k-row frame eagerly on construction
+      ops.SemStoreOps.semDriftAudit(
+          spark.table("sem_prof_reps"),
+          batchFrac,
+          spark.table("sem_prof_cents").collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
+          dim = 64)
+        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }

@@ -44,7 +44,15 @@ import org.apache.spark.sql.functions._
   * centroid model rides the closure. A batch whose vectors the frozen
   * quantizer no longer fits concentrates into few cells AND lands far
   * from every centroid — exactly what [[semDriftAudit]] (q200's 2×
-  * MSE trigger, reused verbatim) flags as retrain-due.
+  * MSE trigger, reused verbatim) flags as retrain-due. The quantizer
+  * is the FLAT fit/argmin pair — deliberately q200's exact store
+  * shape, and what a (cid, ce) table can serialize; at adaptive k
+  * over ≥10⁸ distinct reps the flat O(k·d) per-row assignment becomes
+  * the build/probe wall q187 already solved, and the known upgrade is
+  * the same one: fit with [[Clustering.lloydTwoLevel]] and persist
+  * top + leaf tables so assignment is O(√k·d) (semDedupOnReps's
+  * k > 64 switch) — leaf cells remain flat (cid, ce) rows, so the
+  * probe and append halves here are unchanged by it.
   */
 object SemStoreOps {
 
