@@ -81,11 +81,11 @@ object QSemProf {
     val batchFrac = emb().filter(pmod(col("id"), lit(7L)) === 0L)
     val storeFrac = emb().filter(pmod(col("id"), lit(7L)) =!= 0L)
     spark.sql("DROP TABLE IF EXISTS sem_prof_reps")
-    spark.sql("DROP TABLE IF EXISTS sem_prof_cents")
+    spark.sql("DROP TABLE IF EXISTS sem_prof_model")
     // the in-memory catalog is fresh per JVM, so DROP alone leaves a
     // stale managed-table LOCATION from a previous run on disk and the
     // create fails with LOCATION_ALREADY_EXISTS — remove the dirs too
-    Seq("sem_prof_reps", "sem_prof_cents").foreach { t =>
+    Seq("sem_prof_reps", "sem_prof_cents", "sem_prof_model").foreach { t =>
       val p = java.nio.file.Paths.get(s"/tmp/graft_semprof/warehouse/$t")
       if (java.nio.file.Files.exists(p)) {
         val walked = java.nio.file.Files.walk(p)
@@ -96,13 +96,13 @@ object QSemProf {
       }
     }
     timed("store.build") {
-      val (cents, reps) = ops.SemStoreOps.semStoreBuild(storeFrac,
+      val (model, reps) = ops.SemStoreOps.semStoreBuild(storeFrac,
         dim = 64)
       ops.SemStoreOps.semStoreAppend(reps, "sem_prof_reps")
       import spark.implicits._
-      cents.toSeq.map { case (cid, ce) => (cid, ce.toSeq) }
-        .toDF("cid", "ce").write.mode("overwrite")
-        .saveAsTable("sem_prof_cents")
+      ops.SemStoreOps.semModelRows(model)
+        .toDF("tcid", "sub", "k2", "ce").write.mode("overwrite")
+        .saveAsTable("sem_prof_model")
     }
     sys.props("graft.sem.store") = "sem_prof"
     try timed("probe") {
@@ -116,8 +116,10 @@ object QSemProf {
       ops.SemStoreOps.semDriftAudit(
           spark.table("sem_prof_reps"),
           batchFrac,
-          spark.table("sem_prof_cents").collect()
-            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
+          ops.SemStoreOps.semModelFromRows(
+            spark.table("sem_prof_model").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+                r.getSeq[Double](3))).toSeq),
           dim = 64)
         .write.format("noop").mode("overwrite").save()
     }

@@ -41,46 +41,113 @@ import org.apache.spark.sql.functions._
   * Scale: probe work ∝ batch reps × their cells' stored populations —
   * cells bound pair work (the q187 argument; the stored quantizer's
   * adaptive k sizes cells to ≤ 256 reps on average at build). The
-  * centroid model rides the closure. A batch whose vectors the frozen
-  * quantizer no longer fits concentrates into few cells AND lands far
-  * from every centroid — exactly what [[semDriftAudit]] (q200's 2×
-  * MSE trigger, reused verbatim) flags as retrain-due. The quantizer
-  * is the FLAT fit/argmin pair — deliberately q200's exact store
-  * shape, and what a (cid, ce) table can serialize; at adaptive k
-  * over ≥10⁸ distinct reps the flat O(k·d) per-row assignment becomes
-  * the build/probe wall q187 already solved, and the known upgrade is
-  * the same one: fit with [[Clustering.lloydTwoLevel]] and persist
-  * top + leaf tables so assignment is O(√k·d) (semDedupOnReps's
-  * k > 64 switch) — leaf cells remain flat (cid, ce) rows, so the
-  * probe and append halves here are unchanged by it.
+  * quantizer model rides the closure and follows semDedupOnReps's
+  * regime switch: FLAT fit/argmin at k ≤ 64 (the sf ladder and q200's
+  * exact store shape), [[Clustering.lloydTwoLevel]] beyond it — √k
+  * per-row fit and assignment work, the answer to the flat-Lloyd
+  * O(n·k·d) ingest wall at adaptive k over large distinct corpora.
+  * Both shapes serialize to ONE model table ([[semModelRows]] /
+  * [[semModelFromRows]]: top rows + leaf rows, flat = leaves only),
+  * so the stored-path probe reconstructs the exact build-time
+  * assignment — what keeps "a copy of a stored vector lands in the
+  * stored rep's cell" true across JVMs. A batch whose vectors the
+  * frozen quantizer no longer fits concentrates into few cells AND
+  * lands far from every centroid — exactly what [[semDriftAudit]]
+  * (q200's 2× MSE trigger, reused verbatim over the model's flat
+  * LEAVES) flags as retrain-due.
   */
 object SemStoreOps {
 
   private val Tau = 0.99
 
+  /** The store's quantizer — flat (q200's shape) or two-level
+    * (semDedupOnReps's k > 64 regime). `assign` is the build-time
+    * assignment UDF (e → struct(cid, d2)); `flatLeaves` is the full
+    * leaf (cid, ce) array — the drift audit's view (leaf ids ARE the
+    * stored cell ids in both shapes). */
+  private[graft] sealed trait SemModel {
+    def assign: org.apache.spark.sql.expressions.UserDefinedFunction
+    def flatLeaves: Array[(Long, Array[Double])]
+    def isEmpty: Boolean = flatLeaves.isEmpty
+  }
+  private[graft] final case class SemFlat(
+      cents: Array[(Long, Array[Double])]) extends SemModel {
+    def assign = Clustering.nearestCentroid(cents)
+    def flatLeaves: Array[(Long, Array[Double])] = cents
+  }
+  private[graft] final case class SemTwoLevel(
+      m: Clustering.TwoLevelModel) extends SemModel {
+    def assign = Clustering.nearestTwoLevel(m)
+    def flatLeaves: Array[(Long, Array[Double])] =
+      m.subs.toSeq.flatMap { case (tc, arr) =>
+        arr.map { case (bc, ce) => (tc * m.k2 + bc, ce) }
+      }.sortBy(_._1).toArray
+  }
+
+  /** Serialize a model to rows (tcid, sub, k2, ce): flat = leaves
+    * only with tcid = −1 and sub = cid; two-level = top rows
+    * (sub = −1) + leaf rows (sub = within-cell id). One small table —
+    * k·d doubles, the model-artifact class. */
+  private[graft] def semModelRows(model: SemModel)
+      : Seq[(Long, Long, Int, Seq[Double])] = model match {
+    case SemFlat(cents) =>
+      cents.toSeq.map { case (cid, ce) => (-1L, cid, 0, ce.toSeq) }
+    case SemTwoLevel(m) =>
+      m.top.toSeq.map { case (tc, ce) => (tc, -1L, m.k2, ce.toSeq) } ++
+        m.subs.toSeq.flatMap { case (tc, arr) =>
+          arr.toSeq.map { case (bc, ce) => (tc, bc, m.k2, ce.toSeq) }
+        }
+  }
+
+  /** Reconstruct the EXACT build-time model (and therefore the exact
+    * assignment function) from its table rows. */
+  private[graft] def semModelFromRows(
+      rows: Seq[(Long, Long, Int, Seq[Double])]): SemModel =
+    if (rows.forall(_._1 == -1L))
+      SemFlat(rows.sortBy(_._2)
+        .map { case (_, cid, _, ce) => (cid, ce.toArray) }.toArray)
+    else SemTwoLevel(Clustering.TwoLevelModel(
+      k2 = rows.head._3,
+      top = rows.filter(_._2 == -1L).sortBy(_._1)
+        .map { case (tc, _, _, ce) => (tc, ce.toArray) }.toArray,
+      subs = rows.filter(_._2 >= 0L).groupBy(_._1).map {
+        case (tc, leaf) => tc -> leaf.sortBy(_._2)
+          .map { case (_, bc, _, ce) => (bc, ce.toArray) }.toArray
+      }))
+
   /** Build the store: exact-collapse, size k adaptively from the rep
     * count ([[Extended10.semDedupK]] — cells average ≤ 256 reps), fit
-    * the quantizer on a bounded draw, assign. Returns the driver-held
-    * centroid model and the reps frame (cid, id, e, cnt),
-    * materialized so the caller can persist or table it. */
+    * the quantizer on a bounded draw (flat at k ≤ 64, two-level
+    * beyond — the semDedupOnReps switch, with its lazy empty-draw
+    * fallback), assign. Returns the driver-held model and the reps
+    * frame (cid, id, e, cnt), materialized so the caller can persist
+    * or table it. */
   private[graft] def semStoreBuild(emb: DataFrame, dim: Int,
-      kOverride: Option[Int] = None)
-      : (Array[(Long, Array[Double])], DataFrame) = {
+      kOverride: Option[Int] = None): (SemModel, DataFrame) = {
     val reps = Extended10.collapseExact(emb).persist()
     try {
       val n = reps.count()
       val k = kOverride.getOrElse(Extended10.semDedupK(n))
-      val cents = Clustering.fitCentroidsSampled(
-        reps.select(col("id"), col("e")), k, dim, maxIters = 4)
+      val repsSel = reps.select(col("id"), col("e"))
+      val model: SemModel =
+        if (k > 64) {
+          val sample = Clustering.trainingSample(repsSel, k, Some(n))
+          var m = Clustering.lloydTwoLevel(sample, k = k, dim = dim,
+            maxIters = 4)
+          if (m.top.isEmpty && (sample ne repsSel))
+            m = Clustering.lloydTwoLevel(repsSel, k = k, dim = dim,
+              maxIters = 4)
+          SemTwoLevel(m)
+        } else SemFlat(Clustering.fitCentroidsSampled(repsSel, k, dim,
+          maxIters = 4))
       val out =
-        if (cents.isEmpty)
+        if (model.isEmpty)
           reps.select(lit(0L).as("cid"), col("id"), col("e"), col("cnt"))
             .limit(0)
         else reps.select(
-          Clustering.nearestCentroid(cents)(col("e")).getField("_1")
-            .as("cid"),
+          model.assign(col("e")).getField("_1").as("cid"),
           col("id"), col("e"), col("cnt"))
-      (cents, ScaleOps.stageCheckpoint(out))
+      (model, ScaleOps.stageCheckpoint(out))
     } finally reps.unpersist()
   }
 
@@ -120,15 +187,14 @@ object SemStoreOps {
     * in-row assignment, one semi-join, two bounded within-cell
     * pair joins. */
   private[graft] def semDedupVsStore(batch: DataFrame,
-      cents: Array[(Long, Array[Double])], storedReps: DataFrame,
+      model: SemModel, storedReps: DataFrame,
       tau: Double = Tau): DataFrame = {
-    if (cents.isEmpty)
+    if (model.isEmpty)
       return batch.select(lit(0L).as("cid"), lit(0L).as("n_store"),
         lit(0L).as("n_batch"), lit(0L).as("n_dropped")).limit(0)
     val bReps = ScaleOps.stageCheckpoint(
       Extended10.collapseExact(batch).select(
-        Clustering.nearestCentroid(cents)(col("e")).getField("_1")
-          .as("cid"),
+        model.assign(col("e")).getField("_1").as("cid"),
         col("id"), col("e"), col("cnt")))
     // semi-reduce the store to the batch's cells FIRST — the only
     // store read the probe does, ∝ batch cells
@@ -151,13 +217,12 @@ object SemStoreOps {
     * into its cnt (the collapse), so the store stays one row per
     * distinct surviving vector. */
   private[graft] def semAdmitted(batch: DataFrame,
-      cents: Array[(Long, Array[Double])], storedReps: DataFrame,
+      model: SemModel, storedReps: DataFrame,
       tau: Double = Tau): DataFrame = {
-    require(cents.nonEmpty, "cannot admit into an empty-model store")
+    require(!model.isEmpty, "cannot admit into an empty-model store")
     val bReps = ScaleOps.stageCheckpoint(
       Extended10.collapseExact(batch).select(
-        Clustering.nearestCentroid(cents)(col("e")).getField("_1")
-          .as("cid"),
+        model.assign(col("e")).getField("_1").as("cid"),
         col("id"), col("e"), col("cnt")))
     val storeInCells = storedReps
       .join(bReps.select("cid").distinct(), Seq("cid"), "left_semi")
@@ -186,12 +251,14 @@ object SemStoreOps {
     * apply unchanged. Retrain = rebuild the store via
     * [[semStoreBuild]] over store ∪ batch (the ivfMaintain shape). */
   private[graft] def semDriftAudit(storedReps: DataFrame,
-      batch: DataFrame, cents: Array[(Long, Array[Double])],
-      dim: Int): DataFrame =
+      batch: DataFrame, model: SemModel, dim: Int): DataFrame =
     Extended10.ivfAppendAudit(
       storedReps.select(col("id").as("vec_id"), col("e").as("e0"),
         col("cid").as("cell")),
-      cents,
+      // the flat LEAVES: stored rows look their own cell up (k-free);
+      // the audit's batch-side flat argmin is measurement, not
+      // assignment (its d2 lower-bounds the two-level assignment's)
+      model.flatLeaves,
       batch.select(col("id").as("vec_id"), col("e").as("e0")),
       dim)
 
@@ -202,27 +269,29 @@ object SemStoreOps {
     * inline by default (testdata ships no store — the q200/q203
     * precedent); a pre-built store plugs in via the `graft.sem.store`
     * property / SPARK_GRAFT_SEM_STORE env var naming a table prefix
-    * P → tables P_reps (cid, id, e, cnt) and P_cents (cid, ce) — the
-    * pair [[semStoreAppend]] + the QSemProf maintenance tier
-    * maintain — so the declared query runs EXACTLY the stored-table
-    * path. Rows-only (float cells). */
+    * P → tables P_reps (cid, id, e, cnt) and P_model (tcid, sub, k2,
+    * ce — [[semModelRows]]'s shape, flat or two-level) — the pair
+    * [[semStoreAppend]] + the QSemProf maintenance tier maintain — so
+    * the declared query runs EXACTLY the stored-table path with the
+    * exact build-time assignment. Rows-only (float cells). */
   def q208SemDedupIncr(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.fanout(Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("e")))
     val batch = emb.filter(pmod(col("id"), lit(7L)) === 0L)
-    val (cents, reps) = sys.props.get("graft.sem.store")
+    val (model, reps) = sys.props.get("graft.sem.store")
       .orElse(sys.env.get("SPARK_GRAFT_SEM_STORE")) match {
         case Some(p) =>
           // k·d doubles — the model-artifact collect class
-          val c = spark.table(s"${p}_cents").collect()
-            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-          (c, spark.table(s"${p}_reps"))
+          val rows = spark.table(s"${p}_model").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+              r.getSeq[Double](3))).toSeq
+          (semModelFromRows(rows), spark.table(s"${p}_reps"))
         case None =>
           semStoreBuild(emb.filter(pmod(col("id"), lit(7L)) =!= 0L),
             dim = 64)
       }
-    semDedupVsStore(batch, cents, reps)
+    semDedupVsStore(batch, model, reps)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -46,10 +46,10 @@ class SemStoreSpec extends AnyFunSuite {
       (107L until 110L).map(i => (i, vec(i - 60L))) // vec 47..49, fresh
 
   test("planted copies drop, fresh vectors don't; incremental ≡ full cliques") {
-    val (cents, reps) = SemStoreOps.semStoreBuild(
+    val (model, reps) = SemStoreOps.semStoreBuild(
       storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(4))
     val audit = SemStoreOps.semDedupVsStore(
-      batchRows.toDF("id", "e"), cents, reps).collect()
+      batchRows.toDF("id", "e"), model, reps).collect()
     val dropped = audit.map(_.getLong(3)).sum
     val nBatch = audit.map(_.getLong(2)).sum
     assert(nBatch == 10L)
@@ -77,10 +77,10 @@ class SemStoreSpec extends AnyFunSuite {
   }
 
   test("append law: admitted reps join the store; table ≡ frames") {
-    val (cents, reps) = SemStoreOps.semStoreBuild(
+    val (model, reps) = SemStoreOps.semStoreBuild(
       storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(4))
     val admitted = SemStoreOps.semAdmitted(
-      batchRows.toDF("id", "e"), cents, reps)
+      batchRows.toDF("id", "e"), model, reps)
     // admitted = the pair's keeper (105, cnt 2) + the 3 fresh reps
     val adm = admitted.collect().map(r => r.getLong(1) -> r.getLong(3))
       .toMap
@@ -93,13 +93,13 @@ class SemStoreSpec extends AnyFunSuite {
       // store vector still drops, a fresh vector doesn't
       val b2 = Seq((200L, vec(45L)), (201L, vec(10L)), (202L, vec(50L)))
       val viaTable = SemStoreOps.semDedupVsStore(
-        b2.toDF("id", "e"), cents, spark.table("sem_spec_reps"))
+        b2.toDF("id", "e"), model, spark.table("sem_spec_reps"))
         .collect()
       assert(viaTable.map(_.getLong(3)).sum == 2L,
         s"expected 2 drops vs appended store: ${viaTable.mkString(", ")}")
       // probing the appended TABLE ≡ probing the unioned frames
       val viaFrames = SemStoreOps.semDedupVsStore(
-        b2.toDF("id", "e"), cents, reps.unionByName(admitted))
+        b2.toDF("id", "e"), model, reps.unionByName(admitted))
         .collect()
       assert(viaTable.map(_.toSeq).toSeq == viaFrames.map(_.toSeq).toSeq)
     } finally {
@@ -108,22 +108,55 @@ class SemStoreSpec extends AnyFunSuite {
   }
 
   test("drift: exact-copy batch ratio 1 (no retrain), far batch trips 2×") {
-    val (cents, reps) = SemStoreOps.semStoreBuild(
+    val (model, reps) = SemStoreOps.semStoreBuild(
       storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(4))
     // a batch of exact store copies reproduces the base MSE exactly —
     // same points, same frozen assignment — so the trigger stays off
     // deterministically (ratio 1 < 2)
     val same = SemStoreOps.semDriftAudit(reps,
       storeRows.map { case (i, v) => (i + 1000L, v) }.toDF("id", "e"),
-      cents, Dim).collect()
+      model, Dim).collect()
     assert(same.nonEmpty && same.forall(!_.getBoolean(5)),
       s"exact-copy batch tripped retrain: ${same.mkString(", ")}")
     val off = (2000L until 2010L)
       .map(i => (i, Seq.tabulate(Dim)(j => 1000.0 + i * 0.1 + j)))
     val far = SemStoreOps.semDriftAudit(reps, off.toDF("id", "e"),
-      cents, Dim).collect()
+      model, Dim).collect()
     assert(far.nonEmpty && far.forall(_.getBoolean(5)),
       s"far batch must trip retrain: ${far.mkString(", ")}")
+  }
+
+  test("two-level regime (k > 64): same laws, model table round-trip") {
+    // force the semDedupOnReps switch: the quantizer is two-level, yet
+    // every law is partition-independent for exact cliques, so the
+    // planted counts are unchanged — and the serialized model must
+    // reconstruct the EXACT assignment (same cells for every rep)
+    val (model, reps) = SemStoreOps.semStoreBuild(
+      storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(72))
+    assert(model.isInstanceOf[SemStoreOps.SemTwoLevel],
+      s"k=72 must select the two-level quantizer, got $model")
+    val audit = SemStoreOps.semDedupVsStore(
+      batchRows.toDF("id", "e"), model, reps).collect()
+    assert(audit.map(_.getLong(2)).sum == 10L)
+    assert(audit.map(_.getLong(3)).sum == 6L,
+      s"two-level regime broke the planted law: ${audit.mkString(", ")}")
+    // model table round-trip: rows → model → identical assignment
+    val rt = SemStoreOps.semModelFromRows(SemStoreOps.semModelRows(model))
+    val direct = reps.select("id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRt = reps.select(col("id"),
+        rt.assign(col("e")).getField("_1").as("cid2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct == viaRt,
+      "round-tripped model must reproduce the build-time assignment")
+    // and the flat round-trip too
+    val (mFlat, _) = SemStoreOps.semStoreBuild(
+      storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(4))
+    val rtFlat = SemStoreOps.semModelFromRows(
+      SemStoreOps.semModelRows(mFlat))
+    assert(rtFlat.isInstanceOf[SemStoreOps.SemFlat])
+    assert(rtFlat.flatLeaves.map(_._1).toSeq ==
+      mFlat.flatLeaves.map(_._1).toSeq)
   }
 
   test("declared q208: audit shape, totals, stored-path parity") {
