@@ -107,16 +107,22 @@ object QPqProbe {
       }
     }
     // append lifecycle (add-with-ids): encode a 10% batch under the
-    // FROZEN model and blind-append — must sit far under encode (the
-    // full-corpus pass), since the stored codes are never read. The
-    // audit is the q200 2× MSE trigger on reconstruction error.
+    // FROZEN model and blind-append — must sit far under encode.base
+    // (the corpus pass), since the stored codes are never read. The
+    // audit is the q200 2× MSE trigger on reconstruction error. The
+    // base/batch splits are MATERIALIZED outside the timed stages
+    // (the QSparseProbe lesson from this same round: deriving a slice
+    // by filtering the corpus charges every stage a full corpus scan;
+    // production batches arrive as their own files).
     val lifeDir = "/tmp/graft_pq_codes_life"
-    locally {
-      val d = new java.io.File(lifeDir)
-      if (d.exists) d.listFiles.foreach(f => f.delete())
-    }
-    val lifeBase = emb().filter(pmod(col("id"), lit(10L)) =!= 9)
-    val lifeBatch = emb().filter(pmod(col("id"), lit(10L)) === 9)
+    val lifeSrc = "/tmp/graft_pq_life_src"
+    FsUtil.deleteRecursively(lifeDir)
+    emb().filter(pmod(col("id"), lit(10L)) =!= 9)
+      .write.mode("overwrite").parquet(s"$lifeSrc/base")
+    emb().filter(pmod(col("id"), lit(10L)) === 9)
+      .write.mode("overwrite").parquet(s"$lifeSrc/batch")
+    val lifeBase = spark.read.parquet(s"$lifeSrc/base")
+    val lifeBatch = spark.read.parquet(s"$lifeSrc/batch")
     timed("encode.base") {
       ops.PqOps.pqAppend(lifeBase, model, lifeDir)
     }

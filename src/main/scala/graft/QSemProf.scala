@@ -85,15 +85,8 @@ object QSemProf {
     // the in-memory catalog is fresh per JVM, so DROP alone leaves a
     // stale managed-table LOCATION from a previous run on disk and the
     // create fails with LOCATION_ALREADY_EXISTS — remove the dirs too
-    Seq("sem_prof_reps", "sem_prof_cents", "sem_prof_model").foreach { t =>
-      val p = java.nio.file.Paths.get(s"/tmp/graft_semprof/warehouse/$t")
-      if (java.nio.file.Files.exists(p)) {
-        val walked = java.nio.file.Files.walk(p)
-        try walked
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walked.close()
-      }
+    Seq("sem_prof_reps", "sem_prof_model").foreach { t =>
+      FsUtil.deleteRecursively(s"/tmp/graft_semprof/warehouse/$t")
     }
     timed("store.build") {
       val (model, reps) = ops.SemStoreOps.semStoreBuild(storeFrac,
@@ -109,6 +102,20 @@ object QSemProf {
       ops.SemStoreOps.q208SemDedupIncr(spark, dir)
         .write.format("noop").mode("overwrite").save()
     } finally sys.props.remove("graft.sem.store")
+    spark.catalog.clearCache()
+    // the REAL maintenance loop shape (audit + admitted from ONE
+    // probe pass — code review r15: calling the two public entries
+    // separately re-ran the whole probe)
+    timed("ingest") {
+      val model = ops.SemStoreOps.semModelFromRows(
+        spark.table("sem_prof_model").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getSeq[Double](3))).toSeq)
+      val (audit, admitted) = ops.SemStoreOps.semIngest(
+        batchFrac, model, spark.table("sem_prof_reps"))
+      audit.write.format("noop").mode("overwrite").save()
+      admitted.write.format("noop").mode("overwrite").save()
+    }
     spark.catalog.clearCache()
     timed("drift.audit") {
       // constructed INSIDE the timed block: the audit materializes

@@ -207,6 +207,25 @@ object Clustering {
     }.asNonNullable()
   }
 
+  /** THE flat/two-level regime switch — shared by q187's in-memory
+    * assignment (semDedupOnReps) and q208's serializable store build
+    * (code review r15: the switch was duplicated and had already
+    * diverged on maxIters/knownCount). k ≤ 64 → the bounded flat
+    * [[lloydSampled]] fit (maxIters = 6, the SemDeDup posture);
+    * beyond → [[lloydTwoLevel]] on the bounded draw (maxIters = 4,
+    * the coarse-quantizer posture) with the lazy empty-draw refit. */
+  private[graft] def fitQuantizer(repsSel: DataFrame, k: Int, dim: Int,
+      knownCount: Option[Long])
+      : Either[Array[(Long, Array[Double])], TwoLevelModel] =
+    if (k > 64) {
+      val sample = trainingSample(repsSel, k, knownCount)
+      var m = lloydTwoLevel(sample, k = k, dim = dim, maxIters = 4)
+      if (m.top.isEmpty && (sample ne repsSel))
+        m = lloydTwoLevel(repsSel, k = k, dim = dim, maxIters = 4)
+      Right(m)
+    } else
+      Left(lloydSampled(repsSel, k, dim, maxIters = 6, knownCount))
+
   /** A two-level (hierarchical) quantizer: k1 ≈ √k top cells, each
     * holding up to k2 = ⌈k/k1⌉ subcells; a leaf's cell id is
     * tc·k2 + sub (unique by construction). The two-level trade: fit

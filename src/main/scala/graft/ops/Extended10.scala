@@ -351,28 +351,13 @@ object Extended10 {
   private def semDedupOnReps(reps: DataFrame, k: Int, dim: Int,
       tau: Double, knownCount: Option[Long]): DataFrame = {
     val repsSel = reps.select(col("id"), col("e"))
-    val assignUdf =
-      if (k > 64) {
-        val sample = Clustering.trainingSample(repsSel, k, knownCount)
-        // maxIters = 4 is the ivfIndex/q45 COARSE-QUANTIZER posture:
-        // cells only bound pair work, and the level-2 rounds are the
-        // fit's dominant term at adaptive k (QSemProf, 2M distinct:
-        // each round is one sample-wide job at O(sample·k2·d))
-        var m = Clustering.lloydTwoLevel(sample, k = k, dim = dim,
-          maxIters = 4)
-        // lazy empty-draw fallback (ADVICE r12, the lloydSampled
-        // contract): a thinned draw that came back empty — detected
-        // from the fit's own empty model, no eager probe — refits on
-        // the full rep set, keeping nearestTwoLevel total over
-        // nonempty input
-        if (m.top.isEmpty && (sample ne repsSel))
-          m = Clustering.lloydTwoLevel(repsSel, k = k, dim = dim,
-            maxIters = 4)
-        Clustering.nearestTwoLevel(m)
-      } else
-        Clustering.nearestCentroid(
-          Clustering.lloydSampled(repsSel, k, dim, maxIters = 6,
-            knownCount = knownCount))
+    // the shared regime switch (Clustering.fitQuantizer): flat bounded
+    // Lloyd at k ≤ 64, two-level beyond (maxIters = 4, the ivfIndex
+    // coarse-quantizer posture — cells only bound pair work, and the
+    // level-2 rounds dominate the fit at adaptive k), lazy empty-draw
+    // refit per the lloydSampled contract
+    val assignUdf = Clustering.fitQuantizer(repsSel, k, dim, knownCount)
+      .fold(Clustering.nearestCentroid, Clustering.nearestTwoLevel)
     val asg0 = reps.select(col("id"), col("e"), col("cnt"),
         assignUdf(col("e")).getField("_1").as("cid"))
       .persist()
@@ -1476,7 +1461,18 @@ object Extended10 {
     * a redundant second distance pass. */
   private[graft] def ivfAppendAudit(index: DataFrame,
       cents: Array[(Long, Array[Double])], batch: DataFrame,
-      dim: Int, cellIsComputed: Boolean = false): DataFrame = {
+      dim: Int, cellIsComputed: Boolean = false,
+      // r15 (code review): the batch side's (cell, d2) assignment —
+      // default is the flat argmin over `cents`, which IS the ingest
+      // assignment for every flat quantizer (q200); a hierarchical
+      // store (q208's two-level / split-guarded model) must pass its
+      // OWN assignment UDF, or the batch's flat global-min d2
+      // LOWER-BOUNDS the real assignment's and systematically
+      // understates batch MSE — masking exactly the drift the 2×
+      // trigger exists to catch (stored rows are measured against
+      // their own assigned leaf, so both sides stay symmetric).
+      batchAsg: Option[org.apache.spark.sql.expressions.UserDefinedFunction]
+        = None): DataFrame = {
     // belt-and-suspenders (the ivfIndex empty-cents posture): a
     // zero-centroid quantizer with a nonempty batch would crash the
     // per-row argmin — an empty audit is the degraded answer
@@ -1507,7 +1503,7 @@ object Extended10 {
       .groupBy("cell")
       .agg(count(lit(1)).as("n_base"), sum(col("d2")).as("s_base"))
     val batchSide = batch.filter(size(col("e0")) === dim)
-      .select(asg(col("e0")).as("a"))
+      .select(batchAsg.getOrElse(asg)(col("e0")).as("a"))
       .select(col("a._1").as("cell"), col("a._2").as("d2"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_batch"), sum(col("d2")).as("s_batch"))

@@ -60,95 +60,206 @@ object SemStoreOps {
 
   private val Tau = 0.99
 
-  /** The store's quantizer — flat (q200's shape) or two-level
-    * (semDedupOnReps's k > 64 regime). `assign` is the build-time
-    * assignment UDF (e → struct(cid, d2)); `flatLeaves` is the full
-    * leaf (cid, ce) array — the drift audit's view (leaf ids ARE the
-    * stored cell ids in both shapes). */
-  private[graft] sealed trait SemModel {
-    def assign: org.apache.spark.sql.expressions.UserDefinedFunction
-    def flatLeaves: Array[(Long, Array[Double])]
-    def isEmpty: Boolean = flatLeaves.isEmpty
+  /** The base quantizer — flat (q200's shape) or two-level
+    * (semDedupOnReps's k > 64 regime). `assignLocal` is the
+    * driver-side (cid, d2) argmin so [[SemModel]] can compose the
+    * split walk on top inside ONE udf. */
+  private[graft] sealed trait SemBase {
+    def leaves: Array[(Long, Array[Double])]
+    def assignLocal(e: Seq[Double]): (Long, Double)
   }
   private[graft] final case class SemFlat(
-      cents: Array[(Long, Array[Double])]) extends SemModel {
-    def assign = Clustering.nearestCentroid(cents)
-    def flatLeaves: Array[(Long, Array[Double])] = cents
+      cents: Array[(Long, Array[Double])]) extends SemBase {
+    private val sorted = cents.sortBy(_._1)
+    def leaves: Array[(Long, Array[Double])] = cents
+    def assignLocal(e: Seq[Double]): (Long, Double) =
+      Clustering.argminLocal(sorted, e)
   }
   private[graft] final case class SemTwoLevel(
-      m: Clustering.TwoLevelModel) extends SemModel {
-    def assign = Clustering.nearestTwoLevel(m)
-    def flatLeaves: Array[(Long, Array[Double])] =
+      m: Clustering.TwoLevelModel) extends SemBase {
+    // the nearestTwoLevel safety rule verbatim: restrict the top
+    // argmin to populated cells (an empty top cell has no subs key)
+    private val top = m.top.filter(t => m.subs.contains(t._1)).sortBy(_._1)
+    def leaves: Array[(Long, Array[Double])] =
       m.subs.toSeq.flatMap { case (tc, arr) =>
         arr.map { case (bc, ce) => (tc * m.k2 + bc, ce) }
       }.sortBy(_._1).toArray
+    def assignLocal(e: Seq[Double]): (Long, Double) = {
+      val tc = Clustering.argminLocal(top, e)._1
+      val (bc, bd) = Clustering.argminLocal(m.subs(tc), e)
+      (tc * m.k2 + bc, bd)
+    }
   }
 
-  /** Serialize a model to rows (tcid, sub, k2, ce): flat = leaves
-    * only with tcid = −1 and sub = cid; two-level = top rows
-    * (sub = −1) + leaf rows (sub = within-cell id). One small table —
-    * k·d doubles, the model-artifact class. */
-  private[graft] def semModelRows(model: SemModel)
-      : Seq[(Long, Long, Int, Seq[Double])] = model match {
-    case SemFlat(cents) =>
-      cents.toSeq.map { case (cid, ce) => (-1L, cid, 0, ce.toSeq) }
-    case SemTwoLevel(m) =>
-      m.top.toSeq.map { case (tc, ce) => (tc, -1L, m.k2, ce.toSeq) } ++
-        m.subs.toSeq.flatMap { case (tc, arr) =>
-          arr.toSeq.map { case (bc, ce) => (tc, bc, m.k2, ce.toSeq) }
+  /** The store's quantizer: a base (flat or two-level) plus the
+    * worst-case SPLIT map — parent leaf cid → (global child cid,
+    * centroid) — that [[semStoreBuild]]'s population guard produced
+    * (code review r15: the store previously lacked the
+    * boundCellPopulations bound q187 gained in r12, so a hot cone the
+    * quantizer failed to split re-created unbounded within-cell pair
+    * work at probe time). `assign` descends: base argmin, then walk
+    * split parents until a real leaf (children of children are split
+    * rows themselves — depth bounded by the build's maxRounds).
+    * `flatLeaves` is the FINAL leaf set (split parents replaced by
+    * their children) — the drift audit's lookup view, keyed by
+    * exactly the cids stored rows carry. */
+  private[graft] final case class SemModel(base: SemBase,
+      splits: Map[Long, Array[(Long, Array[Double])]]) {
+    def isEmpty: Boolean = base.leaves.isEmpty
+    def assignLocal(e: Seq[Double]): (Long, Double) = {
+      var cur = base.assignLocal(e)
+      var guard = 0
+      while (splits.contains(cur._1) && guard < 16) {
+        cur = Clustering.argminLocal(splits(cur._1), e)
+        guard += 1
+      }
+      cur
+    }
+    def assign: org.apache.spark.sql.expressions.UserDefinedFunction =
+      udf { (e: Seq[Double]) => assignLocal(e) }.asNonNullable()
+    def flatLeaves: Array[(Long, Array[Double])] = {
+      val out = scala.collection.mutable.LinkedHashMap(
+        base.leaves.map(l => l._1 -> l._2).toSeq: _*)
+      splits.foreach { case (parent, kids) =>
+        out.remove(parent)
+        kids.foreach { case (c, ce) =>
+          if (!splits.contains(c)) out(c) = ce
         }
+      }
+      out.toArray.sortBy(_._1)
+    }
+  }
+
+  /** Serialize a model to rows (tcid, sub, k2, ce):
+    *  - flat leaf: (−1, cid, 0, ce)
+    *  - two-level: top rows (tc, −1, k2, ce) + leaf rows (tc, bc, k2,
+    *    ce) with k2 ≥ 1
+    *  - split rows: (parent global cid, CHILD global cid, −1, ce)
+    * One small table — k·d doubles, the model-artifact class. */
+  private[graft] def semModelRows(model: SemModel)
+      : Seq[(Long, Long, Int, Seq[Double])] = {
+    val baseRows = model.base match {
+      case SemFlat(cents) =>
+        cents.toSeq.map { case (cid, ce) => (-1L, cid, 0, ce.toSeq) }
+      case SemTwoLevel(m) =>
+        m.top.toSeq.map { case (tc, ce) => (tc, -1L, m.k2, ce.toSeq) } ++
+          m.subs.toSeq.flatMap { case (tc, arr) =>
+            arr.toSeq.map { case (bc, ce) => (tc, bc, m.k2, ce.toSeq) }
+          }
+    }
+    baseRows ++ model.splits.toSeq.flatMap { case (parent, kids) =>
+      kids.toSeq.map { case (c, ce) => (parent, c, -1, ce.toSeq) }
+    }
   }
 
   /** Reconstruct the EXACT build-time model (and therefore the exact
     * assignment function) from its table rows. */
   private[graft] def semModelFromRows(
-      rows: Seq[(Long, Long, Int, Seq[Double])]): SemModel =
-    if (rows.forall(_._1 == -1L))
-      SemFlat(rows.sortBy(_._2)
-        .map { case (_, cid, _, ce) => (cid, ce.toArray) }.toArray)
-    else SemTwoLevel(Clustering.TwoLevelModel(
-      k2 = rows.head._3,
-      top = rows.filter(_._2 == -1L).sortBy(_._1)
-        .map { case (tc, _, _, ce) => (tc, ce.toArray) }.toArray,
-      subs = rows.filter(_._2 >= 0L).groupBy(_._1).map {
-        case (tc, leaf) => tc -> leaf.sortBy(_._2)
-          .map { case (_, bc, _, ce) => (bc, ce.toArray) }.toArray
-      }))
+      rows: Seq[(Long, Long, Int, Seq[Double])]): SemModel = {
+    val (splitRows, baseRows) = rows.partition(_._3 == -1)
+    val base: SemBase =
+      if (baseRows.forall(_._1 == -1L))
+        SemFlat(baseRows.sortBy(_._2)
+          .map { case (_, cid, _, ce) => (cid, ce.toArray) }.toArray)
+      else SemTwoLevel(Clustering.TwoLevelModel(
+        k2 = baseRows.head._3,
+        top = baseRows.filter(_._2 == -1L).sortBy(_._1)
+          .map { case (tc, _, _, ce) => (tc, ce.toArray) }.toArray,
+        subs = baseRows.filter(_._2 >= 0L).groupBy(_._1).map {
+          case (tc, leaf) => tc -> leaf.sortBy(_._2)
+            .map { case (_, bc, _, ce) => (bc, ce.toArray) }.toArray
+        }))
+    SemModel(base, splitRows.groupBy(_._1).map { case (parent, kids) =>
+      parent -> kids.sortBy(_._2)
+        .map { case (_, c, _, ce) => (c, ce.toArray) }.toArray
+    })
+  }
 
   /** Build the store: exact-collapse, size k adaptively from the rep
     * count ([[Extended10.semDedupK]] — cells average ≤ 256 reps), fit
-    * the quantizer on a bounded draw (flat at k ≤ 64, two-level
-    * beyond — the semDedupOnReps switch, with its lazy empty-draw
-    * fallback), assign. Returns the driver-held model and the reps
-    * frame (cid, id, e, cnt), materialized so the caller can persist
-    * or table it. */
+    * the quantizer via the SHARED regime switch
+    * ([[Clustering.fitQuantizer]]: flat at k ≤ 64, two-level beyond),
+    * assign, then bound the WORST-CASE cell population (the r12
+    * boundCellPopulations argument, applied at build time so the
+    * bound SERIALIZES with the model): every cell whose rep count
+    * exceeds `maxCell` is recursively split via
+    * [[Clustering.fitWithinCells]], split subcentroids recorded as
+    * model rows with fresh global cids, and the reps remapped — so a
+    * probe against the stored model sees the same bounded cells the
+    * build produced. Returns the driver-held model and the reps frame
+    * (cid, id, e, cnt), materialized so the caller can persist or
+    * table it. */
   private[graft] def semStoreBuild(emb: DataFrame, dim: Int,
-      kOverride: Option[Int] = None): (SemModel, DataFrame) = {
+      kOverride: Option[Int] = None,
+      maxCell: Int = Extended10.SemDedupMaxCell): (SemModel, DataFrame) = {
     val reps = Extended10.collapseExact(emb).persist()
     try {
       val n = reps.count()
       val k = kOverride.getOrElse(Extended10.semDedupK(n))
       val repsSel = reps.select(col("id"), col("e"))
-      val model: SemModel =
-        if (k > 64) {
-          val sample = Clustering.trainingSample(repsSel, k, Some(n))
-          var m = Clustering.lloydTwoLevel(sample, k = k, dim = dim,
-            maxIters = 4)
-          if (m.top.isEmpty && (sample ne repsSel))
-            m = Clustering.lloydTwoLevel(repsSel, k = k, dim = dim,
-              maxIters = 4)
-          SemTwoLevel(m)
-        } else SemFlat(Clustering.fitCentroidsSampled(repsSel, k, dim,
-          maxIters = 4))
-      val out =
-        if (model.isEmpty)
+      val base: SemBase = Clustering.fitQuantizer(repsSel, k, dim,
+        Some(n)).fold(SemFlat, SemTwoLevel)
+      if (base.leaves.isEmpty)
+        return (SemModel(base, Map.empty),
           reps.select(lit(0L).as("cid"), col("id"), col("e"), col("cnt"))
-            .limit(0)
-        else reps.select(
-          model.assign(col("e")).getField("_1").as("cid"),
-          col("id"), col("e"), col("cnt"))
-      (model, ScaleOps.stageCheckpoint(out))
+            .limit(0))
+      val asg0 = ScaleOps.stageCheckpoint(reps.select(
+        SemModel(base, Map.empty).assign(col("e")).getField("_1")
+          .as("cid"),
+        col("id"), col("e"), col("cnt")))
+      val (splits, asg) = boundStoreCells(asg0, base, dim, maxCell)
+      (SemModel(base, splits), asg)
     } finally reps.unpersist()
+  }
+
+  /** The build-time population guard (the boundCellPopulations loop,
+    * capturing the split STRUCTURE so it serializes): per round, one
+    * k-sized count audit; all oversized cells fitted simultaneously
+    * (fitWithinCells, per-cell bounded draws); fresh global cids
+    * allocated above every existing leaf and split id in ascending
+    * parent order (deterministic); reps remapped and re-materialized.
+    * A cell still oversized after maxRounds (or whose draw came up
+    * empty) is left as-is — degrade, never loop (the q187 posture). */
+  private def boundStoreCells(asg0: DataFrame, base: SemBase, dim: Int,
+      maxCell: Int, splitK: Int = 16, maxRounds: Int = 4)
+      : (Map[Long, Array[(Long, Array[Double])]], DataFrame) = {
+    var asg = asg0
+    var splits = Map.empty[Long, Array[(Long, Array[Double])]]
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // k-sized audit collect (one row per populated cell)
+      val counts = asg.groupBy("cid").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val over = counts.filter(_._2 > maxCell).toMap
+      if (over.isEmpty) done = true
+      else {
+        var nextCid = (base.leaves.iterator.map(_._1) ++
+          splits.valuesIterator.flatMap(_.iterator.map(_._1))).max + 1
+        val subs = Clustering.fitWithinCells(asg, over, splitK, dim,
+          maxIters = 4, salt = 300L + round)
+        val newSplits = subs.toSeq.sortBy(_._1).collect {
+          case (cid, cands) if cands.nonEmpty =>
+            val kids = cands.map { case (sid, ce) => (nextCid + sid, ce) }
+            nextCid += splitK
+            cid -> kids
+        }.toMap
+        if (newSplits.isEmpty) done = true // every draw empty — degrade
+        else {
+          splits ++= newSplits
+          val remap = udf { (cid: Long, e: Seq[Double]) =>
+            newSplits.get(cid) match {
+              case Some(kids) => Clustering.argminLocal(kids, e)._1
+              case None => cid
+            }
+          }.asNonNullable()
+          asg = ScaleOps.stageCheckpoint(
+            asg.withColumn("cid", remap(col("cid"), col("e"))))
+          round += 1
+        }
+      }
+    }
+    (splits, asg)
   }
 
   /** The probe core: batch reps (cid, id, e, cnt) extended with the
@@ -186,21 +297,29 @@ object SemStoreOps {
     * the batch touched). Work ∝ batch: one collapse shuffle, one
     * in-row assignment, one semi-join, two bounded within-cell
     * pair joins. */
-  private[graft] def semDedupVsStore(batch: DataFrame,
-      model: SemModel, storedReps: DataFrame,
-      tau: Double = Tau): DataFrame = {
-    if (model.isEmpty)
-      return batch.select(lit(0L).as("cid"), lit(0L).as("n_store"),
-        lit(0L).as("n_batch"), lit(0L).as("n_dropped")).limit(0)
+  /** Shared probe front half: collapse + assign the batch, semi-reduce
+    * the store to the batch's cells (the only store read the probe
+    * does, ∝ batch cells), run [[semProbe]] — with the probed frame
+    * MATERIALIZED so both ingest outputs derive from one probe pass
+    * (code review r15: a real ingest step needs the audit AND the
+    * admitted payload, and the two public entries each re-ran the
+    * collapse/assignment/pair joins on identical inputs). */
+  private def probeFrames(batch: DataFrame, model: SemModel,
+      storedReps: DataFrame, tau: Double): (DataFrame, DataFrame) = {
     val bReps = ScaleOps.stageCheckpoint(
       Extended10.collapseExact(batch).select(
         model.assign(col("e")).getField("_1").as("cid"),
         col("id"), col("e"), col("cnt")))
-    // semi-reduce the store to the batch's cells FIRST — the only
-    // store read the probe does, ∝ batch cells
     val storeInCells = storedReps
       .join(bReps.select("cid").distinct(), Seq("cid"), "left_semi")
-    val probed = semProbe(bReps, storeInCells, tau)
+    (ScaleOps.stageCheckpoint(semProbe(bReps, storeInCells, tau)),
+      storeInCells)
+  }
+
+  /** The per-cell audit over a probed frame (see [[semDedupVsStore]]
+    * for the column contract). */
+  private def auditOf(probed: DataFrame,
+      storeInCells: DataFrame): DataFrame =
     probed.groupBy("cid")
       .agg(sum(col("cnt")).as("n_batch"),
         sum(when(col("h"), col("cnt")).otherwise(col("cnt") - 1))
@@ -210,6 +329,19 @@ object SemStoreOps {
       .select(col("cid"), coalesce(col("n_store"), lit(0L)).as("n_store"),
         col("n_batch"), col("n_dropped"))
       .orderBy("cid")
+
+  private def admittedOf(probed: DataFrame): DataFrame =
+    probed.filter(!col("h")).select("cid", "id", "e", "cnt")
+
+  private[graft] def semDedupVsStore(batch: DataFrame,
+      model: SemModel, storedReps: DataFrame,
+      tau: Double = Tau): DataFrame = {
+    if (model.isEmpty)
+      return batch.select(lit(0L).as("cid"), lit(0L).as("n_store"),
+        lit(0L).as("n_batch"), lit(0L).as("n_dropped")).limit(0)
+    val (probed, storeInCells) = probeFrames(batch, model, storedReps,
+      tau)
+    auditOf(probed, storeInCells)
   }
 
   /** The admitted (un-hit) batch reps in store schema — the blind-
@@ -220,15 +352,20 @@ object SemStoreOps {
       model: SemModel, storedReps: DataFrame,
       tau: Double = Tau): DataFrame = {
     require(!model.isEmpty, "cannot admit into an empty-model store")
-    val bReps = ScaleOps.stageCheckpoint(
-      Extended10.collapseExact(batch).select(
-        model.assign(col("e")).getField("_1").as("cid"),
-        col("id"), col("e"), col("cnt")))
-    val storeInCells = storedReps
-      .join(bReps.select("cid").distinct(), Seq("cid"), "left_semi")
-    semProbe(bReps, storeInCells, tau)
-      .filter(!col("h"))
-      .select("cid", "id", "e", "cnt")
+    admittedOf(probeFrames(batch, model, storedReps, tau)._1)
+  }
+
+  /** ONE ingest step — the maintenance loop's real shape: probe once,
+    * return (per-cell audit, admitted append payload) both derived
+    * from the same materialized probed frame. Callers run the audit,
+    * then [[semStoreAppend]] the admitted half. */
+  private[graft] def semIngest(batch: DataFrame, model: SemModel,
+      storedReps: DataFrame, tau: Double = Tau)
+      : (DataFrame, DataFrame) = {
+    require(!model.isEmpty, "cannot ingest into an empty-model store")
+    val (probed, storeInCells) = probeFrames(batch, model, storedReps,
+      tau)
+    (auditOf(probed, storeInCells), admittedOf(probed))
   }
 
   /** Blind bucketed append of reps (store build or admitted batch)
@@ -255,12 +392,16 @@ object SemStoreOps {
     Extended10.ivfAppendAudit(
       storedReps.select(col("id").as("vec_id"), col("e").as("e0"),
         col("cid").as("cell")),
-      // the flat LEAVES: stored rows look their own cell up (k-free);
-      // the audit's batch-side flat argmin is measurement, not
-      // assignment (its d2 lower-bounds the two-level assignment's)
+      // the FINAL flat leaves (split parents replaced by children):
+      // stored rows look their own assigned leaf up, k-free
       model.flatLeaves,
       batch.select(col("id").as("vec_id"), col("e").as("e0")),
-      dim)
+      dim,
+      // SYMMETRY (code review r15): the batch side must use the
+      // model's REAL assignment — a flat global-min over leaves
+      // lower-bounds the hierarchical assignment's d2 and would
+      // systematically understate batch MSE, masking drift
+      batchAsg = Some(model.assign))
 
   /** q208 — incremental SemDeDup over the embeddings table: vectors
     * with vec_id ≡ 0 (mod 7) arrive as the batch (the q203 split),

@@ -657,13 +657,7 @@ object StreamingOps {
     // the result is localCheckpoint'd by the drain, so the store dir
     // can be deleted as soon as the drain returns
     try streamingSpanIngest(spark, stream, store0, root.toString)
-    finally {
-      val walked = java.nio.file.Files.walk(root)
-      try walked
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walked.close()
-    }
+    finally graft.FsUtil.deleteRecursively(root)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -262,13 +262,7 @@ class PqSpec extends AnyFunSuite {
         val top = out.filter(_.getLong(0) == q).minBy(_.getLong(1))
         assert(top.getLong(2) == q && top.getDouble(4) == 0.0)
       }
-    } finally {
-      val walked = java.nio.file.Files.walk(dir)
-      try walked
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walked.close()
-    }
+    } finally FsUtil.deleteRecursively(dir)
   }
 
   test("q201 plan: rank-limit pushdown, codes-only scan, point lookups") {
@@ -312,13 +306,7 @@ class PqSpec extends AnyFunSuite {
       assert(embScans.nonEmpty && embScans.forall(_.metadata
         .get("PushedFilters").exists(_.contains("In(id"))),
         "refinement must push the candidate ids to the corpus scan")
-    } finally {
-      val walked = java.nio.file.Files.walk(dir)
-      try walked
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walked.close()
-    }
+    } finally FsUtil.deleteRecursively(dir)
   }
 
   test("pqAppend: frozen-model append ≡ rebuild bit-exact; drift trigger") {
@@ -356,13 +344,7 @@ class PqSpec extends AnyFunSuite {
         model).collect().head
       assert(audit2.getBoolean(4),
         s"off-distribution batch must trip retrain: $audit2")
-    } finally {
-      val walked = java.nio.file.Files.walk(dir)
-      try walked
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walked.close()
-    }
+    } finally FsUtil.deleteRecursively(dir)
   }
 
   test("ivfAdcAppend: appended cell partitions ≡ rebuilt; stored query intact") {
@@ -406,13 +388,7 @@ class PqSpec extends AnyFunSuite {
         val top = out.filter(_.getLong(0) == q).minBy(_.getLong(1))
         assert(top.getLong(2) == q && top.getDouble(4) == 0.0)
       }
-    } finally {
-      val walked = java.nio.file.Files.walk(dir)
-      try walked
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walked.close()
-    }
+    } finally FsUtil.deleteRecursively(dir)
   }
 
   test("q201 over embeddings: shape, self-retrieval, refinement order") {

@@ -146,19 +146,10 @@ class ScaleSpec extends AnyFunSuite {
       val rel = "graft_rel_store.parquet"
       df.write.mode("overwrite").parquet(rel)
       try assert(ScaleOps.loadStore(spark, s"parquet:$rel").count() == 2)
-      finally {
-        val p = java.nio.file.Paths.get(rel)
-        val walked = java.nio.file.Files.walk(p)
-        try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walked.close()
-      }
+      finally FsUtil.deleteRecursively(rel)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_loadstore_t")
-      val walked = java.nio.file.Files.walk(tmp)
-      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walked.close()
+      FsUtil.deleteRecursively(tmp)
     }
   }
 

@@ -133,7 +133,7 @@ class SemStoreSpec extends AnyFunSuite {
     // reconstruct the EXACT assignment (same cells for every rep)
     val (model, reps) = SemStoreOps.semStoreBuild(
       storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(72))
-    assert(model.isInstanceOf[SemStoreOps.SemTwoLevel],
+    assert(model.base.isInstanceOf[SemStoreOps.SemTwoLevel],
       s"k=72 must select the two-level quantizer, got $model")
     val audit = SemStoreOps.semDedupVsStore(
       batchRows.toDF("id", "e"), model, reps).collect()
@@ -154,9 +154,55 @@ class SemStoreSpec extends AnyFunSuite {
       storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(4))
     val rtFlat = SemStoreOps.semModelFromRows(
       SemStoreOps.semModelRows(mFlat))
-    assert(rtFlat.isInstanceOf[SemStoreOps.SemFlat])
+    assert(rtFlat.base.isInstanceOf[SemStoreOps.SemFlat])
     assert(rtFlat.flatLeaves.map(_._1).toSeq ==
       mFlat.flatLeaves.map(_._1).toSeq)
+  }
+
+  test("population guard: oversized cells split at build, laws survive") {
+    // force the worst-case bound (code review r15: the store
+    // previously lacked q187's r12 boundCellPopulations guard): k = 2
+    // over 40 reps gives ~20-rep cells, far over maxCell = 8 — the
+    // build must split until every cell holds ≤ 8 reps, the split
+    // structure must SERIALIZE (round-trip reproduces the assignment,
+    // split walk included), and the planted drop laws are unchanged
+    // (they hold under ANY cell partition)
+    val (model, reps) = SemStoreOps.semStoreBuild(
+      storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(2),
+      maxCell = 8)
+    assert(model.splits.nonEmpty, "the guard must have split something")
+    val pops = reps.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pops.values.max <= 8L,
+      s"a cell exceeds maxCell after the guard: $pops")
+    // split parents must not appear as cells in the stored reps
+    model.splits.keys.foreach(p =>
+      assert(!pops.contains(p), s"split parent $p still holds reps"))
+    // flatLeaves covers exactly the final leaf set the reps use
+    val leafIds = model.flatLeaves.map(_._1).toSet
+    assert(pops.keySet.subsetOf(leafIds))
+    // round-trip: serialized model reproduces the assignment,
+    // split-walk included
+    val rt = SemStoreOps.semModelFromRows(SemStoreOps.semModelRows(model))
+    val direct = reps.select("id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRt = reps.select(col("id"),
+        rt.assign(col("e")).getField("_1").as("cid2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct == viaRt)
+    // and the planted laws are partition-independent
+    val audit = SemStoreOps.semDedupVsStore(
+      batchRows.toDF("id", "e"), model, reps).collect()
+    assert(audit.map(_.getLong(2)).sum == 10L)
+    assert(audit.map(_.getLong(3)).sum == 6L,
+      s"split-guarded store broke the planted law: ${audit.mkString(", ")}")
+    // single-pass ingest: audit ≡ semDedupVsStore, admitted ≡
+    // semAdmitted (both derived from ONE probe)
+    val (a2, adm2) = SemStoreOps.semIngest(
+      batchRows.toDF("id", "e"), model, reps)
+    assert(a2.collect().map(_.toSeq).toSeq == audit.map(_.toSeq).toSeq)
+    assert(adm2.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(105L, 107L, 108L, 109L))
   }
 
   test("declared q208: audit shape, totals, stored-path parity") {

@@ -227,13 +227,7 @@ class StreamingSpec extends AnyFunSuite {
         s"$storeRoot/init", s"$storeRoot/b0", s"$storeRoot/b1")
       assert(all.count() == all.distinct().count(),
         "a digest was folded into more than one segment")
-    } finally {
-      val walked = java.nio.file.Files.walk(root)
-      try walked
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walked.close()
-    }
+    } finally FsUtil.deleteRecursively(root)
   }
 
   test("q194 AvailableNow session-window stream equals batch q30 exactly") {
