@@ -332,7 +332,7 @@ object SpanOps {
     * state, so a JVM restart loses nothing, and a replayed batch can
     * reconstruct exactly the snapshot it first probed. */
   private[graft] def spanStoreInit(store0: DataFrame, root: String): Unit =
-    store0.write.mode("overwrite").parquet(s"$root/init")
+    VersionedStore.init(store0, root)
 
   /** The store AS OF batch `id`: segment `init` plus every delta
     * segment with batchId < id. A REPLAYED batch — in-JVM foreachBatch
@@ -344,16 +344,7 @@ object SpanOps {
     * inherent cost (the bucketed-table tier removes its shuffle, not
     * its scan). */
   private[graft] def spanStoreBefore(spark: SparkSession, root: String,
-      id: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val segs = fs.listStatus(p).toSeq.map(_.getPath).filter { d =>
-      val n = d.getName
-      n == "init" ||
-        (n.startsWith("b") && n.drop(1).toLongOption.exists(_ < id))
-    }.map(_.toString)
-    spark.read.parquet(segs: _*)
-  }
+      id: Long): DataFrame = VersionedStore.before(spark, root, id)
 
   /** One durable ingest trigger (q206's perBatch hook, shared verbatim
     * with the restart spec): probe the batch against the store as of
@@ -370,8 +361,7 @@ object SpanOps {
     val probeStore = spanStoreBefore(spark, root, id)
     val out = spanDedupVsStore(bc, probeStore).localCheckpoint(true)
     spark.catalog.clearCache() // the digest persist, per trigger
-    spanIndexDelta(bc, probeStore)
-      .write.mode("overwrite").parquet(s"$root/b$id")
+    VersionedStore.write(spanIndexDelta(bc, probeStore), root, id)
     out
   }
 

@@ -660,7 +660,70 @@ object StreamingOps {
     finally graft.FsUtil.deleteRecursively(root)
   }
 
+  // ---------------------------------------------------------------- q209
+  /** Per-trigger hook for the q209 sig ingest (the q206 shape on the
+    * signature store): probe the micro-batch against the versioned
+    * band store with the SHIPPED [[Similarity.dedupVsSigStore]], then
+    * fold the batch's OWN band rows in. The fold is BLIND and
+    * set-identical to a rebuild — signatures are per-document, the
+    * sigStoreAppend contract — and the b<id> overwrite is
+    * replay-idempotent ([[VersionedStore]]'s two invariants, shared
+    * with q206, including the cross-restart case StreamingSpec pins
+    * there). Per-trigger work ∝ batch: one signature pass + the band
+    * equi-join probe + a batch-sized segment write. */
+  private[graft] def sigIngestTrigger(spark: SparkSession, root: String)(
+      b: DataFrame, id: Long): DataFrame = {
+    val bc = b.localCheckpoint(true)
+    val out = Similarity.dedupVsSigStore(bc,
+      VersionedStore.before(spark, root, id)).localCheckpoint(true)
+    VersionedStore.write(Similarity.sigBands(bc), root, id)
+    out
+  }
+
+  /** q209 — STREAMING near-dup (MinHash/LSH) ingest, oracle-checked:
+    * the q153 maintenance loop as a real `readStream` — the planted
+    * batch documents arrive as a file stream and each micro-batch is
+    * near-dedup-probed against the standing corpus's banded signature
+    * store, then its band rows are admitted into it. The batch lands
+    * as ONE file, so AvailableNow yields one deterministic trigger and
+    * the finished result is EXACTLY q153's, sharing its DuckDB oracle
+    * verbatim (the q206/q172 precedent — t2 covers the streaming
+    * sig-ingest path end-to-end). Multi-trigger semantics are the
+    * sequential contract StreamingSpec pins: each trigger judged
+    * against the store plus every earlier trigger's bands — at scale
+    * the production near-dup ingest loop. Store + batch staging live
+    * in a throwaway temp dir (testdata ships neither — the q206
+    * posture; production points the store root at shared storage and
+    * reuses it with the checkpoint across restarts). */
+  def q209StreamingSigIngest(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Similarity.plantedCorpus(spark, dir)
+    val work = java.nio.file.Files.createTempDirectory("graft-sigingest")
+    try {
+      VersionedStore.init(
+        Similarity.sigBands(corpus.filter(col("doc_id") < 1000000L)),
+        s"$work/store")
+      // the arriving batch as a one-file stream source (the planted
+      // docs are DERIVED from testdata, so they are staged to disk
+      // once — production batches arrive as their own files)
+      corpus.filter(col("doc_id") >= 1000000L)
+        .coalesce(1).write.parquet(s"$work/batch")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING").parquet(s"$work/batch")
+      // analysis-only output-schema probe (no job)
+      val outSchema = Similarity.dedupVsSigStore(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stream.schema),
+        spark.read.parquet(s"$work/store/init")).schema
+      drainAndClean(spark, stream, "q209", outputMode = "append",
+        perBatch = sigIngestTrigger(spark, s"$work/store"),
+        outSchema = Some(outSchema))(
+        _.orderBy("new_id"))
+    } finally graft.FsUtil.deleteRecursively(work)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_streaming_sig_ingest" -> (q209StreamingSigIngest _),
     "q206_streaming_span_ingest" -> (q206StreamingSpanIngest _),
     "q28_tumbling" -> (q28Tumbling _),
     "q29_sliding" -> (q29Sliding _),
@@ -678,6 +741,9 @@ object StreamingOps {
     // and shares its oracle verbatim (the q172/q28 precedent)
     "q206_streaming_span_ingest" ->
       SpanOps.oracleSql("q203_span_dedup_incr"),
+    // same contract on the signature store: one staged batch file →
+    // one trigger → exactly the batch q153 answer and its oracle
+    "q209_streaming_sig_ingest" -> Similarity.q153OracleSql,
     // latest event per (user_id, event_type); the shipped data has no
     // max-ts tie on any key (verified at every sf), so the arrival-
     // order tie rule never fires and the argmax is the exact answer

@@ -138,6 +138,97 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q209 AvailableNow streaming sig ingest equals batch q153 exactly") {
+    val streamed = StreamingOps
+      .q209StreamingSigIngest(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = ops.Similarity
+      .q153IncrementalDedup(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("q209 multi-trigger ingest: each trigger judged against all prior bands") {
+    // the q206 multi-trigger pin on the SIGNATURE store: two files,
+    // maxFilesPerTrigger=1 → two deterministic triggers; ground truth
+    // composed from the batch operators — t1 vs store0, then t2 vs
+    // store0 ∪ bands(t1) (the sequential contract; a t2 near-dup of a
+    // t1 doc IS flagged here, which single-batch q153 cannot see)
+    import spark.implicits._
+    // distinct 30-token bases over a 199-word vocab — different keys
+    // share few shingles (est ≪ 0.5); a one-token suffix copy keeps
+    // nearly all shingles (est ≫ 0.5). Letter-encoded tokens — the
+    // tokenizer strips digits (the SparseIndexSpec lesson)
+    def let(n: Long): String =
+      n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    def base(k: Long): String =
+      (0 until 30).map(j => s"w${let((k * 31 + j * 7) % 199)}")
+        .mkString(" ")
+    val store = (0L until 20L).map(i => (i, base(i)))
+    // t1: five near-dups of store docs 0–4 + five FRESH bases
+    val t1 = (100L until 105L).map(i => (i, base(i - 100L) + " alpha")) ++
+      (105L until 110L).map(i => (i, base(50L + i)))
+    // t2: near-dups of t1's FRESH docs — their only match is a t1 doc
+    // (id ≥ 100), visible solely through batch-0's folded bands
+    val t2 = (200L until 205L).map(i =>
+      (i, base(50L + i - 95L) + " beta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q209").toString
+    try {
+      t1.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/stream/f1")
+      t2.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/stream/f2")
+      val base = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+      def stamp(sub: String, t: java.nio.file.attribute.FileTime): Unit = {
+        val walked = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/stream/$sub"))
+        try walked.forEach(p =>
+          java.nio.file.Files.setLastModifiedTime(p, t))
+        finally walked.close()
+      }
+      stamp("f1", base)
+      stamp("f2",
+        java.nio.file.attribute.FileTime.fromMillis(1700000001000L))
+      val store0 = ops.Similarity.sigBands(store.toDF("doc_id", "text"))
+        .localCheckpoint(true)
+      ops.VersionedStore.init(store0, s"$dir/store")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$dir/stream")
+      val outSchema = ops.Similarity.dedupVsSigStore(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stream.schema), store0).schema
+      val streamed = StreamingOps.drainAndClean(spark, stream, "q209t",
+          outputMode = "append",
+          perBatch = StreamingOps.sigIngestTrigger(spark, s"$dir/store"),
+          outSchema = Some(outSchema))(_.orderBy("new_id"))
+        .collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // ground truth, trigger by trigger, from the batch operators
+      val out1 = ops.Similarity.dedupVsSigStore(
+          t1.toDF("doc_id", "text"), store0)
+        .collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val idx1 = store0.unionByName(
+        ops.Similarity.sigBands(t1.toDF("doc_id", "text")))
+      val out2 = ops.Similarity.dedupVsSigStore(
+          t2.toDF("doc_id", "text"), idx1)
+        .collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed === out1 ++ out2)
+      // the cross-trigger law is actually exercised: some t2 doc's
+      // best match is a T1 doc (id ≥ 100), invisible to a probe
+      // against store0 alone
+      assert(out2.values.exists(_._1 >= 100L),
+        s"expected a t2→t1 cross-trigger match, got $out2")
+    } finally {
+      FsUtil.deleteRecursively(dir)
+    }
+  }
+
   test("q206 ingest survives a cross-restart WAL replay (versioned store)") {
     // The r14 durability gap, now closed: foreachBatch writes its sink
     // and store delta BEFORE the WAL commit, so a batch that wrote and
