@@ -772,6 +772,24 @@ object Extended10 {
       .saveAsTable(statsTable)
   }
 
+  /** The merge-policy consumer (the ivfMaintain shape for the sparse
+    * store — Lucene's maxMergedSegments analogue): ingest the batch as
+    * a new segment (blind, ∝ batch), then compact ONLY when the
+    * segment count exceeds `maxSegments` — so the ∝-store rewrite is
+    * amortized over maxSegments blind appends and serving never sees
+    * more than maxSegments+1 files per bucket. Returns true iff the
+    * compaction fired (SparseIndexSpec pins both sides of the
+    * threshold and that query results are invariant either way). */
+  private[graft] def sparseMaintain(spark: SparkSession, batch: DataFrame,
+      postingsTable: String, statsTable: String,
+      maxSegments: Int = 8): Boolean = {
+    sparseIndexAppend(batch, postingsTable, statsTable)
+    val segments = spark.table(statsTable).count()
+    val fire = segments > maxSegments
+    if (fire) sparseStoreCompact(spark, postingsTable, statsTable)
+    fire
+  }
+
   /** BM25 top-10 against the STORED segmented index: df for the query
     * terms aggregates across all segments and corpus stats sum across
     * segment rows, so segmented ≡ rebuilt exactly. The distinct query

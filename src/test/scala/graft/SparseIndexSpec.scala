@@ -104,6 +104,34 @@ class SparseIndexSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq
       spark.catalog.clearCache()
       assert(viaTables2.nonEmpty && viaTables2 == rebuilt2)
+      // merge policy: under the threshold the segment count just
+      // grows; crossing it triggers the amortized compaction back to
+      // ONE segment — and the ranking is invariant throughout
+      val fired1 = ops.Extended10.sparseMaintain(spark,
+        (300L until 302L).map(id => id -> text(id)).toDF("doc_id", "text"),
+        "sparse_spec_postings", "sparse_spec_stats", maxSegments = 3)
+      spark.catalog.clearCache()
+      assert(!fired1 && spark.table("sparse_spec_stats").count() === 3L)
+      val fired2 = ops.Extended10.sparseMaintain(spark,
+        (310L until 312L).map(id => id -> text(id)).toDF("doc_id", "text"),
+        "sparse_spec_postings", "sparse_spec_stats", maxSegments = 3)
+      spark.catalog.clearCache()
+      assert(fired2 && spark.table("sparse_spec_stats").count() === 1L)
+      val all3 = (store ++ batch ++
+        (200L until 203L).map(id => id -> text(id)) ++
+        (300L until 302L).map(id => id -> text(id)) ++
+        (310L until 312L).map(id => id -> text(id))).toDF("doc_id", "text")
+      val viaTables3 = ops.Extended10.bm25VsIndex(qterms,
+          spark.table("sparse_spec_postings"),
+          spark.table("sparse_spec_stats"))
+        .collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      val rebuilt3 = ops.Extended10.bm25VsIndex(qterms,
+          ops.Extended10.sparseIndex(all3),
+          ops.Extended10.sparseStats(all3))
+        .collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      assert(viaTables3.nonEmpty && viaTables3 == rebuilt3)
     } finally {
       spark.sql("DROP TABLE IF EXISTS sparse_spec_postings")
       spark.sql("DROP TABLE IF EXISTS sparse_spec_stats")
