@@ -715,11 +715,18 @@ object Extended10 {
     * double-count its postings and stats). */
   private[graft] def sparseIndexAppend(batch: DataFrame,
       postingsTable: String, statsTable: String, nBuckets: Int = 32): Unit = {
+    // existing bucket spec wins over nBuckets (ADVICE r14)
+    val nb = ScaleOps.appendBuckets(batch.sparkSession, postingsTable,
+      nBuckets)
     ScaleOps.stageCheckpoint(sparseIndex(batch))
+      // repartition by the bucket hash so the segment lands as ONE
+      // file per bucket (code review r15b — without it each writer
+      // partition emits a file per bucket it touches, and the
+      // sparseMaintain file-count bound of maxSegments+1 per bucket
+      // would not hold; same fix sparseStoreCompact carries)
+      .repartition(nb, col("w"))
       .write.mode("append")
-      // existing bucket spec wins over nBuckets (ADVICE r14)
-      .bucketBy(ScaleOps.appendBuckets(batch.sparkSession, postingsTable,
-        nBuckets), "w")
+      .bucketBy(nb, "w")
       .sortBy("w")
       .saveAsTable(postingsTable)
     sparseStats(batch).write.mode("append").saveAsTable(statsTable)

@@ -901,8 +901,16 @@ object Similarity {
     * here, only signatures. The per-batch-doc best-match window
     * partitions on the batch doc id (batch-sized). */
   private[graft] def dedupVsSigStore(batch: DataFrame,
+      storeBands: DataFrame): DataFrame =
+    dedupVsSigStoreBands(sigBands(batch), storeBands)
+
+  /** [[dedupVsSigStore]] over PRE-COMPUTED batch bands — the q209
+    * ingest trigger computes the batch's signature pass ONCE and
+    * feeds it to both the probe and the store fold (code review r15b:
+    * the trigger previously ran the dominant per-batch cost twice). */
+  private[graft] def dedupVsSigStoreBands(batchBands: DataFrame,
       storeBands: DataFrame): DataFrame = {
-    val newSide = sigBands(batch)
+    val newSide = batchBands
       .select(col("band_idx"), col("band_key"),
         col("doc_id").as("new_id"), col("sig").as("sig_n"))
     val oldSide = storeBands

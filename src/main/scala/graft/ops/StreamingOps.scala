@@ -233,6 +233,16 @@ object StreamingOps {
     * parent would match nothing there, because pathGlobFilter tests
     * LEAF file paths (part-*.parquet), silently producing an empty
     * stream (found live by the 1000× probe on q192). */
+  /** An empty batch frame with the given schema — the analysis-only
+    * probe both ingest operators (and their specs) use to derive the
+    * drain's output schema without running a job (code review r15b:
+    * the five-line boilerplate was triplicated, and one copy
+    * re-READ its store from disk purely for the schema). */
+  private[graft] def emptyFrame(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
   private def tableStream(spark: SparkSession, dir: String, table: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
@@ -619,9 +629,7 @@ object StreamingOps {
     // analysis-only probe for the output schema (no job: .schema on an
     // empty frame); the persist it marks is dropped right after
     val outSchema = SpanOps.spanDedupVsStore(
-      docStream.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        docStream.schema), store0).schema
+      emptyFrame(spark, docStream.schema), store0).schema
     spark.catalog.clearCache()
     drainAndClean(spark, docStream, "q206", outputMode = "append",
       perBatch = SpanOps.spanIngestTrigger(spark, storeRoot),
@@ -674,9 +682,12 @@ object StreamingOps {
   private[graft] def sigIngestTrigger(spark: SparkSession, root: String)(
       b: DataFrame, id: Long): DataFrame = {
     val bc = b.localCheckpoint(true)
-    val out = Similarity.dedupVsSigStore(bc,
+    // ONE signature pass per trigger: the materialized bands feed both
+    // the probe and the fold (code review r15b — the semIngest lesson)
+    val bands = Similarity.sigBands(bc).localCheckpoint(true)
+    val out = Similarity.dedupVsSigStoreBands(bands,
       VersionedStore.before(spark, root, id)).localCheckpoint(true)
-    VersionedStore.write(Similarity.sigBands(bc), root, id)
+    VersionedStore.write(bands, root, id)
     out
   }
 
@@ -699,9 +710,9 @@ object StreamingOps {
     val corpus = Similarity.plantedCorpus(spark, dir)
     val work = java.nio.file.Files.createTempDirectory("graft-sigingest")
     try {
-      VersionedStore.init(
-        Similarity.sigBands(corpus.filter(col("doc_id") < 1000000L)),
-        s"$work/store")
+      val store0 = Similarity.sigBands(
+        corpus.filter(col("doc_id") < 1000000L))
+      VersionedStore.init(store0, s"$work/store")
       // the arriving batch as a one-file stream source (the planted
       // docs are DERIVED from testdata, so they are staged to disk
       // once — production batches arrive as their own files)
@@ -711,10 +722,7 @@ object StreamingOps {
         .schema("doc_id BIGINT, text STRING").parquet(s"$work/batch")
       // analysis-only output-schema probe (no job)
       val outSchema = Similarity.dedupVsSigStore(
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          stream.schema),
-        spark.read.parquet(s"$work/store/init")).schema
+        emptyFrame(spark, stream.schema), store0).schema
       drainAndClean(spark, stream, "q209", outputMode = "append",
         perBatch = sigIngestTrigger(spark, s"$work/store"),
         outSchema = Some(outSchema))(

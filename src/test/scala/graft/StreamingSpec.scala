@@ -155,30 +155,38 @@ class StreamingSpec extends AnyFunSuite {
     // store0 ∪ bands(t1) (the sequential contract; a t2 near-dup of a
     // t1 doc IS flagged here, which single-batch q153 cannot see)
     import spark.implicits._
-    // distinct 30-token bases over a 199-word vocab — different keys
-    // share few shingles (est ≪ 0.5); a one-token suffix copy keeps
-    // nearly all shingles (est ≫ 0.5). Letter-encoded tokens — the
-    // tokenizer strips digits (the SparseIndexSpec lesson)
+    // store bases live in the w-token space; FRESH bases in a
+    // DISJOINT x-token space — zero shared shingles BY CONSTRUCTION
+    // (code review r15b: an LCG over one vocab made "fresh" keys
+    // 1-position shifts of store keys, true Jaccard 0.93, and the
+    // cross-trigger pin held only by minhash tie luck). Letter-encoded
+    // tokens — the tokenizer strips digits (the SparseIndexSpec
+    // lesson).
     def let(n: Long): String =
       n.toString.map(c => ('a' + (c - '0')).toChar).mkString
     def base(k: Long): String =
       (0 until 30).map(j => s"w${let((k * 31 + j * 7) % 199)}")
         .mkString(" ")
+    def fresh(k: Long): String =
+      (0 until 30).map(j => s"x${let((k * 37 + j * 11) % 199)}")
+        .mkString(" ")
     val store = (0L until 20L).map(i => (i, base(i)))
-    // t1: five near-dups of store docs 0–4 + five FRESH bases
+    // t1: five near-dups of store docs 0–4 + five FRESH x-space bases
     val t1 = (100L until 105L).map(i => (i, base(i - 100L) + " alpha")) ++
-      (105L until 110L).map(i => (i, base(50L + i)))
-    // t2: near-dups of t1's FRESH docs — their only match is a t1 doc
-    // (id ≥ 100), visible solely through batch-0's folded bands
+      (105L until 110L).map(i => (i, fresh(i)))
+    // t2: near-dups of t1's FRESH docs — their only candidate is a t1
+    // doc (id ≥ 100; x-space shares no shingle with the store), so the
+    // match is visible solely through batch-0's folded bands
     val t2 = (200L until 205L).map(i =>
-      (i, base(50L + i - 95L) + " beta"))
+      (i, fresh(i - 95L) + " beta"))
     val dir = java.nio.file.Files.createTempDirectory("graft_q209").toString
     try {
       t1.toDF("doc_id", "text").coalesce(1)
         .write.parquet(s"$dir/stream/f1")
       t2.toDF("doc_id", "text").coalesce(1)
         .write.parquet(s"$dir/stream/f2")
-      val base = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+      // t0m, not `base` — the corpus generator of that name is in scope
+      val t0m = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
       def stamp(sub: String, t: java.nio.file.attribute.FileTime): Unit = {
         val walked = java.nio.file.Files.walk(
           java.nio.file.Paths.get(s"$dir/stream/$sub"))
@@ -186,7 +194,7 @@ class StreamingSpec extends AnyFunSuite {
           java.nio.file.Files.setLastModifiedTime(p, t))
         finally walked.close()
       }
-      stamp("f1", base)
+      stamp("f1", t0m)
       stamp("f2",
         java.nio.file.attribute.FileTime.fromMillis(1700000001000L))
       val store0 = ops.Similarity.sigBands(store.toDF("doc_id", "text"))
