@@ -707,7 +707,10 @@ object StreamingOps {
     * posture; production points the store root at shared storage and
     * reuses it with the checkpoint across restarts). */
   def q209StreamingSigIngest(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = Similarity.plantedCorpus(spark, dir)
+    // persisted across its two staging consumers (store bands + batch
+    // file) — both otherwise re-derive the fanout corpus from parquet;
+    // released before the drain, which never touches it
+    val corpus = Similarity.plantedCorpus(spark, dir).persist()
     val work = java.nio.file.Files.createTempDirectory("graft-sigingest")
     try {
       val store0 = Similarity.sigBands(
@@ -718,6 +721,7 @@ object StreamingOps {
       // once — production batches arrive as their own files)
       corpus.filter(col("doc_id") >= 1000000L)
         .coalesce(1).write.parquet(s"$work/batch")
+      corpus.unpersist()
       val stream = spark.readStream
         .schema("doc_id BIGINT, text STRING").parquet(s"$work/batch")
       // analysis-only output-schema probe (no job)
