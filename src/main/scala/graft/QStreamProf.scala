@@ -13,7 +13,110 @@ import org.apache.spark.sql.functions._
   *   runMain graft.QStreamProf [sfDir]
   */
 object QStreamProf {
+
+  /** `runMain graft.QStreamProf ingest [nTriggers] [batchRows]` — the
+    * round-16 VersionedStore merge-policy stage: run the SHIPPED q209
+    * sig-ingest trigger over nTriggers one-file batches twice — once
+    * with compaction disabled (one live segment per trigger forever)
+    * and once under the maintain policy (maxSegments=4) — and print
+    * per-trigger live-segment counts + hook seconds. The claim under
+    * measurement: per-trigger probe cost is FLAT in trigger count
+    * under the policy, and grows with the accumulated segment count
+    * without it (each blind append adds one tiny parquet segment whose
+    * listing/footer/open cost every later probe pays). */
+  private def runIngest(spark: SparkSession, nTriggers: Int,
+      batchRows: Int): Unit = {
+    import spark.implicits._
+    def let(n: Long): String =
+      n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    def text(k: Long, sp: String): String =
+      (0 until 30).map(j => s"$sp${let((k * 37 + j * 11) % 9973)}")
+        .mkString(" ")
+    val work = java.nio.file.Files.createTempDirectory("graft-streamprof")
+    try {
+      val store = spark.range(5000)
+        .map(k => (k, text(k, "w"))).toDF("doc_id", "text")
+      val store0 = graft.ops.Similarity.sigBands(store)
+        .localCheckpoint(true)
+      // one staged file per trigger: ~20% near-dups of the store, ~20%
+      // near-dups of the PREVIOUS trigger (so every probe's answer
+      // genuinely depends on the folded segments), 60% fresh
+      (0 until nTriggers).foreach { i =>
+        (0 until batchRows).map { r =>
+          val id = 1000000L + i.toLong * batchRows + r
+          val t = r % 5 match {
+            case 0 => text((i * 131 + r) % 5000L, "w") + " alpha"
+            case 1 if i > 0 => text(id - batchRows, s"t${i - 1}x") + " beta"
+            case _ => text(id, s"t${i}x")
+          }
+          (id, t)
+        }.toDF("doc_id", "text").coalesce(1)
+          .write.parquet(s"$work/stream/f$i")
+        val walked = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$work/stream/f$i"))
+        try walked.forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + i * 1000L)))
+        finally walked.close()
+      }
+      def drain(tag: String, maxSegments: Int): Unit = {
+        val root = s"$work/store-$tag"
+        graft.ops.VersionedStore.init(store0, root)
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$work/stream")
+        val inner = graft.ops.StreamingOps
+          .sigIngestTrigger(spark, root, maxSegments)
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Double)]
+        val outSchema = graft.ops.Similarity.dedupVsSigStore(
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            stream.schema), store0).schema
+        val t0 = System.nanoTime()
+        graft.ops.StreamingOps.drainAndClean(spark, stream, s"prof-$tag",
+          outputMode = "append",
+          perBatch = (df, id) => {
+            val segs = graft.ops.VersionedStore
+              .segmentsBefore(spark, root, id).size
+            val s0 = System.nanoTime()
+            val r = inner(df, id)
+            rows += ((id, segs, (System.nanoTime() - s0) / 1e9))
+            r
+          },
+          outSchema = Some(outSchema))(identity).count()
+        val total = (System.nanoTime() - t0) / 1e9
+        rows.foreach { case (id, segs, sec) =>
+          println(f"PROF ingest $tag trigger=$id segs=$segs sec=$sec%.3f")
+        }
+        val half = rows.length / 2
+        val first = rows.take(half).map(_._3).sum / half
+        val last = rows.drop(rows.length - half).map(_._3).sum / half
+        println(f"PROF ingest $tag total=$total%.1f s, " +
+          f"mean_first_half=$first%.3f s, mean_last_half=$last%.3f s, " +
+          f"last/first=${last / first}%.2f")
+      }
+      drain("nocompact", maxSegments = Int.MaxValue)
+      drain("maintain4", maxSegments = 4)
+    } finally FsUtil.deleteRecursively(work)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ingest")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      runIngest(spark,
+        nTriggers = args.lift(1).map(_.toInt).getOrElse(30),
+        batchRows = args.lift(2).map(_.toInt).getOrElse(300))
+      spark.stop()
+      return
+    }
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")

@@ -194,6 +194,23 @@ object ScaleOps {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Release the executor blocks behind a localCheckpoint'd frame
+    * (ADVICE r15: these are RDD-level persists — `catalog.clearCache()`
+    * never frees them, so a long multi-trigger streaming drain that
+    * checkpoints per trigger accumulates unbounded RDD storage;
+    * Verify/Bench only reclaim after the whole query). Digs the
+    * checkpointed RDD out of the frame's LogicalRDD leaves and
+    * unpersists it. ONLY call once every consumer of the frame has
+    * materialized — a localCheckpoint truncates lineage, so a
+    * post-unpersist recompute would fail, not recompute. No-op on
+    * frames that are not checkpoint-backed. */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Write `state` as a bucketed, sort-within-buckets table so that
     * every future merge (the reference's R10 read-modify-write) joins
     * against it WITHOUT shuffling the state side: only the (much

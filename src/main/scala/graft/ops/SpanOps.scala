@@ -354,15 +354,32 @@ object SpanOps {
     * a batch that wrote-then-died before its WAL commit replays to the
     * identical sink AND store state. Per-trigger work ∝ batch (probe
     * semi-join + batch-sized delta write); the standing segments are
-    * never rewritten. */
-  private[graft] def spanIngestTrigger(spark: SparkSession, root: String)(
-      b: DataFrame, id: Long): DataFrame = {
-    val bc = b.localCheckpoint(true)
-    val probeStore = spanStoreBefore(spark, root, id)
-    val out = spanDedupVsStore(bc, probeStore).localCheckpoint(true)
-    spark.catalog.clearCache() // the digest persist, per trigger
-    VersionedStore.write(spanIndexDelta(bc, probeStore), root, id)
-    out
+    * never rewritten by the fold — past `maxSegments` live segments
+    * the [[VersionedStore.maintain]] merge policy folds them into one
+    * digest-laid-out compacted generation (∝ store, amortized;
+    * replay-safe because only segments strictly below this committed
+    * batch's id are folded), so probe cost stays flat in trigger
+    * count. Returns a stateful closure: each trigger also frees the
+    * previous trigger's localCheckpoint blocks (ADVICE r15 — RDD
+    * blocks survive catalog.clearCache(); the previous sink frame has
+    * been written by the time the next trigger runs, foreachBatch
+    * being sequential). */
+  private[graft] def spanIngestTrigger(spark: SparkSession, root: String,
+      maxSegments: Int = 8): (DataFrame, Long) => DataFrame = {
+    var lastOut: Option[DataFrame] = None
+    (b: DataFrame, id: Long) => {
+      lastOut.foreach(ScaleOps.freeLocalCheckpoint)
+      lastOut = None
+      VersionedStore.maintain(spark, root, id, Seq("g"), maxSegments)
+      val bc = b.localCheckpoint(true)
+      val probeStore = spanStoreBefore(spark, root, id)
+      val out = spanDedupVsStore(bc, probeStore).localCheckpoint(true)
+      spark.catalog.clearCache() // the digest persist, per trigger
+      VersionedStore.write(spanIndexDelta(bc, probeStore), root, id)
+      ScaleOps.freeLocalCheckpoint(bc) // both consumers materialized
+      lastOut = Some(out)
+      out
+    }
   }
 
   /** q202 over the documents table.

@@ -679,16 +679,36 @@ object StreamingOps {
     * with q206, including the cross-restart case StreamingSpec pins
     * there). Per-trigger work ∝ batch: one signature pass + the band
     * equi-join probe + a batch-sized segment write. */
-  private[graft] def sigIngestTrigger(spark: SparkSession, root: String)(
-      b: DataFrame, id: Long): DataFrame = {
-    val bc = b.localCheckpoint(true)
-    // ONE signature pass per trigger: the materialized bands feed both
-    // the probe and the fold (code review r15b — the semIngest lesson)
-    val bands = Similarity.sigBands(bc).localCheckpoint(true)
-    val out = Similarity.dedupVsSigStoreBands(bands,
-      VersionedStore.before(spark, root, id)).localCheckpoint(true)
-    VersionedStore.write(bands, root, id)
-    out
+  private[graft] def sigIngestTrigger(spark: SparkSession, root: String,
+      maxSegments: Int = 8): (DataFrame, Long) => DataFrame = {
+    var lastOut: Option[DataFrame] = None
+    (b: DataFrame, id: Long) => {
+      // free the PREVIOUS trigger's blocks first (ADVICE r15: these
+      // are RDD persists — catalog.clearCache() never reclaims them,
+      // so a long drain would accumulate storage unbounded); its sink
+      // write has completed, foreachBatch being sequential
+      lastOut.foreach(ScaleOps.freeLocalCheckpoint)
+      lastOut = None
+      // merge policy: fold committed segments (all strictly < id) into
+      // one band-key-laid-out generation past maxSegments — probe cost
+      // flat in trigger count, replay-safe (VersionedStore.maintain)
+      VersionedStore.maintain(spark, root, id,
+        Seq("band_idx", "band_key"), maxSegments)
+      val bc = b.localCheckpoint(true)
+      // ONE signature pass per trigger: the materialized bands feed
+      // both the probe and the fold (code review r15b — the semIngest
+      // lesson)
+      val bands = Similarity.sigBands(bc).localCheckpoint(true)
+      val out = Similarity.dedupVsSigStoreBands(bands,
+        VersionedStore.before(spark, root, id)).localCheckpoint(true)
+      VersionedStore.write(bands, root, id)
+      // bc fed only bands; bands fed the probe (out, materialized) and
+      // the fold (written) — both consumed, free their blocks now
+      ScaleOps.freeLocalCheckpoint(bands)
+      ScaleOps.freeLocalCheckpoint(bc)
+      lastOut = Some(out)
+      out
+    }
   }
 
   /** q209 — STREAMING near-dup (MinHash/LSH) ingest, oracle-checked:

@@ -237,6 +237,85 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q209 mid-stream store compaction: results bit-identical, segments bounded") {
+    // the round-16 merge policy (VersionedStore.maintain): same
+    // three-trigger drain run twice — once with maxSegments high (no
+    // compaction ever fires) and once with maxSegments=1 (a compaction
+    // fires at EVERY trigger past the first, exercising both fold
+    // shapes: init+b0 → c1 and c1+b1 → c2). The sequential-contract
+    // result must be bit-identical, the final stores set-identical,
+    // and the compacted layout must actually be compacted (live
+    // segments ≤ maxSegments+1, `init`/folded deltas GC'd).
+    import spark.implicits._
+    def let(n: Long): String =
+      n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    def base(k: Long): String =
+      (0 until 30).map(j => s"w${let((k * 31 + j * 7) % 199)}").mkString(" ")
+    def fresh(k: Long): String =
+      (0 until 30).map(j => s"x${let((k * 37 + j * 11) % 199)}").mkString(" ")
+    val store = (0L until 20L).map(i => (i, base(i)))
+    val t1 = (100L until 105L).map(i => (i, base(i - 100L) + " alpha")) ++
+      (105L until 110L).map(i => (i, fresh(i)))
+    val t2 = (200L until 205L).map(i => (i, fresh(i - 95L) + " beta"))
+    val t3 = (300L until 305L).map(i => (i, fresh(i - 195L) + " gamma"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q209_compact").toString
+    try {
+      Seq(t1, t2, t3).zipWithIndex.foreach { case (t, i) =>
+        t.toDF("doc_id", "text").coalesce(1)
+          .write.parquet(s"$dir/stream/f${i + 1}")
+        val walked = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/stream/f${i + 1}"))
+        try walked.forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + i * 1000L)))
+        finally walked.close()
+      }
+      val store0 = ops.Similarity.sigBands(store.toDF("doc_id", "text"))
+        .localCheckpoint(true)
+      def run(root: String, maxSegments: Int) = {
+        ops.VersionedStore.init(store0, root)
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$dir/stream")
+        val outSchema = ops.Similarity.dedupVsSigStore(
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            stream.schema), store0).schema
+        StreamingOps.drainAndClean(spark, stream, "q209c",
+            outputMode = "append",
+            perBatch = StreamingOps.sigIngestTrigger(spark, root,
+              maxSegments),
+            outSchema = Some(outSchema))(_.orderBy("new_id"))
+          .collect().map(_.toSeq).toSeq
+      }
+      val plain = run(s"$dir/storeA", maxSegments = 1000)
+      val compacted = run(s"$dir/storeB", maxSegments = 1)
+      assert(plain.nonEmpty && compacted === plain)
+      // a t3 doc matched a t1 doc — the sequential contract crosses
+      // the compacted generation (t3's probe reads c2, which folded
+      // t1's bands out of b0)
+      assert(plain.exists(r => r.head.asInstanceOf[Long] >= 300L &&
+        { val d = r(1).asInstanceOf[Long]; d >= 100L && d < 200L }),
+        s"expected a t3->t1 match through the compacted store: $plain")
+      // layout: compaction actually fired and GC'd what it superseded
+      val segsB = ops.VersionedStore.segmentsBefore(spark, s"$dir/storeB", 3L)
+      assert(segsB.size <= 2, s"live segments not bounded: $segsB")
+      assert(segsB.exists(_.endsWith("/c2")), s"no compacted gen: $segsB")
+      val live = new java.io.File(s"$dir/storeB").listFiles().map(_.getName)
+      assert(!live.contains("init") && !live.contains("b0") &&
+        !live.contains("b1") && !live.contains("c1"), live.mkString(","))
+      // the stores are set-identical through either layout
+      def bandSet(root: String) =
+        ops.VersionedStore.before(spark, root, 3L)
+          .select("band_idx", "band_key", "doc_id")
+          .collect().map(_.toSeq).toSet
+      assert(bandSet(s"$dir/storeA") === bandSet(s"$dir/storeB"))
+    } finally FsUtil.deleteRecursively(dir)
+  }
+
   test("q206 ingest survives a cross-restart WAL replay (versioned store)") {
     // The r14 durability gap, now closed: foreachBatch writes its sink
     // and store delta BEFORE the WAL commit, so a batch that wrote and
