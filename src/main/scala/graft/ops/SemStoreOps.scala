@@ -265,20 +265,23 @@ object SemStoreOps {
   /** The probe core: batch reps (cid, id, e, cnt) extended with the
     * sequential-contract hit flag `h` — true iff the rep has a
     * cosine ≥ τ neighbour among the store's reps in its cell or an
-    * earlier (lower id) batch rep in its cell. Both joins are cell
-    * equi-joins; the store side arrives ALREADY semi-reduced to the
-    * batch's cells (the caller's contract, ∝ batch). */
+    * earlier (lower id) batch rep in its cell. Both joins are
+    * equi-joins on `keys` (the cell id, plus the ephemeral `sub`
+    * refinement key when [[refineBatchCells]] fired); the store side
+    * arrives ALREADY semi-reduced to the batch's cells (the caller's
+    * contract, ∝ batch). Output keys stay at cid granularity. */
   private[graft] def semProbe(bReps: DataFrame, storeInCells: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double, keys: Seq[String] = Seq("cid")): DataFrame = {
     import graft.functions.CosineSim.cosineSim
-    val storeHit = bReps.select(col("cid"), col("id"), col("e").as("eb"))
-      .join(storeInCells.select(col("cid"), col("e").as("es")), Seq("cid"))
+    val k = keys.map(col)
+    val storeHit = bReps.select(k :+ col("id") :+ col("e").as("eb"): _*)
+      .join(storeInCells.select(k :+ col("e").as("es"): _*), keys)
       .filter(cosineSim(col("eb"), col("es")) >= tau)
       .select("id").distinct()
-    val a = bReps.select(col("cid"), col("id"), col("e").as("ea"))
-    val b = bReps.select(col("cid"), col("id").as("id2"),
-      col("e").as("eb2"))
-    val earlierHit = a.join(b, Seq("cid"))
+    val a = bReps.select(k :+ col("id") :+ col("e").as("ea"): _*)
+    val b = bReps.select(k :+ col("id").as("id2")
+      :+ col("e").as("eb2"): _*)
+    val earlierHit = a.join(b, keys)
       .filter(col("id2") < col("id"))
       .filter(cosineSim(col("ea"), col("eb2")) >= tau)
       .select("id").distinct()
@@ -287,6 +290,51 @@ object SemStoreOps {
     bReps.join(hit, Seq("id"), "left")
       .select(col("cid"), col("id"), col("e"), col("cnt"),
         coalesce(col("h0"), lit(false)).as("h"))
+  }
+
+  /** BATCH-side population guard (r15 verdict item 2): stored cells
+    * are split-bounded at build time, but a batch concentrated in one
+    * cell made [[semProbe]]'s within-batch pair join O(b_c²) with no
+    * bound. Audit per-cell BATCH populations (the collect is filtered
+    * to oversized cells first, so it is ≤ nBatchReps/maxCell rows —
+    * never cell-count- or data-sized) and split every flooded cell
+    * once via [[Clustering.fitWithinCells]] into an ephemeral `sub`
+    * key (0 outside flooded cells). The refinement is per-probe and
+    * NEVER serialized — the store's model and cids are untouched; the
+    * same udf re-assigns the store's semi-reduced rows, so an exact
+    * copy of a stored rep still meets it in the same (cid, sub) group
+    * and the probe's pair joins run on the refined key while audit
+    * and append payload stay at true cid granularity.
+    *
+    * Semantics under flood: pairs split across two sub-cells are not
+    * compared — the same documented degrade as the build-time cell
+    * splits (cells only bound pair work; exact copies collapse before
+    * the quantizer, and cosine < τ pairs never drop under ANY
+    * partition). On a batch with no flooded cell the refinement is a
+    * no-op and the probe is bit-identical (SemStoreSpec pins both
+    * sides). ONE round, splitK sized to the flood (≤ 256): a round
+    * divides the flood by up to splitK; a cell still oversized after
+    * it (or whose sample draw came up empty) is served as-is —
+    * degrade, never loop (the q187 posture). */
+  private[graft] def refineBatchCells(bReps: DataFrame, model: SemModel,
+      maxCell: Int, salt: Long = 700L)
+      : Option[org.apache.spark.sql.expressions.UserDefinedFunction] = {
+    val over = bReps.groupBy("cid").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCell).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    if (over.isEmpty) return None
+    val dim = model.base.leaves.head._2.length
+    val splitK = math.min(256L,
+      2L * ((over.values.max + maxCell - 1) / maxCell)).toInt
+    val subs = Clustering.fitWithinCells(bReps, over, splitK, dim,
+      maxIters = 4, salt = salt)
+    if (subs.isEmpty) return None // every draw empty — serve unsplit
+    Some(udf { (cid: Long, e: Seq[Double]) =>
+      subs.get(cid) match {
+        case Some(kids) => Clustering.argminLocal(kids, e)._1 + 1L
+        case None => 0L
+      }
+    }.asNonNullable())
   }
 
   /** Incremental SemDeDup of a batch against the stored cells+reps:
@@ -305,15 +353,26 @@ object SemStoreOps {
     * admitted payload, and the two public entries each re-ran the
     * collapse/assignment/pair joins on identical inputs). */
   private def probeFrames(batch: DataFrame, model: SemModel,
-      storedReps: DataFrame, tau: Double): (DataFrame, DataFrame) = {
+      storedReps: DataFrame, tau: Double,
+      maxCell: Int = Extended10.SemDedupMaxCell)
+      : (DataFrame, DataFrame) = {
     val bReps = ScaleOps.stageCheckpoint(
       Extended10.collapseExact(batch).select(
         model.assign(col("e")).getField("_1").as("cid"),
         col("id"), col("e"), col("cnt")))
     val storeInCells = storedReps
       .join(bReps.select("cid").distinct(), Seq("cid"), "left_semi")
-    (ScaleOps.stageCheckpoint(semProbe(bReps, storeInCells, tau)),
-      storeInCells)
+    val probed = refineBatchCells(bReps, model, maxCell) match {
+      case None => semProbe(bReps, storeInCells, tau)
+      case Some(refine) =>
+        // flood: pair joins on the refined (cid, sub) key — the store
+        // side re-assigned by the SAME udf, output back at cid grain
+        val sub = (f: DataFrame) =>
+          f.withColumn("sub", refine(col("cid"), col("e")))
+        semProbe(ScaleOps.stageCheckpoint(sub(bReps)), sub(storeInCells),
+          tau, keys = Seq("cid", "sub"))
+    }
+    (ScaleOps.stageCheckpoint(probed), storeInCells)
   }
 
   /** The per-cell audit over a probed frame (see [[semDedupVsStore]]
@@ -335,12 +394,13 @@ object SemStoreOps {
 
   private[graft] def semDedupVsStore(batch: DataFrame,
       model: SemModel, storedReps: DataFrame,
-      tau: Double = Tau): DataFrame = {
+      tau: Double = Tau,
+      maxCell: Int = Extended10.SemDedupMaxCell): DataFrame = {
     if (model.isEmpty)
       return batch.select(lit(0L).as("cid"), lit(0L).as("n_store"),
         lit(0L).as("n_batch"), lit(0L).as("n_dropped")).limit(0)
     val (probed, storeInCells) = probeFrames(batch, model, storedReps,
-      tau)
+      tau, maxCell)
     auditOf(probed, storeInCells)
   }
 
@@ -360,11 +420,12 @@ object SemStoreOps {
     * from the same materialized probed frame. Callers run the audit,
     * then [[semStoreAppend]] the admitted half. */
   private[graft] def semIngest(batch: DataFrame, model: SemModel,
-      storedReps: DataFrame, tau: Double = Tau)
+      storedReps: DataFrame, tau: Double = Tau,
+      maxCell: Int = Extended10.SemDedupMaxCell)
       : (DataFrame, DataFrame) = {
     require(!model.isEmpty, "cannot ingest into an empty-model store")
     val (probed, storeInCells) = probeFrames(batch, model, storedReps,
-      tau)
+      tau, maxCell)
     (auditOf(probed, storeInCells), admittedOf(probed))
   }
 

@@ -205,6 +205,59 @@ class SemStoreSpec extends AnyFunSuite {
       Set(105L, 107L, 108L, 109L))
   }
 
+  test("batch flood: probe pair joins bounded, audit semantics unchanged") {
+    // r15 verdict item 2: stored cells are split-bounded at build time
+    // but BATCH cells were not — a batch concentrated in one cell made
+    // the within-batch pair join O(b_c²). Force the worst case: k = 1
+    // (every rep in one cell) and a 28-row batch, probed with
+    // maxCell = 8 → refineBatchCells must fire, split the flooded cell
+    // into bounded (cid, sub) groups, and leave the audit BIT-IDENTICAL
+    // here — the planted corpus has no near-dup pair except exact
+    // copies, which share a refined sub-cell by construction (same
+    // vector → same argmin), so refinement can't separate any pair the
+    // probe would have compared.
+    val (model, reps) = SemStoreOps.semStoreBuild(
+      storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(1))
+    // 3 store copies (drop) + an exact within-batch pair (1 drop) +
+    // 23 fresh distinct vectors (offsets 5–7 — disjoint (p,q) pairs
+    // from the store's 0–4 range, so cosine < τ against everything)
+    val flood = (100L until 103L).map(i => (i, vec(i - 100L))) ++
+      Seq((103L, vec(45L)), (104L, vec(45L))) ++
+      (105L until 110L).map(i => (i, vec(i - 65L))) ++ // vec 40..44
+      (110L until 112L).map(i => (i, vec(i - 64L))) ++ // vec 46..47
+      (112L until 128L).map(i => (i, vec(i - 64L)))    // vec 48..63
+    val floodDf = flood.toDF("id", "e")
+    // the refinement itself: fires on the flood, bounded groups, and
+    // stays off at the default bound
+    val bReps = Extended10.collapseExact(floodDf).select(
+      model.assign(col("e")).getField("_1").as("cid"),
+      col("id"), col("e"), col("cnt"))
+    assert(SemStoreOps.refineBatchCells(bReps, model,
+      maxCell = Extended10.SemDedupMaxCell).isEmpty,
+      "no flood at the default bound")
+    val refine = SemStoreOps.refineBatchCells(bReps, model, maxCell = 8)
+    assert(refine.isDefined, "a 27-rep cell over maxCell=8 must refine")
+    val groups = bReps
+      .withColumn("sub", refine.get(col("cid"), col("e")))
+      .groupBy("cid", "sub").count().collect().map(_.getLong(2))
+    assert(groups.length >= 2 && groups.max < 27L,
+      s"flooded cell not genuinely split: ${groups.mkString(",")}")
+    // audit parity: flood-capped probe ≡ uncapped probe bit-for-bit
+    val capped = SemStoreOps.semDedupVsStore(floodDf, model, reps,
+      maxCell = 8).collect().map(_.toSeq).toSeq
+    val plain = SemStoreOps.semDedupVsStore(floodDf, model, reps)
+      .collect().map(_.toSeq).toSeq
+    assert(capped === plain)
+    assert(capped.map(_(3).asInstanceOf[Long]).sum == 4L,
+      s"planted law: 3 store copies + 1 exact pair drop: $capped")
+    assert(capped.map(_(2).asInstanceOf[Long]).sum == 28L)
+    // and the one-pass ingest path threads the cap identically
+    val (a2, adm2) = SemStoreOps.semIngest(floodDf, model, reps,
+      maxCell = 8)
+    assert(a2.collect().map(_.toSeq).toSeq === plain)
+    assert(adm2.count() == 24L) // 103's keeper + 23 fresh
+  }
+
   test("declared q208: audit shape, totals, stored-path parity") {
     val out = SemStoreOps.q208SemDedupIncr(spark, SparkTest.sfDir)
       .collect()
