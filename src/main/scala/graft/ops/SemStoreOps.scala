@@ -191,8 +191,21 @@ object SemStoreOps {
     * table it. */
   private[graft] def semStoreBuild(emb: DataFrame, dim: Int,
       kOverride: Option[Int] = None,
+      maxCell: Int = Extended10.SemDedupMaxCell): (SemModel, DataFrame) =
+    semStoreBuildFromReps(Extended10.collapseExact(emb), dim, kOverride,
+      maxCell)
+
+  /** [[semStoreBuild]] over ALREADY-collapsed reps (id, e, cnt) — the
+    * retrain path's entry: exact collapse is associative (min id, Σ
+    * cnt), so a rebuild can merge the stored reps with a collapsed
+    * batch instead of re-collapsing raw corpora it no longer has.
+    * cnt never shapes the model: the fit runs on (id, e) and the
+    * population guard counts rep ROWS, so any rep set with the same
+    * vector set yields the identical model. */
+  private[graft] def semStoreBuildFromReps(reps0: DataFrame, dim: Int,
+      kOverride: Option[Int] = None,
       maxCell: Int = Extended10.SemDedupMaxCell): (SemModel, DataFrame) = {
-    val reps = Extended10.collapseExact(emb).persist()
+    val reps = reps0.persist()
     try {
       val n = reps.count()
       val k = kOverride.getOrElse(Extended10.semDedupK(n))
@@ -464,6 +477,114 @@ object SemStoreOps {
       // systematically understate batch MSE, masking drift
       batchAsg = Some(model.assign))
 
+  /** Load the serialized quantizer from the store's model table
+    * (prefix P → table P_model; k·d doubles — the model-artifact
+    * collect class). */
+  private[graft] def loadStoredModel(spark: SparkSession,
+      prefix: String): SemModel =
+    semModelFromRows(spark.table(s"${prefix}_model").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getSeq[Double](3))).toSeq)
+
+  /** (Over)write the store pair — P_reps bucketed by cid (an existing
+    * table's bucket spec wins) and P_model as [[semModelRows]]. Used
+    * for the initial store create and the retrain rewrite; `reps`
+    * must be MATERIALIZED by the caller when it derives from the
+    * table being replaced (every [[semMaintain]] frame already is). */
+  private[graft] def semStoreWrite(spark: SparkSession, model: SemModel,
+      reps: DataFrame, prefix: String, nBuckets: Int = 32): Unit = {
+    import spark.implicits._
+    reps.select("cid", "id", "e", "cnt").write.mode("overwrite")
+      .bucketBy(ScaleOps.appendBuckets(spark, s"${prefix}_reps", nBuckets),
+        "cid")
+      .sortBy("cid")
+      .saveAsTable(s"${prefix}_reps")
+    semModelRows(model).toDF("tcid", "sub", "k2", "ce")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_model")
+  }
+
+  /** ONE-call merge policy for the stored cells+reps pair — the
+    * ivfMaintain/sparseMaintain shape for SemDeDup (r15 verdict item
+    * 5: consumers previously composed semIngest + semStoreAppend +
+    * semDriftAudit by hand, and the drift trigger's documented
+    * response had no executable path). Audit the batch against the
+    * frozen quantizer first; then either
+    *   - NO drift: the ∝-batch path — one probe pass, blind bucketed
+    *     append of the admitted reps, audit at the frozen model's cid
+    *     granularity; or
+    *   - drift (the 2× MSE global trigger): RETRAIN — refit quantizer
+    *     and cells over stored ∪ batch reps ([[semStoreBuildFromReps]]
+    *     on the exact-merged rep set, so the model is BIT-IDENTICAL to
+    *     a semStoreBuild from scratch over the union corpus —
+    *     SemStoreSpec pins it), probe the batch against the stored
+    *     reps within the NEW cells (the rebuild's population guard
+    *     already bounds them — no batch-side refinement needed), and
+    *     rewrite both tables with the surviving reps: stored reps
+    *     re-celled, hit batch reps dropped (exact copies of stored
+    *     vectors drop outright, near-dups via the within-cell probe),
+    *     admitted reps in. The returned audit is at the NEW model's
+    *     cid granularity.
+    * Ingest invariant (shared with every append tier): batch ids are
+    * fresh — stored and batch rep ids must not collide, or the
+    * origin split below misattributes rows. Returns (per-cell audit,
+    * retrained). */
+  private[graft] def semMaintain(spark: SparkSession, batch: DataFrame,
+      prefix: String, dim: Int, tau: Double = Tau)
+      : (DataFrame, Boolean) = {
+    val model = loadStoredModel(spark, prefix)
+    val storedReps = spark.table(s"${prefix}_reps")
+    val drift = semDriftAudit(storedReps, batch, model, dim)
+    val retrain = drift
+      .agg(coalesce(max(col("retrain")), lit(false)).as("r"))
+      .head.getBoolean(0)
+    if (!retrain) {
+      val (audit0, admitted) = semIngest(batch, model, storedReps, tau)
+      // materialize BEFORE the append: the audit's n_store side reads
+      // the reps TABLE lazily, and a post-append evaluation would
+      // count the admitted reps as store rows (cell-sized frame)
+      val audit = ScaleOps.stageCheckpoint(audit0)
+      semStoreAppend(admitted, s"${prefix}_reps")
+      (audit, false)
+    } else {
+      val bReps = ScaleOps.stageCheckpoint(Extended10.collapseExact(batch))
+      // exact copies of stored vectors drop outright (they would drop
+      // as probe hits anyway — splitting them out keeps the merged
+      // rep set identical to collapseExact(store ∪ batch)'s VECTOR
+      // set, which is what makes the rebuilt model scratch-identical)
+      val storeVecs = storedReps.select("e")
+      val bFresh = ScaleOps.stageCheckpoint(
+        bReps.join(storeVecs, Seq("e"), "left_anti"))
+      val merged = storedReps.select("id", "e", "cnt").unionByName(
+        bFresh.select("id", "e", "cnt"))
+      val (model2, asg2) = semStoreBuildFromReps(merged, dim)
+      // origin split on id (fresh-id ingest invariant)
+      val bIds = bFresh.select("id")
+      val bAsg = asg2.join(bIds, Seq("id"), "left_semi")
+        .select("cid", "id", "e", "cnt")
+      val sAsg = ScaleOps.stageCheckpoint(
+        asg2.join(bIds, Seq("id"), "left_anti")
+          .select("cid", "id", "e", "cnt"))
+      // exact hits re-enter the audit as pre-flagged rows, celled by
+      // the NEW model (same vector as a stored rep → same cell)
+      val bExact = bReps.join(storeVecs, Seq("e"), "left_semi")
+        .select(model2.assign(col("e")).getField("_1").as("cid"),
+          col("id"), col("e"), col("cnt"), lit(true).as("h"))
+      val batchCells = bAsg.select("cid")
+        .union(bExact.select("cid")).distinct()
+      val storeInCells = sAsg.join(batchCells, Seq("cid"), "left_semi")
+      val probed = ScaleOps.stageCheckpoint(
+        semProbe(bAsg, storeInCells, tau).unionByName(bExact))
+      // materialize BEFORE the rewrite: bExact (hence batchCells →
+      // storeInCells → the audit's n_store) reads the reps TABLE
+      // lazily through storeVecs, and semStoreWrite replaces it
+      val audit = ScaleOps.stageCheckpoint(auditOf(probed, storeInCells))
+      val newReps = sAsg.unionByName(
+        probed.filter(!col("h")).select("cid", "id", "e", "cnt"))
+      semStoreWrite(spark, model2, newReps, prefix)
+      (audit, true)
+    }
+  }
+
   /** q208 — incremental SemDeDup over the embeddings table: vectors
     * with vec_id ≡ 0 (mod 7) arrive as the batch (the q203 split),
     * the rest build the standing cells+reps store. Emits the per-cell
@@ -484,11 +605,7 @@ object SemStoreOps {
     val (model, reps) = sys.props.get("graft.sem.store")
       .orElse(sys.env.get("SPARK_GRAFT_SEM_STORE")) match {
         case Some(p) =>
-          // k·d doubles — the model-artifact collect class
-          val rows = spark.table(s"${p}_model").collect()
-            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
-              r.getSeq[Double](3))).toSeq
-          (semModelFromRows(rows), spark.table(s"${p}_reps"))
+          (loadStoredModel(spark, p), spark.table(s"${p}_reps"))
         case None =>
           semStoreBuild(emb.filter(pmod(col("id"), lit(7L)) =!= 0L),
             dim = 64)

@@ -258,6 +258,70 @@ class SemStoreSpec extends AnyFunSuite {
     assert(adm2.count() == 24L) // 103's keeper + 23 fresh
   }
 
+  test("semMaintain: no-drift appends, fired retrain ≡ build from scratch") {
+    // the one-call merge policy (r15 verdict item 5). Leg 1 — an
+    // in-distribution batch takes the ∝-batch path: audit ≡
+    // semDedupVsStore, admitted reps appended, model table untouched.
+    val (model, reps) = SemStoreOps.semStoreBuild(
+      storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(4))
+    try {
+      SemStoreOps.semStoreWrite(spark, model, reps, "sem_m")
+      val modelRows0 = spark.table("sem_m_model").collect()
+        .map(_.toSeq).toSet
+      val (a1, r1) = SemStoreOps.semMaintain(spark,
+        batchRows.toDF("id", "e"), "sem_m", Dim)
+      val a1c = a1.collect().map(_.toSeq).toSeq
+      assert(!r1, "in-distribution batch must not retrain")
+      assert(a1c === SemStoreOps.semDedupVsStore(
+        batchRows.toDF("id", "e"), model, reps).collect()
+        .map(_.toSeq).toSeq)
+      assert(spark.table("sem_m_model").collect().map(_.toSeq).toSet
+        === modelRows0, "no-drift maintain must not touch the model")
+      // admitted reps landed: a copy of 105 now drops
+      val again = SemStoreOps.semDedupVsStore(
+        Seq((300L, vec(45L))).toDF("id", "e"), model,
+        spark.table("sem_m_reps")).collect()
+      assert(again.map(_.getLong(3)).sum == 1L)
+
+      // Leg 2 — a far batch trips the 2× trigger: the rebuilt model
+      // must be BIT-IDENTICAL to semStoreBuild from scratch over the
+      // union corpus, and the rewritten reps are the scratch reps
+      // minus the batch rows the probe dropped (the far rows are
+      // mutually near-dup — one keeper survives; the planted exact
+      // store copy drops through the exact-hit path).
+      spark.sql("DROP TABLE IF EXISTS sem_m_reps")
+      spark.sql("DROP TABLE IF EXISTS sem_m_model")
+      SemStoreOps.semStoreWrite(spark, model, reps, "sem_m")
+      val far = (2000L until 2010L).map(i =>
+        (i, Seq.tabulate(Dim)(j => 1000.0 + (i - 2000L) * 0.1 + j))) :+
+        ((1999L, vec(0L)))
+      val (a2, r2) = SemStoreOps.semMaintain(spark,
+        far.toDF("id", "e"), "sem_m", Dim)
+      val a2c = a2.collect()
+      assert(r2, "far batch must retrain")
+      assert(a2c.map(_.getLong(2)).sum == 11L)
+      assert(a2c.map(_.getLong(3)).sum == 10L,
+        s"9 far near-dups + 1 exact copy drop: ${a2c.mkString(", ")}")
+      val (scratchModel, scratchReps) = SemStoreOps.semStoreBuild(
+        (storeRows ++ far).toDF("id", "e"), dim = Dim)
+      assert(spark.table("sem_m_model").collect().map(_.toSeq).toSet
+        === SemStoreOps.semModelRows(scratchModel)
+          .map(t => Seq(t._1, t._2, t._3, t._4)).toSet,
+        "retrained model must equal the from-scratch build")
+      val stored = spark.table("sem_m_reps").select("id", "cid")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val scratch = scratchReps.select("id", "cid")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stored.keySet === scratch.keySet -- (2001L until 2010L),
+        s"store = scratch minus dropped: ${stored.keySet}")
+      stored.foreach { case (id, cid) => assert(scratch(id) == cid,
+        s"rep $id re-celled differently from scratch") }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sem_m_reps")
+      spark.sql("DROP TABLE IF EXISTS sem_m_model")
+    }
+  }
+
   test("declared q208: audit shape, totals, stored-path parity") {
     val out = SemStoreOps.q208SemDedupIncr(spark, SparkTest.sfDir)
       .collect()
