@@ -211,6 +211,30 @@ object ScaleOps {
       case _ =>
     }
 
+  /** Snapshot the RDD-persist id set — pair with [[freeSince]] to
+    * scope checkpoint hygiene around a composed operator whose
+    * internal stageCheckpoints the caller cannot name (the q210
+    * trigger around semIngest). */
+  def rddMark(spark: org.apache.spark.sql.SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Unpersist every RDD persisted since `mark` except the blocks
+    * backing the `keep` frames (their LogicalRDD leaves). Same
+    * contract as [[freeLocalCheckpoint]]: every non-kept frame's
+    * consumers must have materialized. */
+  def freeSince(spark: org.apache.spark.sql.SparkSession, mark: Set[Int],
+      keep: DataFrame*): Unit = {
+    val keepIds = keep.flatMap(df =>
+      df.queryExecution.analyzed.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }).toSet
+    val sc = spark.sparkContext
+    (sc.getPersistentRDDs.keySet.toSet -- mark).foreach { i =>
+      if (!keepIds.contains(i))
+        sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Write `state` as a bucketed, sort-within-buckets table so that
     * every future merge (the reference's R10 read-modify-write) joins
     * against it WITHOUT shuffling the state side: only the (much

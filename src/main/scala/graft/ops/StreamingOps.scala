@@ -754,7 +754,81 @@ object StreamingOps {
     } finally graft.FsUtil.deleteRecursively(work)
   }
 
+  // ---------------------------------------------------------------- q210
+  /** Per-trigger hook for the q210 SemDeDup ingest (the q209 shape on
+    * the cells+reps store): probe the micro-batch with the SHIPPED
+    * [[SemStoreOps.semIngest]] — ONE probe pass feeds the audit (the
+    * sink row) AND the admitted fold — against the versioned reps
+    * store, under the FROZEN driver-held quantizer (the stored-model
+    * contract: retrain is [[SemStoreOps.semMaintain]]'s batch-side
+    * decision, not a per-trigger one). Replay-idempotent via the two
+    * [[VersionedStore]] invariants; the merge policy folds committed
+    * segments past maxSegments into one cid-laid-out generation.
+    * semIngest's internal stage checkpoints are anonymous, so hygiene
+    * here is the mark/freeSince scope instead of named frees. */
+  private[graft] def semIngestTrigger(spark: SparkSession, root: String,
+      model: SemStoreOps.SemModel, maxSegments: Int = 8)
+      : (DataFrame, Long) => DataFrame = {
+    var lastOut: Option[DataFrame] = None
+    (b: DataFrame, id: Long) => {
+      lastOut.foreach(ScaleOps.freeLocalCheckpoint)
+      lastOut = None
+      VersionedStore.maintain(spark, root, id, Seq("cid"), maxSegments)
+      val mark = ScaleOps.rddMark(spark)
+      val bc = b.localCheckpoint(true)
+      val (audit, admitted) = SemStoreOps.semIngest(bc, model,
+        VersionedStore.before(spark, root, id))
+      val out = audit.localCheckpoint(true)
+      VersionedStore.write(admitted, root, id)
+      // every intermediate (bc, the probe's internal checkpoints) is
+      // consumed by out + the fold; keep only the sink frame's blocks
+      ScaleOps.freeSince(spark, mark, out)
+      lastOut = Some(out)
+      out
+    }
+  }
+
+  /** q210 — STREAMING SemDeDup ingest, completing the streaming column
+    * (span q206, sig q209, semantic here): the q208 maintenance loop
+    * as a real `readStream` — batch vectors (vec_id ≡ 0 mod 7, the
+    * q208 split) arrive as a file stream, each micro-batch is
+    * semantically deduped against the standing cells+reps store and
+    * its admitted reps fold in. One staged batch file → one
+    * AvailableNow trigger → the finished audit is EXACTLY q208's
+    * (StreamingSpec pins it bit-for-bit), so the declared query is
+    * rows-only like q208 itself (float k-means cells — the
+    * q45/q108/q187/q200/q208 precedent); multi-trigger semantics are
+    * the sequential contract StreamingSpec pins on planted cliques.
+    * Store + batch staging in a throwaway temp dir (the q209
+    * posture); production points the store root at shared storage
+    * and reuses it with the checkpoint across restarts, loading the
+    * frozen model from the stored P_model table. */
+  def q210StreamingSemIngest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.fanout(Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("e")))
+    val (model, reps) = SemStoreOps.semStoreBuild(
+      emb.filter(pmod(col("id"), lit(7L)) =!= 0L), dim = 64)
+    val work = java.nio.file.Files.createTempDirectory("graft-semingest")
+    try {
+      VersionedStore.init(reps, s"$work/store")
+      emb.filter(pmod(col("id"), lit(7L)) === 0L)
+        .coalesce(1).write.parquet(s"$work/batch")
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$work/batch").schema)
+        .parquet(s"$work/batch")
+      // analysis-only output-schema probe (tiny empty-input jobs)
+      val outSchema = SemStoreOps.semDedupVsStore(
+        emptyFrame(spark, stream.schema), model, reps).schema
+      drainAndClean(spark, stream, "q210", outputMode = "append",
+        perBatch = semIngestTrigger(spark, s"$work/store", model),
+        outSchema = Some(outSchema))(
+        _.orderBy("cid"))
+    } finally graft.FsUtil.deleteRecursively(work)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_streaming_sem_ingest" -> (q210StreamingSemIngest _),
     "q209_streaming_sig_ingest" -> (q209StreamingSigIngest _),
     "q206_streaming_span_ingest" -> (q206StreamingSpanIngest _),
     "q28_tumbling" -> (q28Tumbling _),

@@ -237,6 +237,87 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q210 AvailableNow streaming sem ingest equals batch q208 exactly") {
+    val streamed = StreamingOps
+      .q210StreamingSemIngest(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val batch = ops.SemStoreOps.q208SemDedupIncr(spark, SparkTest.sfDir)
+      .collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("q210 multi-trigger ingest: each trigger judged against prior admitted reps") {
+    // the q206/q209 sequential-contract pin on the SemDeDup store: two
+    // files, maxFilesPerTrigger=1 → two deterministic triggers; ground
+    // truth composed from the batch operators — t1 vs reps0, then t2
+    // vs reps0 ∪ admitted(t1). A t2 copy of a t1-ADMITTED vector drops
+    // only through batch-0's folded segment (invisible to a probe
+    // against reps0 alone). Vectors: the SemStoreSpec well-separated
+    // family — distinct (p, q) pairs have cosine ≤ 0.917 < τ, so only
+    // exact copies are near-dups and every law is deterministic.
+    import spark.implicits._
+    val dim = 8
+    def vec(i: Long): Seq[Double] = {
+      val p = (i % dim).toInt
+      val q = ((p + 1 + i / dim) % dim).toInt
+      Seq.tabulate(dim)(j => (if (j == p) 1.0 else 0.0) +
+        (if (j == q) 0.3 else 0.0))
+    }
+    val store = (0L until 40L).map(i => (i, vec(i)))
+    val t1 = (100L until 103L).map(i => (i, vec(i - 100L))) ++ // store copies
+      (105L until 108L).map(i => (i, vec(i - 60L)))            // fresh 45..47
+    val t2 = Seq((200L, vec(45L)),  // copy of t1-ADMITTED 105 → fold-only drop
+      (201L, vec(5L)),              // store copy → drops either way
+      (202L, vec(50L)))             // fresh
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q210").toString
+    try {
+      Seq(t1, t2).zipWithIndex.foreach { case (t, i) =>
+        t.toDF("id", "e").coalesce(1).write.parquet(s"$dir/stream/f$i")
+        val walked = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/stream/f$i"))
+        try walked.forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + i * 1000L)))
+        finally walked.close()
+      }
+      val (model, reps0) = ops.SemStoreOps.semStoreBuild(
+        store.toDF("id", "e"), dim = dim, kOverride = Some(4))
+      ops.VersionedStore.init(reps0, s"$dir/store")
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$dir/stream/f0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$dir/stream")
+      val outSchema = ops.SemStoreOps.semDedupVsStore(
+        StreamingOps.emptyFrame(spark, stream.schema), model, reps0).schema
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSeq.sorted
+      val streamed = rows(StreamingOps.drainAndClean(spark, stream, "q210t",
+        outputMode = "append",
+        perBatch = StreamingOps.semIngestTrigger(spark, s"$dir/store",
+          model),
+        outSchema = Some(outSchema))(_.orderBy("cid")))
+      // ground truth, trigger by trigger, from the batch operators
+      val out1 = rows(ops.SemStoreOps.semDedupVsStore(
+        t1.toDF("id", "e"), model, reps0))
+      val adm1 = ops.SemStoreOps.semAdmitted(
+        t1.toDF("id", "e"), model, reps0)
+      val out2 = rows(ops.SemStoreOps.semDedupVsStore(
+        t2.toDF("id", "e"), model, reps0.unionByName(adm1)))
+      assert(streamed === (out1 ++ out2).sorted)
+      // the cross-trigger law is actually exercised: t2 drops BOTH its
+      // store copy and its copy of t1's admitted 105 (2 of 3 rows),
+      // where a probe against reps0 alone drops only the store copy
+      assert(out2.map(_._4).sum == 2L, s"expected 2 t2 drops: $out2")
+      assert(rows(ops.SemStoreOps.semDedupVsStore(
+        t2.toDF("id", "e"), model, reps0)).map(_._4).sum == 1L)
+    } finally FsUtil.deleteRecursively(dir)
+  }
+
   test("q209 mid-stream store compaction: results bit-identical, segments bounded") {
     // the round-16 merge policy (VersionedStore.maintain): same
     // three-trigger drain run twice — once with maxSegments high (no
