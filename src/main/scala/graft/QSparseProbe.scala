@@ -92,6 +92,8 @@ object QSparseProbe {
     // what the index is for: qterms pre-materialized, ranking served
     // entirely from the stored segments via the pushed In(w, …)
     // point lookups — this is the per-query serving cost.
+    // ≤ 20 distinct terms by construction (5 × ≤4) — the bm25VsIndex
+    // guard's contract; see the q207 call-site note in Extended10
     val qtermsPre = docs
       .select(col("doc_id"), ops.Extended10.toks(col("text")).as("t"))
       .orderBy("doc_id").limit(5)

@@ -745,9 +745,21 @@ object Extended10 {
     * under it — SparseIndexSpec pins bit-for-bit equality, the
     * spanKeyedCompact/ivfCompact precedent. Cost ∝ store (run when
     * segment counts grow); the store's own bucket spec and table
-    * locations are preserved, and both frames are materialized
-    * (stageCheckpoint) before the overwrite so the rewrite never
-    * reads the table it is replacing. */
+    * locations are preserved.
+    *
+    * Crash-safe via DURABLE staging (ADVICE r15: the rewrite
+    * previously read the store through a JVM-local stageCheckpoint,
+    * so a driver crash mid-overwrite lost the standing index — the
+    * only complete copy died with the JVM). The merged segment is
+    * first written whole to on-disk `<table>__compact_stage` tables,
+    * and only then are the serving tables overwritten FROM the stage;
+    * at every instant of the window a complete copy exists on disk
+    * under one of the two names (recovery from a mid-overwrite crash
+    * = re-run the copy from the surviving stage, which the next
+    * compact call does implicitly by overwriting stage first). The
+    * price is writing the merged postings twice — amortized over
+    * maxSegments blind appends by [[sparseMaintain]], and the stage
+    * write IS the merge shuffle the old path did into the checkpoint. */
   private[graft] def sparseStoreCompact(spark: SparkSession,
       postingsTable: String, statsTable: String): Unit = {
     def extLoc(t: String): Option[String] = {
@@ -759,9 +771,15 @@ object Extended10 {
       else None
     }
     val nb = ScaleOps.appendBuckets(spark, postingsTable, 32)
-    val postings = ScaleOps.stageCheckpoint(spark.table(postingsTable))
-    val stats = ScaleOps.stageCheckpoint(
-      spark.table(statsTable).agg(sum("n").as("n"), sum("l").as("l")))
+    val pStage = s"${postingsTable}__compact_stage"
+    val sStage = s"${statsTable}__compact_stage"
+    spark.table(postingsTable).repartition(nb, col("w"))
+      .write.mode("overwrite").bucketBy(nb, "w").sortBy("w")
+      .saveAsTable(pStage)
+    spark.table(statsTable).agg(sum("n").as("n"), sum("l").as("l"))
+      .write.mode("overwrite").saveAsTable(sStage)
+    val postings = spark.table(pStage)
+    val stats = spark.table(sStage)
     // repartition BY THE BUCKET HASH into exactly nb partitions before
     // the bucketed write: partition i then holds exactly bucket i's
     // rows (same Murmur3 pmod), so the merged segment lands as ONE
@@ -777,6 +795,8 @@ object Extended10 {
     val sw = stats.write.mode("overwrite")
     extLoc(statsTable).fold(sw)(p => sw.option("path", p))
       .saveAsTable(statsTable)
+    spark.sql(s"DROP TABLE IF EXISTS $pStage")
+    spark.sql(s"DROP TABLE IF EXISTS $sStage")
   }
 
   /** The merge-policy consumer (the ivfMaintain shape for the sparse
@@ -845,6 +865,11 @@ object Extended10 {
           (sparseIndex(store).union(sparseIndex(batch)),
             sparseStats(store).union(sparseStats(batch)))
       }
+    // ≤ 20 distinct terms BY CONSTRUCTION (5 queries × ≤4 tokens) —
+    // the bm25VsIndex contract (ADVICE r14/r15): the guard is 20, not
+    // 64, because the staged-division BIGINT headroom analysis in the
+    // q190 scaladoc only covers per-(q,doc) sums over ≤ 20 terms; a
+    // wider caller must redo that algebra before relaxing the guard
     val qterms = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .orderBy("doc_id").limit(5)
       .select(col("doc_id").as("q_id"),
