@@ -39,26 +39,25 @@ object QStreamProf {
       val store0 = graft.ops.Similarity.sigBands(store)
         .localCheckpoint(true)
       // one staged file per trigger: ~20% near-dups of the store, ~20%
-      // near-dups of the PREVIOUS trigger (so every probe's answer
-      // genuinely depends on the folded segments), 60% fresh
-      (0 until nTriggers).foreach { i =>
-        (0 until batchRows).map { r =>
-          val id = 1000000L + i.toLong * batchRows + r
-          val t = r % 5 match {
-            case 0 => text((i * 131 + r) % 5000L, "w") + " alpha"
-            case 1 if i > 0 => text(id - batchRows, s"t${i - 1}x") + " beta"
-            case _ => text(id, s"t${i}x")
-          }
-          (id, t)
-        }.toDF("doc_id", "text").coalesce(1)
-          .write.parquet(s"$work/stream/f$i")
-        val walked = java.nio.file.Files.walk(
-          java.nio.file.Paths.get(s"$work/stream/f$i"))
-        try walked.forEach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime
-            .fromMillis(1700000000000L + i * 1000L)))
-        finally walked.close()
-      }
+      // near-dups of the PREVIOUS trigger's FRESH rows (so every
+      // probe's answer genuinely depends on the folded segments —
+      // code review r16: referencing the previous trigger's SAME slot
+      // chased other beta rows, which only resolved for trigger 1;
+      // slot r+1 is a case-`_` fresh row in every previous trigger),
+      // 60% fresh
+      graft.ops.StreamingOps.stageTriggerFiles(s"$work/stream",
+        (0 until nTriggers).map { i =>
+          (0 until batchRows).map { r =>
+            val id = 1000000L + i.toLong * batchRows + r
+            val t = r % 5 match {
+              case 0 => text((i * 131 + r) % 5000L, "w") + " alpha"
+              case 1 if i > 0 =>
+                text(id - batchRows + 1, s"t${i - 1}x") + " beta"
+              case _ => text(id, s"t${i}x")
+            }
+            (id, t)
+          }.toDF("doc_id", "text")
+        })
       def drain(tag: String, maxSegments: Int): Unit = {
         val root = s"$work/store-$tag"
         graft.ops.VersionedStore.init(store0, root)
@@ -92,11 +91,14 @@ object QStreamProf {
           println(f"PROF ingest $tag trigger=$id segs=$segs sec=$sec%.3f")
         }
         val half = rows.length / 2
-        val first = rows.take(half).map(_._3).sum / half
-        val last = rows.drop(rows.length - half).map(_._3).sum / half
-        println(f"PROF ingest $tag total=$total%.1f s, " +
-          f"mean_first_half=$first%.3f s, mean_last_half=$last%.3f s, " +
-          f"last/first=${last / first}%.2f")
+        if (half > 0) {
+          val first = rows.take(half).map(_._3).sum / half
+          val last = rows.drop(rows.length - half).map(_._3).sum / half
+          println(f"PROF ingest $tag total=$total%.1f s, " +
+            f"mean_first_half=$first%.3f s, mean_last_half=$last%.3f s, " +
+            f"last/first=${last / first}%.2f")
+        } else println(f"PROF ingest $tag total=$total%.1f s " +
+          "(single trigger — no half split)")
       }
       drain("nocompact", maxSegments = Int.MaxValue)
       drain("maintain4", maxSegments = 4)

@@ -750,19 +750,34 @@ object Extended10 {
     * Crash-safe via DURABLE staging (ADVICE r15: the rewrite
     * previously read the store through a JVM-local stageCheckpoint,
     * so a driver crash mid-overwrite lost the standing index — the
-    * only complete copy died with the JVM). The merged segment is
-    * first written whole to on-disk `<table>__compact_stage` tables,
-    * and only then are the serving tables overwritten FROM the stage;
-    * at every instant of the window a complete copy exists on disk
-    * under one of the two names (recovery from a mid-overwrite crash
-    * = re-run the copy from the surviving stage, which the next
-    * compact call does implicitly by overwriting stage first). The
-    * price is writing the merged postings twice — amortized over
-    * maxSegments blind appends by [[sparseMaintain]], and the stage
-    * write IS the merge shuffle the old path did into the checkpoint. */
+    * only complete copy died with the JVM). The WAL-marker protocol:
+    *   1. write the merged copy whole to `<table>__compact_stage`
+    *      tables (serving tables untouched; a crash here leaves
+    *      harmless pre-commit stage garbage the next run overwrites);
+    *   2. create the `<postings>__compact_commit` marker — the commit
+    *      point: from here the STAGE is authoritative;
+    *   3. overwrite the serving tables FROM the stage, drop marker,
+    *      drop stage.
+    * On entry, an existing marker means a previous run died inside
+    * step 3 (serving possibly damaged, stage complete) — the call
+    * FINISHES that compaction from the surviving stage instead of
+    * re-staging from the damaged serving table (code review r16: the
+    * first staging cut re-staged serving-first, which wrecked the only
+    * complete copy exactly in the crash case it claimed to fix). At
+    * every instant a complete copy exists on disk under one of the two
+    * names. The price is writing the merged postings twice — amortized
+    * over maxSegments blind appends by [[sparseMaintain]], and the
+    * stage write IS the merge shuffle the old path did into the
+    * checkpoint. One corner degrades: a crash between an overwrite's
+    * internal drop and create can lose an EXTERNAL table's location
+    * metadata — recovery recreates it as managed (data intact). */
   private[graft] def sparseStoreCompact(spark: SparkSession,
       postingsTable: String, statsTable: String): Unit = {
+    val pStage = s"${postingsTable}__compact_stage"
+    val sStage = s"${statsTable}__compact_stage"
+    val marker = s"${postingsTable}__compact_commit"
     def extLoc(t: String): Option[String] = {
+      if (!spark.catalog.tableExists(t)) return None // mid-crash corner
       val meta = spark.sessionState.catalog
         .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
       if (meta.tableType ==
@@ -770,16 +785,7 @@ object Extended10 {
         Some(meta.location.toString)
       else None
     }
-    val nb = ScaleOps.appendBuckets(spark, postingsTable, 32)
-    val pStage = s"${postingsTable}__compact_stage"
-    val sStage = s"${statsTable}__compact_stage"
-    spark.table(postingsTable).repartition(nb, col("w"))
-      .write.mode("overwrite").bucketBy(nb, "w").sortBy("w")
-      .saveAsTable(pStage)
-    spark.table(statsTable).agg(sum("n").as("n"), sum("l").as("l"))
-      .write.mode("overwrite").saveAsTable(sStage)
-    val postings = spark.table(pStage)
-    val stats = spark.table(sStage)
+    // step 3 (also the recovery path): serving ← stage, then cleanup.
     // repartition BY THE BUCKET HASH into exactly nb partitions before
     // the bucketed write: partition i then holds exactly bucket i's
     // rows (same Murmur3 pmod), so the merged segment lands as ONE
@@ -788,15 +794,32 @@ object Extended10 {
     // can produce MORE files per bucket than the segments had
     // (measured: serve over such a compaction was ~1.3× the segmented
     // serve; one-file-per-bucket is the whole point of the merge)
-    val pw = postings.repartition(nb, col("w")).write.mode("overwrite")
-      .bucketBy(nb, "w").sortBy("w")
-    extLoc(postingsTable).fold(pw)(p => pw.option("path", p))
-      .saveAsTable(postingsTable)
-    val sw = stats.write.mode("overwrite")
-    extLoc(statsTable).fold(sw)(p => sw.option("path", p))
-      .saveAsTable(statsTable)
-    spark.sql(s"DROP TABLE IF EXISTS $pStage")
-    spark.sql(s"DROP TABLE IF EXISTS $sStage")
+    def publishFromStage(nb: Int): Unit = {
+      val pw = spark.table(pStage).repartition(nb, col("w"))
+        .write.mode("overwrite").bucketBy(nb, "w").sortBy("w")
+      extLoc(postingsTable).fold(pw)(p => pw.option("path", p))
+        .saveAsTable(postingsTable)
+      val sw = spark.table(sStage).write.mode("overwrite")
+      extLoc(statsTable).fold(sw)(p => sw.option("path", p))
+        .saveAsTable(statsTable)
+      spark.sql(s"DROP TABLE IF EXISTS $marker")
+      spark.sql(s"DROP TABLE IF EXISTS $pStage")
+      spark.sql(s"DROP TABLE IF EXISTS $sStage")
+    }
+    if (spark.catalog.tableExists(marker)) {
+      // committed stage from a crashed run — finish it; the serving
+      // tables may be damaged and must NOT be re-staged
+      publishFromStage(ScaleOps.appendBuckets(spark, pStage, 32))
+      return
+    }
+    val nb = ScaleOps.appendBuckets(spark, postingsTable, 32)
+    spark.table(postingsTable).repartition(nb, col("w"))
+      .write.mode("overwrite").bucketBy(nb, "w").sortBy("w")
+      .saveAsTable(pStage)
+    spark.table(statsTable).agg(sum("n").as("n"), sum("l").as("l"))
+      .write.mode("overwrite").saveAsTable(sStage)
+    spark.range(1).write.mode("overwrite").saveAsTable(marker) // commit
+    publishFromStage(nb)
   }
 
   /** The merge-policy consumer (the ivfMaintain shape for the sparse

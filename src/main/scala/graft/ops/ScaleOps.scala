@@ -221,7 +221,14 @@ object ScaleOps {
   /** Unpersist every RDD persisted since `mark` except the blocks
     * backing the `keep` frames (their LogicalRDD leaves). Same
     * contract as [[freeLocalCheckpoint]]: every non-kept frame's
-    * consumers must have materialized. */
+    * consumers must have materialized. ADDITIONALLY (code review
+    * r16): getPersistentRDDs is SparkContext-GLOBAL, so the mark→free
+    * window must not overlap another query persisting frames on the
+    * same session — a concurrently-created localCheckpoint between
+    * mark and free would be unpersisted out from under its owner (and
+    * a truncated-lineage frame cannot recompute). The q210 trigger
+    * satisfies this via the drain's single-query posture (drainAndClean
+    * already WARNs if other streaming queries are active). */
   def freeSince(spark: org.apache.spark.sql.SparkSession, mark: Set[Int],
       keep: DataFrame*): Unit = {
     val keepIds = keep.flatMap(df =>

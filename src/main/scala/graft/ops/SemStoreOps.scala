@@ -526,19 +526,35 @@ object SemStoreOps {
     *     cid granularity.
     * Ingest invariant (shared with every append tier): batch ids are
     * fresh — stored and batch rep ids must not collide, or the
-    * origin split below misattributes rows. Returns (per-cell audit,
-    * retrained). */
-  private[graft] def semMaintain(spark: SparkSession, batch: DataFrame,
-      prefix: String, dim: Int, tau: Double = Tau)
+    * origin split below misattributes rows.
+    *
+    * `kOverride`/`maxCell` are the store's ORIGINAL build parameters —
+    * the model table does not persist them (code review r16), so a
+    * caller that built with non-defaults must thread the same values
+    * here or a fired retrain silently changes the store's cell-
+    * structure class (and the retrain ≡ scratch identity only holds
+    * against a scratch build with the same parameters). Returns
+    * (per-cell audit, retrained). */
+  private[graft] def semMaintain(spark: SparkSession, batch0: DataFrame,
+      prefix: String, dim: Int, tau: Double = Tau,
+      kOverride: Option[Int] = None,
+      maxCell: Int = Extended10.SemDedupMaxCell)
       : (DataFrame, Boolean) = {
     val model = loadStoredModel(spark, prefix)
     val storedReps = spark.table(s"${prefix}_reps")
+    // the raw batch feeds two consumers (drift MSE scan + the probe's
+    // collapse; three on the retrain leg) — materialize once (code
+    // review r16), freed before returning (every consumer below is
+    // itself materialized before its store mutation)
+    val batch = batch0.localCheckpoint(true)
+    try {
     val drift = semDriftAudit(storedReps, batch, model, dim)
     val retrain = drift
       .agg(coalesce(max(col("retrain")), lit(false)).as("r"))
       .head.getBoolean(0)
     if (!retrain) {
-      val (audit0, admitted) = semIngest(batch, model, storedReps, tau)
+      val (audit0, admitted) = semIngest(batch, model, storedReps, tau,
+        maxCell)
       // materialize BEFORE the append: the audit's n_store side reads
       // the reps TABLE lazily, and a post-append evaluation would
       // count the admitted reps as store rows (cell-sized frame)
@@ -556,7 +572,8 @@ object SemStoreOps {
         bReps.join(storeVecs, Seq("e"), "left_anti"))
       val merged = storedReps.select("id", "e", "cnt").unionByName(
         bFresh.select("id", "e", "cnt"))
-      val (model2, asg2) = semStoreBuildFromReps(merged, dim)
+      val (model2, asg2) = semStoreBuildFromReps(merged, dim, kOverride,
+        maxCell)
       // origin split on id (fresh-id ingest invariant)
       val bIds = bFresh.select("id")
       val bAsg = asg2.join(bIds, Seq("id"), "left_semi")
@@ -583,6 +600,7 @@ object SemStoreOps {
       semStoreWrite(spark, model2, newReps, prefix)
       (audit, true)
     }
+    } finally ScaleOps.freeLocalCheckpoint(batch)
   }
 
   /** q208 — incremental SemDeDup over the embeddings table: vectors

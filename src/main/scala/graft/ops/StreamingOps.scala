@@ -243,6 +243,24 @@ object StreamingOps {
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
+  /** Test/prof support (code review r16 — this was copy-pasted five
+    * times): stage each frame as ONE parquet file under `dir/f<i>`
+    * with strictly increasing mtimes (1 s apart), so a
+    * maxFilesPerTrigger=1 file stream over `dir` yields one
+    * DETERMINISTIC trigger per frame, in order (the file source
+    * orders by modification time). */
+  private[graft] def stageTriggerFiles(dir: String,
+      frames: Seq[DataFrame]): Unit =
+    frames.zipWithIndex.foreach { case (f, i) =>
+      f.coalesce(1).write.parquet(s"$dir/f$i")
+      val walked = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/f$i"))
+      try walked.forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime
+          .fromMillis(1700000000000L + i * 1000L)))
+      finally walked.close()
+    }
+
   private def tableStream(spark: SparkSession, dir: String, table: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")

@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions.col
   * same snapshot through either layout.
   * Content-agnostic: the span ingest (q206) stores digest rows, the
   * sig ingest (q209) stores band rows, the sem ingest (q210) stores
-  * admitted reps. One file listing per trigger; reading scans the live
-  * segments — the probe's inherent cost. WITHOUT compaction that cost
+  * admitted reps. Two root listings per trigger — one for the merge
+  * policy, one for the probe (each over ≤ maxSegments+2 entries);
+  * reading scans the live segments — the probe's inherent cost.
+  * WITHOUT compaction that cost
   * grows with trigger count (one tiny segment per trigger, per-file
   * open overhead ∝ T); [[maintain]] bounds live segments at
   * maxSegments+1, the sparseMaintain merge-policy shape, so per-trigger

@@ -84,6 +84,42 @@ class SparseIndexSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq
       spark.catalog.clearCache()
       assert(compacted == rebuilt)
+      // the r16 durable-staging protocol cleaned up after itself
+      Seq("sparse_spec_postings__compact_stage",
+        "sparse_spec_stats__compact_stage",
+        "sparse_spec_postings__compact_commit").foreach(t =>
+        assert(!spark.catalog.tableExists(t), s"$t not dropped"))
+      // crash recovery, step-3 window: stage complete + commit marker
+      // present, serving table damaged (a crashed overwrite). The next
+      // compact call must restore serving FROM the stage — not
+      // re-stage from the damaged table — and clean up
+      spark.table("sparse_spec_postings")
+        .write.mode("overwrite").bucketBy(4, "w").sortBy("w")
+        .saveAsTable("sparse_spec_postings__compact_stage")
+      spark.table("sparse_spec_stats").write.mode("overwrite")
+        .saveAsTable("sparse_spec_stats__compact_stage")
+      spark.range(1).write
+        .saveAsTable("sparse_spec_postings__compact_commit")
+      // the damage (materialized first — an overwrite must not read
+      // the table it replaces)
+      spark.table("sparse_spec_postings").limit(3).localCheckpoint(true)
+        .write.mode("overwrite").bucketBy(4, "w").sortBy("w")
+        .saveAsTable("sparse_spec_postings")
+      spark.catalog.clearCache()
+      ops.Extended10.sparseStoreCompact(spark,
+        "sparse_spec_postings", "sparse_spec_stats")
+      spark.catalog.clearCache()
+      val recovered = ops.Extended10.bm25VsIndex(qterms,
+          spark.table("sparse_spec_postings"),
+          spark.table("sparse_spec_stats"))
+        .collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      assert(recovered == rebuilt,
+        "recovery must republish the staged copy, not the damaged table")
+      Seq("sparse_spec_postings__compact_stage",
+        "sparse_spec_stats__compact_stage",
+        "sparse_spec_postings__compact_commit").foreach(t =>
+        assert(!spark.catalog.tableExists(t), s"$t not dropped"))
       // a post-compaction append still works (the lifecycle loops:
       // append → … → compact → append), and merges on read again
       ops.Extended10.sparseIndexAppend(

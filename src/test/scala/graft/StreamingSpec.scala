@@ -81,22 +81,8 @@ class StreamingSpec extends AnyFunSuite {
     val t2 = docs.filter(_._1 % 3 == 2)
     val dir = java.nio.file.Files.createTempDirectory("graft_q206").toString
     try {
-      t1.toDF("doc_id", "text").coalesce(1)
-        .write.parquet(s"$dir/stream/f1")
-      t2.toDF("doc_id", "text").coalesce(1)
-        .write.parquet(s"$dir/stream/f2")
-      // deterministic trigger order: f1 strictly older than f2
-      val base = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
-      def stamp(sub: String, t: java.nio.file.attribute.FileTime): Unit = {
-        val walked = java.nio.file.Files.walk(
-          java.nio.file.Paths.get(s"$dir/stream/$sub"))
-        try walked.forEach(p =>
-          java.nio.file.Files.setLastModifiedTime(p, t))
-        finally walked.close()
-      }
-      stamp("f1", base)
-      stamp("f2",
-        java.nio.file.attribute.FileTime.fromMillis(1700000001000L))
+      StreamingOps.stageTriggerFiles(s"$dir/stream",
+        Seq(t1.toDF("doc_id", "text"), t2.toDF("doc_id", "text")))
       val schema = t1.toDF("doc_id", "text").schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -181,22 +167,8 @@ class StreamingSpec extends AnyFunSuite {
       (i, fresh(i - 95L) + " beta"))
     val dir = java.nio.file.Files.createTempDirectory("graft_q209").toString
     try {
-      t1.toDF("doc_id", "text").coalesce(1)
-        .write.parquet(s"$dir/stream/f1")
-      t2.toDF("doc_id", "text").coalesce(1)
-        .write.parquet(s"$dir/stream/f2")
-      // t0m, not `base` — the corpus generator of that name is in scope
-      val t0m = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
-      def stamp(sub: String, t: java.nio.file.attribute.FileTime): Unit = {
-        val walked = java.nio.file.Files.walk(
-          java.nio.file.Paths.get(s"$dir/stream/$sub"))
-        try walked.forEach(p =>
-          java.nio.file.Files.setLastModifiedTime(p, t))
-        finally walked.close()
-      }
-      stamp("f1", t0m)
-      stamp("f2",
-        java.nio.file.attribute.FileTime.fromMillis(1700000001000L))
+      StreamingOps.stageTriggerFiles(s"$dir/stream",
+        Seq(t1.toDF("doc_id", "text"), t2.toDF("doc_id", "text")))
       val store0 = ops.Similarity.sigBands(store.toDF("doc_id", "text"))
         .localCheckpoint(true)
       ops.VersionedStore.init(store0, s"$dir/store")
@@ -274,15 +246,8 @@ class StreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_q210").toString
     try {
-      Seq(t1, t2).zipWithIndex.foreach { case (t, i) =>
-        t.toDF("id", "e").coalesce(1).write.parquet(s"$dir/stream/f$i")
-        val walked = java.nio.file.Files.walk(
-          java.nio.file.Paths.get(s"$dir/stream/f$i"))
-        try walked.forEach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime
-            .fromMillis(1700000000000L + i * 1000L)))
-        finally walked.close()
-      }
+      StreamingOps.stageTriggerFiles(s"$dir/stream",
+        Seq(t1, t2).map(_.toDF("id", "e")))
       val (model, reps0) = ops.SemStoreOps.semStoreBuild(
         store.toDF("id", "e"), dim = dim, kOverride = Some(4))
       ops.VersionedStore.init(reps0, s"$dir/store")
@@ -342,16 +307,8 @@ class StreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_q209_compact").toString
     try {
-      Seq(t1, t2, t3).zipWithIndex.foreach { case (t, i) =>
-        t.toDF("doc_id", "text").coalesce(1)
-          .write.parquet(s"$dir/stream/f${i + 1}")
-        val walked = java.nio.file.Files.walk(
-          java.nio.file.Paths.get(s"$dir/stream/f${i + 1}"))
-        try walked.forEach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime
-            .fromMillis(1700000000000L + i * 1000L)))
-        finally walked.close()
-      }
+      StreamingOps.stageTriggerFiles(s"$dir/stream",
+        Seq(t1, t2, t3).map(_.toDF("doc_id", "text")))
       val store0 = ops.Similarity.sigBands(store.toDF("doc_id", "text"))
         .localCheckpoint(true)
       def run(root: String, maxSegments: Int) = {
@@ -427,13 +384,17 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "one two three four five six seven eight"), // dup via b0's fold
       (4L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
     def drain(): Unit = {
+      // ONE stateful hook per drain — the shipped usage (code review
+      // r16: a fresh closure per batch never exercised the
+      // lastOut-free branch; the second drain here runs TWO triggers
+      // (replayed b0, then b1) through one closure, so the free of a
+      // replayed trigger's sink frame is covered)
+      val hook = ops.SpanOps.spanIngestTrigger(spark, storeRoot)
       val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
         .option("recursiveFileLookup", "true").parquet(streamDir.toString)
       val q = stream.writeStream.outputMode("append")
         .foreachBatch { (df: DataFrame, id: Long) =>
-          // the SHIPPED per-trigger hook, sink written like drainAndClean
-          ops.SpanOps.spanIngestTrigger(spark, storeRoot)(df, id)
-            .write.mode("overwrite").parquet(s"$sink/b$id")
+          hook(df, id).write.mode("overwrite").parquet(s"$sink/b$id")
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow()).start()
