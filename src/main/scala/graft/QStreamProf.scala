@@ -78,11 +78,18 @@ object QStreamProf {
         graft.ops.StreamingOps.drainAndClean(spark, stream, s"prof-$tag",
           outputMode = "append",
           perBatch = (df, id) => {
-            val segs = graft.ops.VersionedStore
-              .segmentsBefore(spark, root, id).size
             val s0 = System.nanoTime()
             val r = inner(df, id)
-            rows += ((id, segs, (System.nanoTime() - s0) / 1e9))
+            val sec = (System.nanoTime() - s0) / 1e9
+            // listed AFTER the hook (outside the timed region): the
+            // hook's own maintain may have compacted, and b<id> is
+            // excluded by the < id floor — so this is exactly the
+            // layout the measured probe read (code review r16: the
+            // pre-hook listing paired each time with the PRE-maintain
+            // count, overstating segs on every firing trigger)
+            val segs = graft.ops.VersionedStore
+              .segmentsBefore(spark, root, id).size
+            rows += ((id, segs, sec))
             r
           },
           outSchema = Some(outSchema))(identity).count()

@@ -765,12 +765,18 @@ object Extended10 {
     * first staging cut re-staged serving-first, which wrecked the only
     * complete copy exactly in the crash case it claimed to fix). At
     * every instant a complete copy exists on disk under one of the two
-    * names. The price is writing the merged postings twice — amortized
-    * over maxSegments blind appends by [[sparseMaintain]], and the
-    * stage write IS the merge shuffle the old path did into the
-    * checkpoint. One corner degrades: a crash between an overwrite's
-    * internal drop and create can lose an EXTERNAL table's location
-    * metadata — recovery recreates it as managed (data intact). */
+    * names. The price is writing the merged postings twice, amortized
+    * over maxSegments blind appends by [[sparseMaintain]] — but only
+    * ONE of the two writes shuffles: the stage is a plain NARROW copy
+    * of the serving rows (no repartition, no bucket layout — a second
+    * r16 review pass caught the first cut paying the full
+    * repartition+sort twice), and the single bucket-hash shuffle+sort
+    * happens at publish. The serving bucket count rides IN the marker
+    * row so recovery reproduces the exact serving layout without
+    * consulting either (possibly damaged / unbucketed) table. One
+    * corner degrades: a crash between an overwrite's internal drop and
+    * create can lose an EXTERNAL table's location metadata — recovery
+    * recreates it as managed (data intact). */
   private[graft] def sparseStoreCompact(spark: SparkSession,
       postingsTable: String, statsTable: String): Unit = {
     val pStage = s"${postingsTable}__compact_stage"
@@ -808,17 +814,19 @@ object Extended10 {
     }
     if (spark.catalog.tableExists(marker)) {
       // committed stage from a crashed run — finish it; the serving
-      // tables may be damaged and must NOT be re-staged
-      publishFromStage(ScaleOps.appendBuckets(spark, pStage, 32))
+      // tables may be damaged and must NOT be re-staged. The serving
+      // bucket count comes from the marker row (the stage is plain)
+      publishFromStage(spark.table(marker).head.getInt(0))
       return
     }
     val nb = ScaleOps.appendBuckets(spark, postingsTable, 32)
-    spark.table(postingsTable).repartition(nb, col("w"))
-      .write.mode("overwrite").bucketBy(nb, "w").sortBy("w")
-      .saveAsTable(pStage)
+    // plain narrow copy — the one bucket shuffle happens at publish
+    spark.table(postingsTable)
+      .write.mode("overwrite").saveAsTable(pStage)
     spark.table(statsTable).agg(sum("n").as("n"), sum("l").as("l"))
       .write.mode("overwrite").saveAsTable(sStage)
-    spark.range(1).write.mode("overwrite").saveAsTable(marker) // commit
+    spark.range(1).select(lit(nb).as("nb"))
+      .write.mode("overwrite").saveAsTable(marker) // commit
     publishFromStage(nb)
   }
 

@@ -447,13 +447,20 @@ object SemStoreOps {
     * existing table's bucket spec wins (ADVICE r14). Bucketing by cid
     * co-locates the probe's cell joins with the store side at rest. */
   private[graft] def semStoreAppend(reps: DataFrame, table: String,
-      nBuckets: Int = 32): Unit =
+      nBuckets: Int = 32): Unit = {
+    val nb = ScaleOps.appendBuckets(reps.sparkSession, table, nBuckets)
+    // repartition BY THE BUCKET HASH before the bucketed write so the
+    // append lands ONE file per bucket it touches — without it each of
+    // the payload's input partitions emits a file per bucket
+    // (the sparseIndexAppend/sparseStoreCompact lesson, measured there
+    // at ~1.3× serve cost; code review r16 caught this copy unfixed)
     ScaleOps.stageCheckpoint(reps.select("cid", "id", "e", "cnt"))
+      .repartition(nb, col("cid"))
       .write.mode("append")
-      .bucketBy(ScaleOps.appendBuckets(reps.sparkSession, table, nBuckets),
-        "cid")
+      .bucketBy(nb, "cid")
       .sortBy("cid")
       .saveAsTable(table)
+  }
 
   /** Drift audit — q200's [[Extended10.ivfAppendAudit]] reused
     * verbatim: the reps store IS an IVF index of the collapsed corpus
@@ -494,9 +501,15 @@ object SemStoreOps {
   private[graft] def semStoreWrite(spark: SparkSession, model: SemModel,
       reps: DataFrame, prefix: String, nBuckets: Int = 32): Unit = {
     import spark.implicits._
-    reps.select("cid", "id", "e", "cnt").write.mode("overwrite")
-      .bucketBy(ScaleOps.appendBuckets(spark, s"${prefix}_reps", nBuckets),
-        "cid")
+    val nb = ScaleOps.appendBuckets(spark, s"${prefix}_reps", nBuckets)
+    // bucket-hash repartition first → exactly one file per bucket
+    // (a retrain's reps frame is a union of checkpointed frames with
+    // arbitrary partitioning; without this the rewrite lands up to
+    // partitions×buckets files — code review r16, the sparse lesson)
+    reps.select("cid", "id", "e", "cnt")
+      .repartition(nb, col("cid"))
+      .write.mode("overwrite")
+      .bucketBy(nb, "cid")
       .sortBy("cid")
       .saveAsTable(s"${prefix}_reps")
     semModelRows(model).toDF("tcid", "sub", "k2", "ce")
@@ -526,7 +539,19 @@ object SemStoreOps {
     *     cid granularity.
     * Ingest invariant (shared with every append tier): batch ids are
     * fresh — stored and batch rep ids must not collide, or the
-    * origin split below misattributes rows.
+    * origin split below misattributes rows. The retrain-≡-scratch
+    * identity additionally assumes batch ids EXCEED stored ids (the
+    * streaming/append id discipline every caller here has): when a
+    * batch vector exactly equals a stored rep's, this code keeps the
+    * STORED rep row, while a scratch collapseExact over the union
+    * would keep the min id — with lower fresh batch ids the two rep
+    * id sets differ, and the fit's id-keyed sample draws and
+    * lowest-id init make the rebuilt model id-sensitive (code review
+    * r16). Same-vector cnt also stays the stored rep's on both the
+    * ingest and retrain paths (dropped copies never bump cnt — the
+    * semStoreAppend absorption rule applies only at admission), which
+    * is why the SemStoreSpec pin states reps = scratch minus dropped
+    * rather than raw equality.
     *
     * `kOverride`/`maxCell` are the store's ORIGINAL build parameters —
     * the model table does not persist them (code review r16), so a
@@ -542,10 +567,25 @@ object SemStoreOps {
       : (DataFrame, Boolean) = {
     val model = loadStoredModel(spark, prefix)
     val storedReps = spark.table(s"${prefix}_reps")
+    // checkpoint hygiene: everything this call persists — the batch
+    // materialization below AND every internal stage checkpoint
+    // (probeFrames' probed/bReps on the ingest leg; bReps/bFresh/
+    // sAsg/probed and semStoreBuildFromReps' assignment on the
+    // retrain leg, several of them store-sized) — is freed on exit
+    // via the rddMark/freeSince scope, keeping only the returned
+    // audit's blocks. Without this a long-lived maintenance loop
+    // accumulates full-store RDD copies per round (catalog.clearCache
+    // never reclaims RDD persists — the r15 ADVICE; code review r16
+    // caught this call freeing only `batch`). Same single-flow caveat
+    // as the q210 trigger: the mark→free window must not overlap
+    // another query persisting frames on this session (freeSince's
+    // documented contract).
+    val mark = ScaleOps.rddMark(spark)
+    var keep: Option[DataFrame] = None
     // the raw batch feeds two consumers (drift MSE scan + the probe's
     // collapse; three on the retrain leg) — materialize once (code
-    // review r16), freed before returning (every consumer below is
-    // itself materialized before its store mutation)
+    // review r16); every consumer below is itself materialized before
+    // its store mutation
     val batch = batch0.localCheckpoint(true)
     try {
     val drift = semDriftAudit(storedReps, batch, model, dim)
@@ -560,6 +600,7 @@ object SemStoreOps {
       // count the admitted reps as store rows (cell-sized frame)
       val audit = ScaleOps.stageCheckpoint(audit0)
       semStoreAppend(admitted, s"${prefix}_reps")
+      keep = Some(audit)
       (audit, false)
     } else {
       val bReps = ScaleOps.stageCheckpoint(Extended10.collapseExact(batch))
@@ -598,9 +639,10 @@ object SemStoreOps {
       val newReps = sAsg.unionByName(
         probed.filter(!col("h")).select("cid", "id", "e", "cnt"))
       semStoreWrite(spark, model2, newReps, prefix)
+      keep = Some(audit)
       (audit, true)
     }
-    } finally ScaleOps.freeLocalCheckpoint(batch)
+    } finally ScaleOps.freeSince(spark, mark, keep.toSeq: _*)
   }
 
   /** q208 — incremental SemDeDup over the embeddings table: vectors

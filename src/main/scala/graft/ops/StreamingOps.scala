@@ -782,6 +782,17 @@ object StreamingOps {
     * decision, not a per-trigger one). Replay-idempotent via the two
     * [[VersionedStore]] invariants; the merge policy folds committed
     * segments past maxSegments into one cid-laid-out generation.
+    * One replay caveat (code review r16): on a FLOODED batch (a cell
+    * past maxCell) semIngest's refineBatchCells re-runs a float
+    * k-means sub-fit whose distributed sums are not merge-order
+    * deterministic, so a replayed batch's admit decisions can differ
+    * bitwise from the crashed attempt's at sub-cell boundaries. This
+    * is unobservable: the crashed attempt committed nothing (no WAL
+    * commit), and the replay OVERWRITES both its sink subdir and
+    * b<id>, so the surviving sink/store pair is mutually consistent —
+    * the overwrite invariant, not bit-determinism, is what replay
+    * safety actually rests on (see [[VersionedStore]]). Non-flooded
+    * batches (the refinement no-op) replay bit-identically.
     * semIngest's internal stage checkpoints are anonymous, so hygiene
     * here is the mark/freeSince scope instead of named frees. */
   private[graft] def semIngestTrigger(spark: SparkSession, root: String,

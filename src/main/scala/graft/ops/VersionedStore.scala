@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions.col
   *     batch (in-JVM foreachBatch re-run or a cross-restart WAL replay
   *     of a batch that wrote-then-died before its commit) re-probes
   *     the exact pre-fold snapshot by construction;
-  *   - the fold overwrites b<id> with deterministic content, so the
-  *     replay rewrites identical store state.
+  *   - the fold OVERWRITES b<id> (and the drain's sink writes
+  *     overwrite their b<id> subdir), so a replayed batch leaves ONE
+  *     mutually-consistent sink/store pair and nothing retains the
+  *     crashed attempt's uncommitted outputs. Deterministic fold
+  *     content (which the digest/band ingests have) makes the replay
+  *     additionally bit-identical, but the overwrite is what replay
+  *     safety rests on — the sem ingest's flooded-batch refinement is
+  *     float-fit nondeterministic and still replays safely (code
+  *     review r16; see semIngestTrigger's caveat).
   * Compaction preserves both: `c<j>` is SET-identical to the segments
   * it supersedes (a pure physical merge — segments are disjoint by the
   * ingest contract and the probes are set-semantics joins), and it is

@@ -98,7 +98,7 @@ class SparseIndexSpec extends AnyFunSuite {
         .saveAsTable("sparse_spec_postings__compact_stage")
       spark.table("sparse_spec_stats").write.mode("overwrite")
         .saveAsTable("sparse_spec_stats__compact_stage")
-      spark.range(1).write
+      spark.range(1).select(lit(4).as("nb")).write
         .saveAsTable("sparse_spec_postings__compact_commit")
       // the damage (materialized first — an overwrite must not read
       // the table it replaces)

@@ -30,6 +30,9 @@ def minima(paths):
 
 def main(argv):
     if "--vs" in argv:
+        if "--" not in argv:
+            print("usage: --vs <base windows...> -- <target windows...>")
+            return 1
         i = argv.index("--vs")
         sep = argv.index("--")
         base_paths, target_paths = argv[i + 1:sep], argv[sep + 1:]
@@ -45,6 +48,10 @@ def main(argv):
         base = minima(base_paths)
         common = sorted(set(tgt) & set(base))
         ratios = sorted((tgt[k] / base[k], k) for k in common if base[k] > 0)
+        if not ratios:
+            print(f"vs {len(base_paths)}-window base: no common queries "
+                  "with positive base minima — no ratio report")
+            return 0
         med = statistics.median(r for r, _ in ratios)
         print(f"vs {len(base_paths)}-window base ({len(base)} queries, "
               f"{sum(base.values()):.1f}s): common={len(common)} "
