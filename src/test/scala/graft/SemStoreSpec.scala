@@ -322,6 +322,50 @@ class SemStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("semStoreWrite/semStoreAppend land one file per touched bucket") {
+    // the r16 second-review layout pin (the sparse store's measured
+    // ~1.3x serve regression class): the bucket-hash repartition
+    // before a bucketed write puts each bucket's rows in exactly one
+    // writer partition, so a write lands AT MOST one file per bucket
+    // it touches — without it each input partition emits a file per
+    // bucket (a retrain's union of checkpointed frames is the worst
+    // case). Counted against distinct cids, not nBuckets, so the pin
+    // discriminates at test scale.
+    def partFiles(table: String): Int = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      val p = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+    }
+    val (model, reps) = SemStoreOps.semStoreBuild(
+      storeRows.toDF("id", "e"), dim = Dim, kOverride = Some(4))
+    try {
+      // the write path: reps deliberately scattered across many
+      // partitions first (the retrain-union shape)
+      SemStoreOps.semStoreWrite(spark, model,
+        reps.repartition(8), "sem_files")
+      val cids = spark.table("sem_files_reps").select("cid")
+        .distinct().count().toInt
+      assert(partFiles("sem_files_reps") <= cids,
+        s"write: ${partFiles("sem_files_reps")} files > $cids buckets touched")
+      // the append path: a scattered FRESH payload (vec(i) for i ≥ 40
+      // is distinct from every store vector, so nothing drops)
+      val before = partFiles("sem_files_reps")
+      val admitted = SemStoreOps.semAdmitted(
+        (500L until 520L).map(i => (i, vec(i))).toDF("id", "e"),
+        model, spark.table("sem_files_reps")).localCheckpoint(true)
+      val payloadCids = admitted.select("cid").distinct().count().toInt
+      assert(payloadCids > 0, "payload unexpectedly empty")
+      SemStoreOps.semStoreAppend(admitted.repartition(8), "sem_files_reps")
+      assert(partFiles("sem_files_reps") - before <= payloadCids,
+        "append: more than one new file per touched bucket")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sem_files_reps")
+      spark.sql("DROP TABLE IF EXISTS sem_files_model")
+    }
+  }
+
   test("declared q208: audit shape, totals, stored-path parity") {
     val out = SemStoreOps.q208SemDedupIncr(spark, SparkTest.sfDir)
       .collect()
