@@ -283,6 +283,93 @@ class StreamingSpec extends AnyFunSuite {
     } finally FsUtil.deleteRecursively(dir)
   }
 
+  test("q210 ingest survives a cross-restart WAL replay (versioned reps store)") {
+    // q206's crash simulation on the round-16 sem trigger: drain batch
+    // 0, delete the checkpoint's commits/0 marker (post-write
+    // pre-commit crash), stage a second file, drain again from the
+    // SAME checkpoint — the restart replays batch 0 (probing segments
+    // < 0, init only) and overwrites b0, then processes batch 1. The
+    // batch is non-flooded, so the replay is bit-identical (the
+    // semIngestTrigger caveat's deterministic half); the pin that the
+    // REPLAYED fold is live: t2's copy of a t1-admitted vector drops
+    // only through the rewritten b0.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val dim = 8
+    def vec(i: Long): Seq[Double] = {
+      val p = (i % dim).toInt
+      val q = ((p + 1 + i / dim) % dim).toInt
+      Seq.tabulate(dim)(j => (if (j == p) 1.0 else 0.0) +
+        (if (j == q) 0.3 else 0.0))
+    }
+    val store = (0L until 40L).map(i => (i, vec(i)))
+    val t1 = (100L until 103L).map(i => (i, vec(i - 100L))) ++
+      (105L until 108L).map(i => (i, vec(i - 60L))) // fresh 45..47
+    val t2 = Seq((200L, vec(45L)), // copy of t1-ADMITTED 105
+      (201L, vec(5L)),             // store copy
+      (202L, vec(50L)))            // fresh
+    val root = java.nio.file.Files.createTempDirectory("graft_q210_restart")
+    val streamDir = java.nio.file.Files.createDirectory(root.resolve("stream"))
+    val ckpt = root.resolve("ckpt")
+    val sink = java.nio.file.Files.createDirectory(root.resolve("sink"))
+    val storeRoot = root.resolve("store").toString
+    try {
+      val (model, reps0) = ops.SemStoreOps.semStoreBuild(
+        store.toDF("id", "e"), dim = dim, kOverride = Some(4))
+      ops.VersionedStore.init(reps0, storeRoot)
+      def drain(): Unit = {
+        // one stateful hook per drain — the shipped usage (the second
+        // drain runs the replayed b0 AND b1 through one closure)
+        val hook = StreamingOps.semIngestTrigger(spark, storeRoot, model)
+        val stream = spark.readStream
+          .schema("id BIGINT, e ARRAY<DOUBLE>")
+          .option("recursiveFileLookup", "true")
+          .parquet(streamDir.toString)
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            hook(df, id).write.mode("overwrite").parquet(s"$sink/b$id")
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      t1.toDF("id", "e").coalesce(1).write.parquet(s"$streamDir/f1")
+      drain() // batch 0 commits: sink/b0, store/b0
+      assert(java.nio.file.Files.exists(ckpt.resolve("commits").resolve("0")))
+      val b0Ids = spark.read.parquet(s"$storeRoot/b0")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(b0Ids === Set(105L, 106L, 107L), s"admitted fold: $b0Ids")
+      // the crash: writes landed, commit marker did not (.crc sidecar
+      // removed too — the replayed commit's rename collides on it)
+      java.nio.file.Files.delete(ckpt.resolve("commits").resolve("0"))
+      java.nio.file.Files.deleteIfExists(
+        ckpt.resolve("commits").resolve(".0.crc"))
+      t2.toDF("id", "e").coalesce(1).write.parquet(s"$streamDir/f2")
+      drain() // replays batch 0, then batch 1
+      spark.catalog.clearCache()
+      def rows(df: DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSeq.sorted
+      val streamed = rows(spark.read
+        .option("recursiveFileLookup", "true").parquet(sink.toString))
+      // ground truth, trigger by trigger, from the batch operators
+      val out1 = rows(ops.SemStoreOps.semDedupVsStore(
+        t1.toDF("id", "e"), model, reps0))
+      val adm1 = ops.SemStoreOps.semAdmitted(
+        t1.toDF("id", "e"), model, reps0)
+      val out2 = rows(ops.SemStoreOps.semDedupVsStore(
+        t2.toDF("id", "e"), model, reps0.unionByName(adm1)))
+      assert(streamed === (out1 ++ out2).sorted)
+      // the replayed fold rewrote b0 with the identical admitted set,
+      // and t2's fold-only dup (200 vs admitted 105) dropped through it
+      assert(spark.read.parquet(s"$storeRoot/b0")
+        .select("id").collect().map(_.getLong(0)).toSet === b0Ids)
+      assert(out2.map(_._4).sum == 2L,
+        s"t2 must drop its store copy AND its fold copy: $out2")
+    } finally FsUtil.deleteRecursively(root)
+  }
+
   test("q209 mid-stream store compaction: results bit-identical, segments bounded") {
     // the round-16 merge policy (VersionedStore.maintain): same
     // three-trigger drain run twice — once with maxSegments high (no
