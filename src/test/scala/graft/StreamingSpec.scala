@@ -209,6 +209,84 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q209 ingest survives a cross-restart WAL replay (versioned sig store)") {
+    // the q206/q210 crash simulation on the SIGNATURE store: drain
+    // batch 0, delete commits/0 (+.crc), stage a second file, drain
+    // from the same checkpoint — replayed batch 0 probes segments < 0
+    // (init only) and overwrites b0 bit-identically (band rows are a
+    // deterministic hash of the doc, per-document — the sigStoreAppend
+    // contract); t2's x-space near-dup of a t1 doc then matches only
+    // through the REWRITTEN b0.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    def let(n: Long): String =
+      n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    def base(k: Long): String =
+      (0 until 30).map(j => s"w${let((k * 31 + j * 7) % 199)}")
+        .mkString(" ")
+    def fresh(k: Long): String =
+      (0 until 30).map(j => s"x${let((k * 37 + j * 11) % 199)}")
+        .mkString(" ")
+    val store = (0L until 20L).map(i => (i, base(i)))
+    val t1 = (100L until 105L).map(i => (i, base(i - 100L) + " alpha")) ++
+      (105L until 110L).map(i => (i, fresh(i)))
+    val t2 = (200L until 205L).map(i => (i, fresh(i - 95L) + " beta"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q209_restart")
+    val streamDir = java.nio.file.Files.createDirectory(root.resolve("stream"))
+    val ckpt = root.resolve("ckpt")
+    val sink = java.nio.file.Files.createDirectory(root.resolve("sink"))
+    val storeRoot = root.resolve("store").toString
+    try {
+      val store0 = ops.Similarity.sigBands(store.toDF("doc_id", "text"))
+        .localCheckpoint(true)
+      ops.VersionedStore.init(store0, storeRoot)
+      def drain(): Unit = {
+        val hook = StreamingOps.sigIngestTrigger(spark, storeRoot)
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("recursiveFileLookup", "true")
+          .parquet(streamDir.toString)
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            hook(df, id).write.mode("overwrite").parquet(s"$sink/b$id")
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      t1.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$streamDir/f1")
+      drain()
+      assert(java.nio.file.Files.exists(ckpt.resolve("commits").resolve("0")))
+      val b0Rows = spark.read.parquet(s"$storeRoot/b0")
+        .collect().map(_.toSeq).toSet
+      java.nio.file.Files.delete(ckpt.resolve("commits").resolve("0"))
+      java.nio.file.Files.deleteIfExists(
+        ckpt.resolve("commits").resolve(".0.crc"))
+      t2.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$streamDir/f2")
+      drain() // replays batch 0, then batch 1
+      spark.catalog.clearCache()
+      def rowsOf(df: DataFrame) = df.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val streamed = rowsOf(spark.read
+        .option("recursiveFileLookup", "true").parquet(sink.toString))
+      val out1 = rowsOf(ops.Similarity.dedupVsSigStore(
+        t1.toDF("doc_id", "text"), store0))
+      val out2 = rowsOf(ops.Similarity.dedupVsSigStore(
+        t2.toDF("doc_id", "text"), store0.unionByName(
+          ops.Similarity.sigBands(t1.toDF("doc_id", "text")))))
+      assert(streamed === out1 ++ out2)
+      // deterministic fold: the replay rewrote b0 BIT-identically, and
+      // the t2→t1 match (only reachable through it) held
+      assert(spark.read.parquet(s"$storeRoot/b0")
+        .collect().map(_.toSeq).toSet === b0Rows)
+      assert(out2.values.exists(_._1 >= 100L),
+        s"expected a t2→t1 match through the replayed fold: $out2")
+    } finally FsUtil.deleteRecursively(root)
+  }
+
   test("q210 AvailableNow streaming sem ingest equals batch q208 exactly") {
     val streamed = StreamingOps
       .q210StreamingSemIngest(spark, SparkTest.sfDir)
