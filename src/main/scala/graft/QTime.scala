@@ -18,6 +18,7 @@ object QTime {
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        if (quiet) return
         val si = sc.stageInfo
         val m = si.taskMetrics
         println(f"STAGE ${si.stageId}%3d ${si.name.take(60)}%-60s " +
@@ -26,6 +27,18 @@ object QTime {
       }
     })
     val fn = SparkEntry.queries(name)
+    // QTIME_WARMUP=1: run once un-timed first (and quiet the stage
+    // listener), so the timed pass sees the codegen/footer/JIT caches a
+    // Bench min-of-2 second pass sees — the steady state the bench
+    // minima actually record
+    if (sys.env.get("QTIME_WARMUP").contains("1")) {
+      quiet = true
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      quiet = false
+    }
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     println(f"QTIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s total")

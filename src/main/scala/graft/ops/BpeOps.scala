@@ -51,6 +51,29 @@ object BpeOps {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** One greedy leftmost-first merge application over a word's symbol
+    * array — the vocab-sized rewrite of [[fit]]'s round. HOISTED to a
+    * single UDF taking the merge pair as (literal) columns instead of a
+    * per-round closure: a closure-capturing UDF makes every round's
+    * plan a NEW codegen source (janino-compiles 2 fresh stages per
+    * round — measured as the dominant driver-side cost of q171, §1.1
+    * empirical pass), while literal arguments land in the codegen
+    * `references` array, so all rounds share ONE compiled plan shape
+    * and hit the codegen cache. A UDF (vs builtins) stays acceptable
+    * here — the input is the vocab table, not the corpus, and the
+    * rewrite is inherently imperative (overlap semantics). */
+  private val applyMergeUdf = udf {
+    (syms: Seq[String], l: String, rt: String) =>
+      val out = ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rt) {
+          out += (l + rt); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+  }
+
   /** Train `numMerges` BPE merges over a corpus with a `text` column.
     * Returns the driver-assembled merge table (rank, l, r, cnt) in merge
     * order; stops early if no pair remains. */
@@ -60,45 +83,46 @@ object BpeOps {
     var state = wordFreq(docs)
       .select(split(col("w"), "").as("syms"), col("cnt"))
       .persist()
-    state.count()
     val merges = ArrayBuffer[(Int, String, String, Long)]()
+    // the frame whose cache blocks the CURRENT state's lineage still
+    // references — released only after a full pass over state has
+    // populated state's own cache (the argmax job below), so nothing
+    // ever recomputes through an unpersisted parent (r16 optimization:
+    // the former eager per-round persist+count() job existed only to
+    // make that release safe immediately; deferring the release one
+    // round removes one vocab-sized job per round for the same safety)
+    var prevState: Option[DataFrame] = None
     var r = 0
     var done = false
     while (r < numMerges && !done) {
+      // this job both finds the argmax AND fully materializes state's
+      // cache (the scan covers every partition)
       val top = pairCounts(state)
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
+      prevState.foreach(_.unpersist())
+      prevState = None
       if (top.isEmpty) done = true
       else {
         val l = top(0).getString(0)
         val rt = top(0).getString(1)
         val c = top(0).getLong(2)
         merges += ((r, l, rt, c))
-        // one narrow vocab-sized map: rewrite each word's symbol array,
-        // greedy leftmost-first. A UDF is acceptable here — the input is
-        // the vocab table, not the corpus, and the rewrite is inherently
-        // imperative (overlap semantics).
-        val mergeUdf = udf { (syms: Seq[String]) =>
-          val out = ArrayBuffer[String]()
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rt) {
-              out += (l + rt); i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          out.toSeq
-        }
-        var next = state.select(mergeUdf(col("syms")).as("syms"), col("cnt"))
+        var next = state.select(
+          applyMergeUdf(col("syms"), lit(l), lit(rt)).as("syms"), col("cnt"))
         // truncate lineage periodically: without this, round r's plan
-        // nests r UDF projections and analysis cost grows linearly
-        if ((r + 1) % 8 == 0) next = next.localCheckpoint(true)
-        next = next.persist()
-        next.count()
-        state.unpersist()
-        state = next
+        // nests r UDF projections and analysis cost grows linearly.
+        // localCheckpoint is EAGER (it materializes here), so this
+        // round's state cache can release immediately
+        if ((r + 1) % 8 == 0) {
+          next = next.localCheckpoint(true)
+          state.unpersist()
+        } else prevState = Some(state)
+        state = next.persist()
       }
       r += 1
     }
+    prevState.foreach(_.unpersist())
     state.unpersist()
     merges.toSeq.toDF("rank", "l", "r", "cnt")
   }
