@@ -6,6 +6,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * runMain graft.QTime <name> [sfDir]. Wall-clock on this host is
   * throttle-noisy; executor CPU time is the workload truth. */
 object QTime {
+  // Read by the async listener-bus thread while main writes it, hence volatile.
+  // Caveat (documented, dev tool): the bus is async, so a warmup stage event
+  // still queued when quiet flips back to false may leak into timed output.
+  @volatile private var quiet = false
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
