@@ -28,7 +28,11 @@ object QTime {
         val m = si.taskMetrics
         println(f"STAGE ${si.stageId}%3d ${si.name.take(60)}%-60s " +
           f"tasks=${si.numTasks}%4d run=${m.executorRunTime / 1000.0}%8.1fs " +
-          f"cpu=${m.executorCpuTime / 1e9}%8.1fs")
+          f"cpu=${m.executorCpuTime / 1e9}%8.1fs " +
+          f"in=${m.inputMetrics.recordsRead}%8d " +
+          f"sr=${m.shuffleReadMetrics.recordsRead}%8d " +
+          f"sw=${m.shuffleWriteMetrics.recordsWritten}%8d " +
+          f"gc=${m.jvmGCTime / 1000.0}%6.1fs")
       }
     })
     val fn = SparkEntry.queries(name)

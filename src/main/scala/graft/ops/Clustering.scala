@@ -58,11 +58,15 @@ object Clustering {
     def outputEncoder: Encoder[VecSum] = Encoders.product[VecSum]
   }
 
-  /** Squared L2 distance between two array columns, in-row (zip_with +
-    * aggregate higher-order fns — no explode). */
+  /** Squared L2 distance between two array columns, in-row. Codegen'd
+    * Catalyst expression ([[graft.functions.L2Sq]]) since r17 — the
+    * former zip_with + aggregate HOF chain evaluated its lambdas
+    * INTERPRETED once per element per (vector, centroid) pair and
+    * dominated the population-audit stage's CPU (QTime r17: 7 of
+    * q108's ~16 executor-CPU-s in that one stage). Same ascending-index
+    * IEEE fold — bit-identical values (L2SqSpec pins it). */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.L2Sq.l2Sq(a, b)
 
   /** Deterministic BOUNDED training sample for coarse quantizers, the
     * Faiss practice (~256 training vectors per centroid carry the
@@ -410,11 +414,13 @@ object Clustering {
   /** Nearest-centroid id per vector (tie → lower cid) against a
     * broadcast centroid table (cid, ce). */
   private def assign(emb: DataFrame, cents: DataFrame): DataFrame =
+    // d2 is projected ONCE per (vector, centroid) pair and feeds both
+    // aggregates — the former inline form evaluated the distance twice
     emb.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"), l2sq(col("e"), col("ce")).as("d2"))
       .groupBy("id")
-      .agg(min_by(col("cid"), struct(l2sq(col("e"), col("ce")),
-        col("cid"))).as("cid"),
-        min(l2sq(col("e"), col("ce"))).as("d2"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+        min(col("d2")).as("d2"))
 
   /** Fit k centroids on `emb` (columns: id: long, e: array<double>).
     * Returns one row per surviving centroid: (cid, ce, n).
@@ -433,13 +439,30 @@ object Clustering {
       tol: Double = 1e-6): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = lloyd(emb, k, dim, maxIters, tol)
-    val centsDf = cents.toSeq.map { case (cid, ce) => (cid, ce.toSeq) }
-      .toDF("cid", "ce")
-    centsDf.join(assign(emb, centsDf).groupBy("cid")
-      .agg(count(lit(1)).as("n")), Seq("cid"), "left")
-      .select(col("cid"), col("ce"), coalesce(col("n"), lit(0L)).as("n"))
-      .orderBy("cid")
+    // cache the fit input across the Lloyd rounds AND the final
+    // population audit (r17, guide §1.2): an unpersisted input was
+    // re-scanned — including any caller-side repartition exchange —
+    // once per round plus once by the audit. Persist only when the
+    // caller didn't (the fitCentroidsSampled contract: never re-manage
+    // a caller-owned cache); the k-row result is materialized eagerly
+    // (localCheckpoint) so the cache can be released before returning.
+    val owned = emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (owned) emb.persist() else emb
+    try {
+      // the count materializes the cache and sizes the per-round
+      // partitioning (ScaleOps.adaptiveParts — the argmin is ~k·d flops
+      // per row, so the grain is smaller than the relational default)
+      val df = ScaleOps.coalesceAdaptive(cached, cached.count(),
+        rowsPerPart = 65536L)
+      val cents = lloydRounds(df, k, dim, maxIters, tol)
+      val centsDf = cents.toSeq.map { case (cid, ce) => (cid, ce.toSeq) }
+        .toDF("cid", "ce")
+      centsDf.join(assign(df, centsDf).groupBy("cid")
+          .agg(count(lit(1)).as("n")), Seq("cid"), "left")
+        .select(col("cid"), col("ce"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("cid")
+        .localCheckpoint(true)
+    } finally if (owned) cached.unpersist()
   }
 
   /** The Lloyd loop of [[kmeansFit]], returning the driver-held
@@ -450,8 +473,29 @@ object Clustering {
     * 256·k rows × k cells = O(k²) expanded HOF rows), which is why
     * that path calls this directly. Centroids are bit-identical to
     * kmeansFit's: same init, same rounds, same tie rules. */
-  private[graft] def lloyd(emb: DataFrame, k: Int, dim: Int,
+  private[graft] def lloyd(emb0: DataFrame, k: Int, dim: Int,
       maxIters: Int, tol: Double = 1e-6): Array[(Long, Array[Double])] = {
+    // cache the rounds' input when the caller didn't (kmeansFit and
+    // fitCentroidsSampled already do — kmeansFit enters at lloydRounds
+    // so its coalesced view is never re-cached here; direct lloyd
+    // callers over raw frames otherwise pay a scan + any upstream
+    // exchange PER ROUND), and size the round partitioning to the data
+    // (ScaleOps.adaptiveParts — the r17 per-task-overhead finding)
+    val lloydOwned =
+      emb0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (lloydOwned) emb0.persist() else emb0
+    try {
+      val emb =
+        if (lloydOwned)
+          ScaleOps.coalesceAdaptive(cached, cached.count(),
+            rowsPerPart = 65536L)
+        else cached
+      lloydRounds(emb, k, dim, maxIters, tol)
+    } finally if (lloydOwned) cached.unpersist()
+  }
+
+  private def lloydRounds(emb: DataFrame, k: Int, dim: Int,
+      maxIters: Int, tol: Double): Array[(Long, Array[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
     // centroids live ON THE DRIVER between rounds: k·d doubles (the

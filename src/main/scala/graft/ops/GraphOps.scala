@@ -333,15 +333,31 @@ object GraphOps {
     * `rounds` synchronous most-frequent-neighbor-label updates (ties →
     * min label). Exposed for spec pins on synthetic graphs. */
   private[graft] def labelPropagation(edges0: DataFrame, rounds: Int): DataFrame = {
-    val edges = edges0.select("src", "dst").distinct()
+    // evaluate the (possibly expensive) edge derivation once; the count
+    // sizes the per-round partitioning (ScaleOps.adaptiveParts — the
+    // q178 r17 finding: a cores-wide layout costs one overhead task per
+    // core per round regardless of data volume)
+    val cached = edges0.select("src", "dst").distinct().persist()
+    val nUnd = 2L * cached.count()
     // persist PRE-PARTITIONED on the per-round join key: the cached
     // InMemoryRelation keeps hashpartitioning(dst), so every round's
     // edge⋈labels join re-shuffles only the vertex-sized labels side,
     // never the edge frame (without this, 8 rounds = 8 edge shuffles —
     // measured 3× slower at sf0.1)
-    val und = undirect(edges).repartition(col("dst")).persist()
+    val und = undirect(cached)
+      .repartition(ScaleOps.adaptiveParts(nUnd), col("dst")).persist()
+    // vertex-sized frames ride the same adaptive layout (nUnd bounds
+    // the vertex count): a cores-wide cached layout costs one overhead
+    // task per core per round (the q178 r17 finding)
+    val vertexParts = ScaleOps.adaptiveParts(nUnd)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+      .coalesce(vertexParts)
+    // per-round label cache, released at each eager checkpoint — the
+    // q178 recompute fix (see pagerankRanks): without it every round's
+    // labels exchange re-executes the chain back to the last checkpoint
+    val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
+    def releasePinned(): Unit = { pinned.foreach(_.unpersist()); pinned.clear() }
     var i = 0
     while (i < rounds) {
       // neighbor-label multiplicities: for edge (src, dst), dst's label
@@ -356,14 +372,23 @@ object GraphOps {
         .groupBy("id")
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("id"), (-col("m.nl")).as("lbl"))
-      if ((i + 1) % 4 == 0) next = next.localCheckpoint(true)
+        .coalesce(vertexParts)
+      if ((i + 1) % 4 == 0) {
+        next = next.localCheckpoint(true)
+        releasePinned()
+      } else {
+        next = next.persist()
+        pinned += next
+      }
       labels = next
       i += 1
     }
     // vertex-sized materialization, then release the cached edge frame
     // — hand back an unpersisted result (triangleStats convention)
     val out = labels.localCheckpoint(true)
+    releasePinned()
     und.unpersist()
+    cached.unpersist()
     out
   }
 
@@ -573,8 +598,17 @@ object GraphOps {
   private[graft] def pagerankRanks(edges0: DataFrame, iters: Int): DataFrame = {
     // persist the canonical edge frame: und is referenced by BOTH deg
     // and wed below, and without the cache each reference re-evaluates
-    // the caller's (events-self-join-sized) edge derivation
-    val edges = edges0.select("src", "dst").distinct().persist()
+    // the caller's (events-self-join-sized) edge derivation.
+    // The count both materializes the cache and sizes the ROUND
+    // partitioning (ScaleOps.adaptiveParts, guide §2): every iteration
+    // re-scans wed/ids/ranks, and at a cores-wide layout each round
+    // paid one task of pure overhead per core regardless of data
+    // (measured r17 — 2–4 executor-CPU-s per round-stage on 771 edges
+    // at 32 tasks vs ~0.05 at 4; 10 rounds made that the whole query).
+    val cached = edges0.select("src", "dst").distinct().persist()
+    val nE = cached.count()
+    val edges = ScaleOps.coalesceAdaptive(cached, nE)
+    val edgeParts = ScaleOps.adaptiveParts(2L * nE)
     val und = undirect(edges)
     val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
       .select(col("src").as("id"), col("d"))
@@ -584,10 +618,27 @@ object GraphOps {
     // #2). The summed term stays r/d — one correctly-rounded division
     // per edge, the exact expression the unrolled DuckDB twin replays;
     // a 1/d weight would double-round and perturb last-ulp sums.
+    // Both loop-invariant caches — and every per-round frame below —
+    // are laid out at the adaptive partition count: a frame cached at
+    // the cores-wide shuffle layout re-imposes one overhead task per
+    // core on EVERY round that scans it (the r17 finding; cached plans
+    // pin their layout, AQE cannot re-coalesce them).
     val wed = und.join(deg.select(col("id").as("src"), col("d")), "src")
-      .persist()
-    val ids = deg.select(col("id")).persist()
+      .coalesce(edgeParts).persist()
+    val idsCached = deg.select(col("id")).persist()
+    val nV = idsCached.count()
+    val vertexParts = ScaleOps.adaptiveParts(nV)
+    val ids = ScaleOps.coalesceAdaptive(idsCached, nV)
     var ranks = ids.select(col("id"), lit(1.0).as("r"))
+    // every round's ranks frame is persisted (vertex-sized): the %4
+    // checkpoint otherwise executes a 4-round-deep plan whose repeated
+    // ranks subtrees only stay deduplicated as long as ReuseExchange
+    // recognizes them — the cache makes the once-per-round execution
+    // explicit instead of plan-shape-dependent. Caches are released as
+    // soon as an EAGER materialization (the %4 localCheckpoint, or the
+    // final one) has baked their values in.
+    val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
+    def releasePinned(): Unit = { pinned.foreach(_.unpersist()); pinned.clear() }
     var i = 0
     while (i < iters) {
       val contrib = wed
@@ -598,7 +649,16 @@ object GraphOps {
         .join(contrib, Seq("id"), "left")
         .select(col("id"), (lit(0.15) + lit(0.85) * coalesce(col("x"),
           lit(0.0))).as("r"))
-      if ((i + 1) % 4 == 0) next = next.localCheckpoint(true)
+        .coalesce(vertexParts)
+      // truncate lineage every 4 rounds (eager) and release the block's
+      // caches — their values are in the checkpoint now
+      if ((i + 1) % 4 == 0) {
+        next = next.localCheckpoint(true)
+        releasePinned()
+      } else {
+        next = next.persist()
+        pinned += next
+      }
       ranks = next
       i += 1
     }
@@ -606,9 +666,10 @@ object GraphOps {
     // tail lineage still references, then hand back an unpersisted
     // result — callers own nothing (triangleStats convention)
     val out = ranks.localCheckpoint(true)
+    releasePinned()
     wed.unpersist()
-    ids.unpersist()
-    edges.unpersist()
+    idsCached.unpersist()
+    cached.unpersist()
     out
   }
 

@@ -29,36 +29,57 @@ object LrOps {
     1.0 / (1.0 + math.exp(-z))
   }
 
+  /** σ(w·f) − label with the driver-held weights closed over — the
+    * per-epoch residual. A closure UDF on purpose: the weights land in
+    * the codegen `references` array, so all epochs share ONE compiled
+    * plan shape (scalar `lit(w(i))` terms would inline each epoch's
+    * floats into the generated source and janino-compile every epoch —
+    * measured r17: 50 compiles/pass). Same ascending-index z sum and
+    * Math.exp as [[sigmoidUdf]]. */
+  private def residualUdf(w: Array[Double]) = udf { (label: Double, f: Seq[Double]) =>
+    var z = 0.0
+    var i = 0
+    while (i < w.length && i < f.length) { z += w(i) * f(i); i += 1 }
+    1.0 / (1.0 + math.exp(-z)) - label
+  }
+
   /** Fit `epochs` of full-batch GD on (label ∈ {0,1}, f: dim doubles
-    * incl. bias). Returns the weight vector. One job per epoch. */
+    * incl. bias). Returns the weight vector. One job per epoch.
+    *
+    * r17 (guide §2/§4): the gradient aggregate is `dim` independent
+    * built-in sum(g·fⱼ) columns (the minhashSignatures
+    * K-independent-aggregates trick) instead of the former per-row
+    * array UDF + VectorSumAgg pair, whose catalyst↔Scala buffer
+    * (de)serialization was the per-row cost; only the scalar residual
+    * g stays a UDF (weights in `references` keep the codegen cache
+    * warm across epochs). The fit input is cached AND coalesced to a
+    * row-count-adaptive partition layout (ScaleOps.adaptiveParts):
+    * each epoch is one job over the cached frame, and at a cores-wide
+    * layout every epoch paid one overhead task per core regardless of
+    * data (the q178 r17 finding). Gradient values are IEEE-identical
+    * per partition (same ascending z and g·fⱼ ops); the partition
+    * layout change re-orders only the final partial-sum merge —
+    * LrSpec's convergence/accuracy pins re-certify. */
   def fit(data: DataFrame, dim: Int, epochs: Int = 40,
       step: Double = 2.0): Array[Double] = {
-    val spark = data.sparkSession
-    import spark.implicits._
-    val df = if (data.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      data.persist() else data
-    val vsum = udaf(new Clustering.VectorSumAgg(dim))
+    val owned = data.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (owned) data.persist() else data
+    // LR's per-row work is a dim-length dot (light) → a coarse grain
+    val df = graft.ops.ScaleOps.coalesceAdaptive(cached, cached.count(),
+      rowsPerPart = 1L << 20)
     val w = new Array[Double](dim)
+    val gsums = (0 until dim).map(j =>
+      sum(col("g") * element_at(col("f"), j + 1)).as(s"g$j")) :+
+      count(lit(1)).as("n")
     var e = 0
     while (e < epochs) {
-      val wl = w.clone()
-      val gradUdf = udf { (label: Double, f: Seq[Double]) =>
-        var z = 0.0
-        var i = 0
-        while (i < wl.length && i < f.length) { z += wl(i) * f(i); i += 1 }
-        val g = 1.0 / (1.0 + math.exp(-z)) - label
-        val out = new Array[Double](wl.length)
-        var j = 0
-        while (j < out.length && j < f.length) { out(j) = g * f(j); j += 1 }
-        out.toSeq
-      }
-      val upd = df.select(gradUdf(col("label"), col("f")).as("g"))
-        .agg(vsum(col("g")).as("s"))
-        .select(col("s.s").as("s"), col("s.n").as("n"))
-        .as[(Seq[Double], Long)].head()
-      val (s, n) = upd
+      val upd = df
+        .select(col("f"), residualUdf(w.clone())(col("label"), col("f")).as("g"))
+        .agg(gsums.head, gsums.tail: _*)
+        .head()
+      val n = upd.getLong(dim)
       var i = 0
-      while (i < dim) { w(i) -= step * s(i) / n.toDouble; i += 1 }
+      while (i < dim) { w(i) -= step * upd.getDouble(i) / n.toDouble; i += 1 }
       e += 1
     }
     w
