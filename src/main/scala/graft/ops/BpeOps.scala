@@ -80,9 +80,22 @@ object BpeOps {
   def fit(docs: DataFrame, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var state = wordFreq(docs)
+    // the vocab table rides the merge rounds at a row-count-adaptive
+    // layout (ScaleOps.adaptiveParts, r17): cached at the corpus
+    // aggregate's cores-wide shuffle layout, every round's argmax and
+    // merge rewrite paid one overhead task per core regardless of
+    // vocab size (measured: q171 cpu 17–27 s at 32-wide, vocab ~10⁴).
+    // The count materializes the un-coalesced cache once; the grain is
+    // smaller than the relational default (per-row pair explode +
+    // symbol-array rewrite). The coalesced view reads that cache
+    // narrowly and re-caches at the adaptive layout on round 1's
+    // argmax; the parent cache is released through the prevState
+    // mechanism below, exactly like any other superseded round.
+    val vocab = wordFreq(docs)
       .select(split(col("w"), "").as("syms"), col("cnt"))
       .persist()
+    val stateParts = ScaleOps.adaptiveParts(vocab.count(), 65536L)
+    var state = vocab.coalesce(stateParts).persist()
     val merges = ArrayBuffer[(Int, String, String, Long)]()
     // the frame whose cache blocks the CURRENT state's lineage still
     // references — released only after a full pass over state has
@@ -91,7 +104,7 @@ object BpeOps {
     // the former eager per-round persist+count() job existed only to
     // make that release safe immediately; deferring the release one
     // round removes one vocab-sized job per round for the same safety)
-    var prevState: Option[DataFrame] = None
+    var prevState: Option[DataFrame] = Some(vocab)
     var r = 0
     var done = false
     while (r < numMerges && !done) {

@@ -287,8 +287,52 @@ object StreamingOps {
     * 1 GB of task results) exactly there, masked at sf scales by
     * small outputs. foreachBatch keeps the whole drain path
     * distributed, the posture every other operator already has. */
+  /** Bytes on disk under `dir/table.parquet` (file or directory) — the
+    * cheap input-volume probe [[drainParts]] sizes from. */
+  private[graft] def tableBytes(spark: SparkSession, dir: String,
+      table: String): Long = pathBytes(spark, s"$dir/$table.parquet")
+
+  private[graft] def pathBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
+  }
+
+  /** Scale-adaptive shuffle/state partition count for ONE drain,
+    * derived from the stream's input volume (guide §2: derive
+    * partitioning from input size, never a constant tuned for local
+    * mode or the cluster). Why it matters for STREAMING specifically:
+    * each stateful operator keeps one state-store instance PER SHUFFLE
+    * PARTITION, each paying per-trigger provider/commit overhead
+    * regardless of rows (QJoinProf r9 measured q195's symmetric-hash
+    * join: 4 stores/partition — summed commit 75–90 s/batch at 32
+    * partitions for 40k state rows, ~6 s at 8, ~0.9 s at 2), streaming
+    * has NO AQE to coalesce post-shuffle partitions, and the
+    * partition count is frozen into the checkpoint at first start. A
+    * deployment therefore sizes state partitions to state VOLUME —
+    * exactly what this derives. Floor 2 (never collapse a distributed
+    * drain to one task; multi-partition state semantics stay
+    * exercised); cap 4× cluster width (more instances than cores buys
+    * no intra-trigger parallelism, only commit overhead). Grain:
+    * SPARK_GRAFT_STATE_PART_BYTES (default 8 MiB of input per
+    * partition — at the driver's sf0.1 this yields 2, at the 100×
+    * probe ~25, past 1000× it rides the cap: grows with data, not
+    * with the bench host). */
+  private[graft] def drainParts(spark: SparkSession, bytes: Long): Int = {
+    val grain = sys.env.getOrElse("SPARK_GRAFT_STATE_PART_BYTES",
+      (8L << 20).toString).toLong
+    val cap = spark.sparkContext.defaultParallelism.toLong * 4L
+    math.max(2L, math.min((bytes + grain - 1L) / grain, cap)).toInt
+  }
+
   private[graft] def drainAndClean(spark: SparkSession, agg: DataFrame,
       name: String, outputMode: String = "complete",
+      // scale-adaptive shuffle/state partition count for this drain
+      // ([[drainParts]]); -1 = keep the session setting. Scoped: set
+      // before start(), restored in the finally. Also governs the
+      // perBatch hook's batch jobs — micro-batch-sized inputs want the
+      // same adaptive layout (the r17 per-task-overhead finding).
+      shuffleParts: Int = -1,
       // driver-side per-trigger hook (default: write the batch as-is).
       // Runs INSIDE foreachBatch, so it may launch its own batch jobs
       // against the micro-batch (q206 runs the span-dedup operator and
@@ -305,6 +349,9 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
     val sink = java.nio.file.Files.createTempDirectory(s"graft-sink-$name")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    if (shuffleParts > 0) spark.conf.set(partsKey, shuffleParts.toString)
     // held for the finally: on a mid-drain failure the drain's OWN
     // query is still in spark.streams.active — the concurrency WARN
     // below must not misreport it as an "other" query, and it must be
@@ -346,6 +393,7 @@ object StreamingOps {
           .option("recursiveFileLookup", "true").parquet(sink.toString))
         .localCheckpoint()
     } finally {
+      if (shuffleParts > 0) spark.conf.set(partsKey, prevParts)
       // Unload the query's state store providers BEFORE deleting its
       // dirs / letting the JVM exit: Spark keeps providers (and their
       // maintenance + RocksDB background compaction threads) loaded
@@ -424,7 +472,8 @@ object StreamingOps {
     val agg = eventStream(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"), sumValue)
-    drainAndClean(spark, agg, "q172")(
+    drainAndClean(spark, agg, "q172",
+      shuffleParts = drainParts(spark, tableBytes(spark, dir, "events")))(
       _.select(unix_micros(col("w.start")).as("ws_us"),
           col("n_events"), col("sum_value"))
         .orderBy("ws_us"))
@@ -449,7 +498,8 @@ object StreamingOps {
         .groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"), sumValue)
-      drainAndClean(spark, agg, "q194")(
+      drainAndClean(spark, agg, "q194",
+        shuffleParts = drainParts(spark, tableBytes(spark, dir, "events")))(
         _.select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
             col("n_events"), col("sum_value"))
           .orderBy("user_id", "start_us"))
@@ -477,7 +527,8 @@ object StreamingOps {
     val joined = streamingIntervalJoin(
       ev().filter(col("event_type") === "click"),
       ev().filter(col("event_type") === "purchase"))
-    drainAndClean(spark, joined, "q195", outputMode = "append")(
+    drainAndClean(spark, joined, "q195", outputMode = "append",
+      shuffleParts = drainParts(spark, tableBytes(spark, dir, "events")))(
       _.orderBy("c_id", "p_id"))
   }
 
@@ -496,7 +547,8 @@ object StreamingOps {
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"), sumValue)
-    drainAndClean(spark, agg, "q196")(
+    drainAndClean(spark, agg, "q196",
+      shuffleParts = drainParts(spark, tableBytes(spark, dir, "events")))(
       _.select(col("c_mktsegment"), col("n_events"), col("sum_value"))
         .orderBy("c_mktsegment"))
   }
@@ -525,7 +577,8 @@ object StreamingOps {
       .select(col("source"),
         graft.functions.Md5Bucket.md5Bucket(col("w"), 15, 0).as("h"))
       .groupBy("source").agg(kmv(col("h")).as("sk"))
-    drainAndClean(spark, agg, "q192")(
+    drainAndClean(spark, agg, "q192",
+      shuffleParts = drainParts(spark, tableBytes(spark, dir, "documents")))(
       _.select(col("source"), size(col("sk")).cast("long").as("d"))
         .orderBy("source"))
   }
@@ -555,7 +608,8 @@ object StreamingOps {
     withRocksDbState(spark) {
       import org.apache.spark.sql.expressions.Window
       val agg = statefulUpsertTws(eventStream(spark, dir))
-      drainAndClean(spark, agg, "q198", outputMode = "update") { df =>
+      drainAndClean(spark, agg, "q198", outputMode = "update",
+        shuffleParts = drainParts(spark, tableBytes(spark, dir, "events"))) { df =>
         val w = Window.partitionBy("user_id", "event_type")
           .orderBy(col("ts_us").desc, col("event_id"))
         df.withColumn("rn", row_number().over(w))
@@ -642,14 +696,15 @@ object StreamingOps {
     * deleting the checkpoint's commit marker between drains. */
   private[graft] def streamingSpanIngest(spark: SparkSession,
       docStream: DataFrame, store0: DataFrame,
-      storeRoot: String): DataFrame = {
-    SpanOps.spanStoreInit(store0, storeRoot)
+      storeRoot: String, shuffleParts: Int = -1): DataFrame = {
+    SpanOps.spanStoreInit(store0, storeRoot, parts = shuffleParts)
     // analysis-only probe for the output schema (no job: .schema on an
     // empty frame); the persist it marks is dropped right after
     val outSchema = SpanOps.spanDedupVsStore(
       emptyFrame(spark, docStream.schema), store0).schema
     spark.catalog.clearCache()
     drainAndClean(spark, docStream, "q206", outputMode = "append",
+      shuffleParts = shuffleParts,
       perBatch = SpanOps.spanIngestTrigger(spark, storeRoot),
       outSchema = Some(outSchema))(
       _.orderBy("doc_id"))
@@ -682,7 +737,8 @@ object StreamingOps {
     val root = java.nio.file.Files.createTempDirectory("graft-spanstore")
     // the result is localCheckpoint'd by the drain, so the store dir
     // can be deleted as soon as the drain returns
-    try streamingSpanIngest(spark, stream, store0, root.toString)
+    try streamingSpanIngest(spark, stream, store0, root.toString,
+      shuffleParts = drainParts(spark, tableBytes(spark, dir, "documents")))
     finally graft.FsUtil.deleteRecursively(root)
   }
 
@@ -750,10 +806,14 @@ object StreamingOps {
     // released before the drain, which never touches it
     val corpus = Similarity.plantedCorpus(spark, dir).persist()
     val work = java.nio.file.Files.createTempDirectory("graft-sigingest")
+    // one adaptive partition count for the whole query (store init
+    // layout ≡ per-trigger read ≡ drain state), sized from the source
+    // table the planted corpus derives from
+    val parts = drainParts(spark, tableBytes(spark, dir, "documents"))
     try {
       val store0 = Similarity.sigBands(
         corpus.filter(col("doc_id") < 1000000L))
-      VersionedStore.init(store0, s"$work/store")
+      VersionedStore.init(store0, s"$work/store", parts)
       // the arriving batch as a one-file stream source (the planted
       // docs are DERIVED from testdata, so they are staged to disk
       // once — production batches arrive as their own files)
@@ -766,6 +826,7 @@ object StreamingOps {
       val outSchema = Similarity.dedupVsSigStore(
         emptyFrame(spark, stream.schema), store0).schema
       drainAndClean(spark, stream, "q209", outputMode = "append",
+        shuffleParts = parts,
         perBatch = sigIngestTrigger(spark, s"$work/store"),
         outSchema = Some(outSchema))(
         _.orderBy("new_id"))
@@ -839,8 +900,11 @@ object StreamingOps {
     val (model, reps) = SemStoreOps.semStoreBuild(
       emb.filter(pmod(col("id"), lit(7L)) =!= 0L), dim = 64)
     val work = java.nio.file.Files.createTempDirectory("graft-semingest")
+    // one adaptive partition count for store layout and drain state,
+    // sized from the source table (the q209 convention)
+    val parts = drainParts(spark, tableBytes(spark, dir, "embeddings"))
     try {
-      VersionedStore.init(reps, s"$work/store")
+      VersionedStore.init(reps, s"$work/store", parts)
       emb.filter(pmod(col("id"), lit(7L)) === 0L)
         .coalesce(1).write.parquet(s"$work/batch")
       val stream = spark.readStream
@@ -850,6 +914,7 @@ object StreamingOps {
       val outSchema = SemStoreOps.semDedupVsStore(
         emptyFrame(spark, stream.schema), model, reps).schema
       drainAndClean(spark, stream, "q210", outputMode = "append",
+        shuffleParts = parts,
         perBatch = semIngestTrigger(spark, s"$work/store", model),
         outSchema = Some(outSchema))(
         _.orderBy("cid"))

@@ -44,9 +44,15 @@ import org.apache.spark.sql.functions.col
 object VersionedStore {
 
   /** Write the standing corpus's artifact as segment `init`
-    * (overwrite — idempotent if the caller retries setup). */
-  def init(df: DataFrame, root: String): Unit =
-    df.write.mode("overwrite").parquet(s"$root/init")
+    * (overwrite — idempotent if the caller retries setup). `parts > 0`
+    * coalesces the segment to that file count (guide §6 output sizing,
+    * r17): the staging pipelines otherwise hand over a cores-wide
+    * layout, and EVERY subsequent trigger's probe pays one scan task
+    * per tiny init file. Ingest callers pass their drain's adaptive
+    * partition count so the init layout matches the per-trigger read. */
+  def init(df: DataFrame, root: String, parts: Int = -1): Unit =
+    (if (parts > 0) df.coalesce(parts) else df)
+      .write.mode("overwrite").parquet(s"$root/init")
 
   /** The store AS OF batch `id`: the newest compacted generation c<j>
     * with j ≤ id (else `init`) plus every b<k> with j ≤ k < id. */
